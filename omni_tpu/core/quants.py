@@ -1,0 +1,467 @@
+"""Numpy reference quantization codecs for all GGUF block formats.
+
+Dequantization is bit-exact to the reference semantics
+(/root/reference/ggml/src/ggml-quants.c, layouts at
+/root/reference/ggml/src/ggml-common.h:219-335): every scale is an f16
+widened to f32, per-group effective scales are computed as f32 products, and
+the element expansion order matches the on-disk block layout. Validated in
+tests against the reference's own numpy codec (gguf-py) used as an oracle.
+
+Quantization for the 32-element legacy formats matches the reference
+round-to-nearest semantics; K-quant quantizers are quality-equivalent
+re-designs (the reference uses iterative scale search in C,
+ggml-quants.c `make_qkx2_quants`) — only *de*quantization must be bit-exact
+for model-loading parity.
+
+These run on the host at load/convert time; the TPU-side decode path uses
+repacked layouts from `omni_tpu.kernels.qformats`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from .dtypes import GGMLType, QK_K, type_traits
+
+try:  # ml_dtypes ships with jax; used only for bf16 rounding
+    import ml_dtypes
+
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover
+    _BF16 = None
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _f16(b: np.ndarray) -> np.ndarray:
+    """f16 little-endian bytes -> f32."""
+    return b.view("<f2").astype(np.float32)
+
+
+def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
+    return x.astype("<f2").view(np.uint8)
+
+
+def _split_nibbles(qs: np.ndarray, group: int) -> np.ndarray:
+    """Expand nibble-packed bytes: each `group`-byte run yields `group` low
+    nibbles followed by `group` high nibbles (the ggml convention)."""
+    n = qs.shape[0]
+    q = qs.reshape(n, -1, group)
+    return np.stack([q & np.uint8(0xF), q >> np.uint8(4)], axis=2).reshape(n, -1)
+
+
+def _pack_nibbles(q: np.ndarray, group: int) -> np.ndarray:
+    """Inverse of `_split_nibbles`: q holds values 0..15."""
+    n = q.shape[0]
+    q = q.reshape(n, -1, 2, group)
+    return (q[:, :, 0, :] | (q[:, :, 1, :] << np.uint8(4))).reshape(n, -1)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero, matching ggml's roundf()."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _safe_inv(d: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        return np.where(d == 0, 0.0, 1.0 / d).astype(np.float32)
+
+
+def _expand_bits(b: np.ndarray, shifts: list[int], group: int, mask: int) -> np.ndarray:
+    """Expand bit-packed bytes: each group of `group` bytes yields, for each
+    shift in order, `group` values of (byte >> shift) & mask."""
+    n = b.shape[0]
+    q = b.reshape(n, -1, 1, group)
+    sh = np.array(shifts, dtype=np.uint8).reshape(1, 1, len(shifts), 1)
+    return ((q >> sh) & np.uint8(mask)).reshape(n, -1)
+
+
+# --------------------------------------------------------------------------
+# 32-element legacy formats
+# --------------------------------------------------------------------------
+
+def _deq_q4_0(b: np.ndarray) -> np.ndarray:
+    d = _f16(b[:, :2])
+    q = _split_nibbles(b[:, 2:], 16).astype(np.int8) - np.int8(8)
+    return d * q.astype(np.float32)
+
+
+def _q_q4_0(x: np.ndarray) -> np.ndarray:
+    mx = np.take_along_axis(x, np.abs(x).argmax(axis=-1, keepdims=True), axis=-1)
+    d = mx / -8
+    q = np.trunc(x * _safe_inv(d) + np.float32(8.5)).astype(np.uint8).clip(0, 15)
+    return np.concatenate([_to_f16_bytes(d), _pack_nibbles(q, 16)], axis=-1)
+
+
+def _deq_q4_1(b: np.ndarray) -> np.ndarray:
+    d, m = _f16(b[:, :2]), _f16(b[:, 2:4])
+    q = _split_nibbles(b[:, 4:], 16).astype(np.float32)
+    return d * q + m
+
+
+def _q_q4_1(x: np.ndarray) -> np.ndarray:
+    mn, mx = x.min(axis=-1, keepdims=True), x.max(axis=-1, keepdims=True)
+    d = (mx - mn) / 15
+    q = np.trunc((x - mn) * _safe_inv(d) + np.float32(0.5)).astype(np.uint8).clip(0, 15)
+    return np.concatenate([_to_f16_bytes(d), _to_f16_bytes(mn), _pack_nibbles(q, 16)], axis=-1)
+
+
+def _qh_bits(b4: np.ndarray) -> np.ndarray:
+    """4-byte qh field -> 32 single bits per block."""
+    n = b4.shape[0]
+    qh = b4.reshape(n, 4).view("<u4").reshape(n, 1)
+    return ((qh >> np.arange(32, dtype=np.uint32).reshape(1, 32)) & np.uint32(1)).astype(np.uint8)
+
+
+def _pack_qh(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits.astype(np.uint8), axis=-1, bitorder="little")
+
+
+def _deq_q5_0(b: np.ndarray) -> np.ndarray:
+    d = _f16(b[:, :2])
+    hi = _qh_bits(b[:, 2:6])
+    lo = _split_nibbles(b[:, 6:], 16)
+    q = (lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(16)
+    return d * q.astype(np.float32)
+
+
+def _q_q5_0(x: np.ndarray) -> np.ndarray:
+    mx = np.take_along_axis(x, np.abs(x).argmax(axis=-1, keepdims=True), axis=-1)
+    d = mx / -16
+    q = np.trunc(x * _safe_inv(d) + np.float32(16.5)).astype(np.uint8).clip(0, 31)
+    return np.concatenate(
+        [_to_f16_bytes(d), _pack_qh(q >> 4), _pack_nibbles(q & 0xF, 16)], axis=-1
+    )
+
+
+def _deq_q5_1(b: np.ndarray) -> np.ndarray:
+    d, m = _f16(b[:, :2]), _f16(b[:, 2:4])
+    hi = _qh_bits(b[:, 4:8])
+    lo = _split_nibbles(b[:, 8:], 16)
+    q = (lo | (hi << np.uint8(4))).astype(np.float32)
+    return d * q + m
+
+
+def _q_q5_1(x: np.ndarray) -> np.ndarray:
+    mn, mx = x.min(axis=-1, keepdims=True), x.max(axis=-1, keepdims=True)
+    d = (mx - mn) / 31
+    q = np.trunc((x - mn) * _safe_inv(d) + np.float32(0.5)).astype(np.uint8).clip(0, 31)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(mn), _pack_qh(q >> 4), _pack_nibbles(q & 0xF, 16)],
+        axis=-1,
+    )
+
+
+def _deq_q8_0(b: np.ndarray) -> np.ndarray:
+    d = _f16(b[:, :2])
+    q = b[:, 2:].view(np.int8).astype(np.float32)
+    return q * d
+
+
+def _q_q8_0(x: np.ndarray) -> np.ndarray:
+    d = np.abs(x).max(axis=-1, keepdims=True) / 127
+    q = _round_half_away(x * _safe_inv(d)).astype(np.int8)
+    return np.concatenate([_to_f16_bytes(d), q.view(np.uint8)], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# K-quants (256-element superblocks)
+# --------------------------------------------------------------------------
+
+def _deq_q2_k(b: np.ndarray) -> np.ndarray:
+    n = b.shape[0]
+    scales, qs = b[:, :16], b[:, 16:80]
+    d, dmin = _f16(b[:, 80:82]), _f16(b[:, 82:84])
+    dl = (d * (scales & np.uint8(0xF)).astype(np.float32)).reshape(n, 16, 1)
+    ml = (dmin * (scales >> np.uint8(4)).astype(np.float32)).reshape(n, 16, 1)
+    q = _expand_bits(qs, [0, 2, 4, 6], 32, 3).reshape(n, 16, 16).astype(np.float32)
+    return (dl * q - ml).reshape(n, QK_K)
+
+
+def _q_q2_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    xs = x.reshape(n, 16, 16)
+    mn = np.minimum(xs.min(axis=-1), 0.0)
+    mx = xs.max(axis=-1)
+    sc_f = (mx - mn) / 3
+    m_f = -mn
+    d = (sc_f.max(axis=-1, keepdims=True) / 15).astype(np.float32)
+    dmin = (m_f.max(axis=-1, keepdims=True) / 15).astype(np.float32)
+    sc4 = _round_half_away(sc_f * _safe_inv(d)).clip(0, 15).astype(np.uint8)
+    m4 = _round_half_away(m_f * _safe_inv(dmin)).clip(0, 15).astype(np.uint8)
+    d16, dm16 = d.astype(np.float16).astype(np.float32), dmin.astype(np.float16).astype(np.float32)
+    dl = d16 * sc4
+    ml = dm16 * m4
+    q = _round_half_away((xs + ml[..., None]) * _safe_inv(dl)[..., None]).clip(0, 3)
+    q = q.astype(np.uint8).reshape(n, 2, 4, 32)
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    qs = np.bitwise_or.reduce(q << sh, axis=2).reshape(n, 64)
+    scales = sc4 | (m4 << np.uint8(4))
+    return np.concatenate(
+        [scales, qs, _to_f16_bytes(d), _to_f16_bytes(dmin)], axis=-1
+    )
+
+
+def _unpack_scales_q3k(scales: np.ndarray) -> np.ndarray:
+    """12 bytes -> 16 signed 6-bit scales (layout per ggml-quants.c)."""
+    n = scales.shape[0]
+    lo = _expand_bits(scales[:, :8], [0, 4], 8, 0xF)
+    hi = _expand_bits(scales[:, 8:12], [0, 2, 4, 6], 4, 0x3)
+    return (lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)
+
+
+def _pack_scales_q3k(sc: np.ndarray) -> np.ndarray:
+    n = sc.shape[0]
+    u = (sc.astype(np.int16) + 32).astype(np.uint8)  # 0..63
+    lo, hi = u & np.uint8(0xF), u >> np.uint8(4)
+    lo = lo.reshape(n, 2, 8)
+    b07 = lo[:, 0, :] | (lo[:, 1, :] << np.uint8(4))
+    hi = hi.reshape(n, 4, 4)
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 4, 1)
+    b811 = np.bitwise_or.reduce(hi << sh, axis=1)
+    return np.concatenate([b07, b811], axis=-1)
+
+
+def _deq_q3_k(b: np.ndarray) -> np.ndarray:
+    n = b.shape[0]
+    hmask, qs, scales = b[:, :32], b[:, 32:96], b[:, 96:108]
+    d = _f16(b[:, 108:110])
+    sc = _unpack_scales_q3k(scales).astype(np.float32)
+    dl = (d * sc).reshape(n, 16, 1)
+    ql = _expand_bits(qs, [0, 2, 4, 6], 32, 3).reshape(n, 16, 16)
+    qh = _expand_bits(hmask, list(range(8)), 32, 1).reshape(n, 16, 16)
+    qh = qh ^ np.uint8(1)  # set hmask bit means "do not subtract 4"
+    q = (ql.astype(np.int8) - (qh << np.uint8(2)).astype(np.int8)).astype(np.float32)
+    return (dl * q).reshape(n, QK_K)
+
+
+def _fit_subblock_scale(xs: np.ndarray, q_min: int, q_max: int,
+                        n_iter: int = 3) -> np.ndarray:
+    """Per-sub-block signed scale fit: start from the abs-max heuristic and
+    refine with alternating least squares (q fixed -> optimal s = Σxq/Σq²),
+    the same idea as the reference's make_qx_quants (ggml-quants.c)."""
+    amax = np.abs(xs).max(axis=-1)
+    s = amax / max(-q_min, q_max)
+    for _ in range(n_iter):
+        q = _round_half_away(xs * _safe_inv(s)[..., None]).clip(q_min, q_max)
+        num = np.sum(xs * q, axis=-1)
+        den = np.sum(q * q, axis=-1)
+        s = np.where(den > 0, num / np.maximum(den, 1e-30), s).astype(np.float32)
+    return s
+
+
+def _q_q3_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    xs = x.reshape(n, 16, 16)
+    s_f = _fit_subblock_scale(xs, -4, 3)
+    d = (np.abs(s_f).max(axis=-1, keepdims=True) / 31).astype(np.float32)
+    sc = _round_half_away(s_f * _safe_inv(d)).clip(-32, 31).astype(np.int8)
+    d16 = d.astype(np.float16).astype(np.float32)
+    dl = d16 * sc
+    q = _round_half_away(xs * _safe_inv(dl)[..., None]).clip(-4, 3).astype(np.int8)
+    qp = (q + 4).astype(np.uint8)  # 0..7
+    h = (qp >> 2) & 1  # 1 => no subtract
+    ql = qp & np.uint8(3)
+    ql = ql.reshape(n, 16, 16).reshape(n, 2, 4, 32)  # (half, shift, byte)
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    qs = np.bitwise_or.reduce(ql << sh, axis=2).reshape(n, 64)
+    hb = h.reshape(n, 8, 32)  # bit index, byte
+    shb = np.arange(8, dtype=np.uint8).reshape(1, 8, 1)
+    hmask = np.bitwise_or.reduce(hb << shb, axis=1)
+    return np.concatenate([hmask, qs, _pack_scales_q3k(sc), _to_f16_bytes(d)], axis=-1)
+
+
+def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """12-byte packed 6-bit scales/mins -> (8 scales, 8 mins) per superblock,
+    layout per ggml-quants.c get_scale_min_k4."""
+    a, bb, c = scales[:, 0:4], scales[:, 4:8], scales[:, 8:12]
+    sc = np.concatenate([a & 0x3F, (c & 0x0F) | ((a >> 2) & 0x30)], axis=-1)
+    mn = np.concatenate([bb & 0x3F, (c >> 4) | ((bb >> 2) & 0x30)], axis=-1)
+    return sc, mn
+
+
+def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of `_unpack_scale_min_k4`; sc/mn are uint8 0..63, shape (n, 8)."""
+    a = sc[:, :4] | ((sc[:, 4:] >> 4) << 6)
+    bb = mn[:, :4] | ((mn[:, 4:] >> 4) << 6)
+    c = (sc[:, 4:] & 0x0F) | ((mn[:, 4:] & 0x0F) << 4)
+    return np.concatenate([a, bb, c], axis=-1).astype(np.uint8)
+
+
+def _deq_q4_k(b: np.ndarray) -> np.ndarray:
+    n = b.shape[0]
+    d, dmin = _f16(b[:, :2]), _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    dl = (d * sc.astype(np.float32)).reshape(n, 8, 1)
+    ml = (dmin * mn.astype(np.float32)).reshape(n, 8, 1)
+    q = _split_nibbles(b[:, 16:], 32).reshape(n, 8, 32).astype(np.float32)
+    return (dl * q - ml).reshape(n, QK_K)
+
+
+def _kquant_scale_min(xs: np.ndarray, q_max: int) -> tuple:
+    """Shared affine sub-block fit for Q4_K/Q5_K/Q2_K-style formats."""
+    mn = np.minimum(xs.min(axis=-1), 0.0)
+    mx = xs.max(axis=-1)
+    sc_f = (mx - mn) / q_max
+    m_f = -mn
+    d = (sc_f.max(axis=-1, keepdims=True) / 63).astype(np.float32)
+    dmin = (m_f.max(axis=-1, keepdims=True) / 63).astype(np.float32)
+    sc6 = _round_half_away(sc_f * _safe_inv(d)).clip(0, 63).astype(np.uint8)
+    m6 = _round_half_away(m_f * _safe_inv(dmin)).clip(0, 63).astype(np.uint8)
+    d16 = d.astype(np.float16).astype(np.float32)
+    dm16 = dmin.astype(np.float16).astype(np.float32)
+    q = _round_half_away(
+        (xs + (dm16 * m6)[..., None]) * _safe_inv(d16 * sc6)[..., None]
+    ).clip(0, q_max).astype(np.uint8)
+    return d, dmin, sc6, m6, q
+
+
+def _q_q4_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    d, dmin, sc6, m6, q = _kquant_scale_min(x.reshape(n, 8, 32), 15)
+    qs = _pack_nibbles(q.reshape(n, 8, 32).reshape(n, 4, 64), 32)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_scale_min_k4(sc6, m6), qs], axis=-1
+    )
+
+
+def _deq_q5_k(b: np.ndarray) -> np.ndarray:
+    n = b.shape[0]
+    d, dmin = _f16(b[:, :2]), _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    dl = (d * sc.astype(np.float32)).reshape(n, 8, 1)
+    ml = (dmin * mn.astype(np.float32)).reshape(n, 8, 1)
+    hi = _expand_bits(b[:, 16:48], list(range(8)), 32, 1).reshape(n, 8, 32)
+    lo = _split_nibbles(b[:, 48:], 32).reshape(n, 8, 32)
+    q = (lo | (hi << np.uint8(4))).astype(np.float32)
+    return (dl * q - ml).reshape(n, QK_K)
+
+
+def _q_q5_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    d, dmin, sc6, m6, q = _kquant_scale_min(x.reshape(n, 8, 32), 31)
+    lo = _pack_nibbles((q & 0xF).reshape(n, 4, 64), 32)
+    hb = (q >> 4).reshape(n, 8, 32)
+    shb = np.arange(8, dtype=np.uint8).reshape(1, 8, 1)
+    qh = np.bitwise_or.reduce(hb << shb, axis=1)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_scale_min_k4(sc6, m6), qh, lo],
+        axis=-1,
+    )
+
+
+def _deq_q6_k(b: np.ndarray) -> np.ndarray:
+    n = b.shape[0]
+    ql, qh, scales = b[:, :128], b[:, 128:192], b[:, 192:208]
+    d = _f16(b[:, 208:210])
+    dl = (d * scales.view(np.int8).astype(np.float32)).reshape(n, 16, 1)
+    lo = _split_nibbles(ql, 64).reshape(n, -1, 32)
+    hi = _expand_bits(qh, [0, 2, 4, 6], 32, 3).reshape(n, -1, 32)
+    q = ((lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)).astype(np.float32)
+    return (dl * q.reshape(n, 16, 16)).reshape(n, QK_K)
+
+
+def _q_q6_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    xs = x.reshape(n, 16, 16)
+    s_f = _fit_subblock_scale(xs, -32, 31)
+    d = (np.abs(s_f).max(axis=-1, keepdims=True) / 127).astype(np.float32)
+    sc = _round_half_away(s_f * _safe_inv(d)).clip(-128, 127).astype(np.int8)
+    d16 = d.astype(np.float16).astype(np.float32)
+    dl = d16 * sc
+    q = _round_half_away(xs * _safe_inv(dl)[..., None]).clip(-32, 31).astype(np.int8)
+    qp = (q.reshape(n, QK_K) + 32).astype(np.uint8)  # 0..63
+    # inverse of the dequant expansion: per 128-half, [g0..g3] of 32 values
+    g = qp.reshape(n, 2, 4, 32)
+    lo4 = g & np.uint8(0xF)
+    hi2 = (g >> np.uint8(4)).astype(np.uint8)
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    qh = np.bitwise_or.reduce(hi2 << sh, axis=2).reshape(n, 64)
+    return np.concatenate([_fix_ql_q6k(n, lo4), qh, sc.view(np.uint8), _to_f16_bytes(d)], axis=-1)
+
+
+def _fix_ql_q6k(n: int, lo4: np.ndarray) -> np.ndarray:
+    """Pack Q6_K low nibbles: per 128-half, bytes l<32 hold (g0 | g2<<4),
+    bytes 32..63 hold (g1 | g3<<4)."""
+    b_lo = lo4[:, :, 0, :] | (lo4[:, :, 2, :] << np.uint8(4))  # (n, 2, 32)
+    b_hi = lo4[:, :, 1, :] | (lo4[:, :, 3, :] << np.uint8(4))
+    return np.concatenate([b_lo, b_hi], axis=2).reshape(n, 128)
+
+
+# --------------------------------------------------------------------------
+# registry / public API
+# --------------------------------------------------------------------------
+
+_DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
+    GGMLType.Q4_0: _deq_q4_0,
+    GGMLType.Q4_1: _deq_q4_1,
+    GGMLType.Q5_0: _deq_q5_0,
+    GGMLType.Q5_1: _deq_q5_1,
+    GGMLType.Q8_0: _deq_q8_0,
+    GGMLType.Q2_K: _deq_q2_k,
+    GGMLType.Q3_K: _deq_q3_k,
+    GGMLType.Q4_K: _deq_q4_k,
+    GGMLType.Q5_K: _deq_q5_k,
+    GGMLType.Q6_K: _deq_q6_k,
+}
+
+_QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
+    GGMLType.Q4_0: _q_q4_0,
+    GGMLType.Q4_1: _q_q4_1,
+    GGMLType.Q5_0: _q_q5_0,
+    GGMLType.Q5_1: _q_q5_1,
+    GGMLType.Q8_0: _q_q8_0,
+    GGMLType.Q2_K: _q_q2_k,
+    GGMLType.Q3_K: _q_q3_k,
+    GGMLType.Q4_K: _q_q4_k,
+    GGMLType.Q5_K: _q_q5_k,
+    GGMLType.Q6_K: _q_q6_k,
+}
+
+
+def dequantize(blocks: np.ndarray, ggml_type: GGMLType | int,
+               shape: tuple[int, ...] | None = None) -> np.ndarray:
+    """Block bytes -> float32 array (optionally reshaped to `shape`)."""
+    t = GGMLType(ggml_type)
+    if t == GGMLType.F32:
+        out = np.asarray(blocks, dtype=np.float32)
+    elif t == GGMLType.F16:
+        out = np.asarray(blocks).astype(np.float32)
+    elif t == GGMLType.BF16:
+        bits = np.asarray(blocks).view(np.uint16).astype(np.uint32) << 16
+        out = bits.view(np.float32)
+    elif t in _DEQUANT:
+        tr = type_traits(t)
+        b = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, tr.type_size)
+        out = _DEQUANT[t](b)
+    else:
+        raise NotImplementedError(f"dequantize: {t.name}")
+    return out.reshape(shape) if shape is not None else out.reshape(-1)
+
+
+def quantize(data: np.ndarray, ggml_type: GGMLType | int) -> np.ndarray:
+    """float array -> block bytes (uint8, shape [n_blocks, type_size])."""
+    t = GGMLType(ggml_type)
+    x = np.ascontiguousarray(data, dtype=np.float32)
+    if t == GGMLType.F32:
+        return x
+    if t == GGMLType.F16:
+        return x.astype(np.float16)
+    if t == GGMLType.BF16:
+        if _BF16 is None:
+            raise RuntimeError("bf16 quantization requires ml_dtypes")
+        return x.astype(_BF16).view(np.uint16)
+    if t in _QUANT:
+        tr = type_traits(t)
+        if x.size % tr.block_size != 0:
+            raise ValueError(f"{t.name}: size {x.size} not divisible by {tr.block_size}")
+        return _QUANT[t](x.reshape(-1, tr.block_size)).reshape(-1, tr.type_size)
+    raise NotImplementedError(f"quantize: {t.name}")
+
+
+def supported_quant_types() -> list[GGMLType]:
+    return sorted(_DEQUANT)

@@ -1,0 +1,86 @@
+"""Quantization codec tests.
+
+Strategy (mirrors the reference's tests/test-quantize-fns.cpp): round-trip
+RMSE bounds per format, plus bit-exact dequantization cross-checked against
+the reference's own numpy codec (gguf-py) as an oracle.
+"""
+
+import numpy as np
+import pytest
+
+from omni_tpu.core import GGMLType, quants, type_traits
+
+# (type, max round-trip RMSE for N(0,1) data) — bounds chosen analogous to
+# the reference's MAX_QUANTIZATION_TOTAL_ERROR thresholds.
+FORMATS = [
+    (GGMLType.Q4_0, 0.12),
+    (GGMLType.Q4_1, 0.10),
+    (GGMLType.Q5_0, 0.06),
+    (GGMLType.Q5_1, 0.05),
+    (GGMLType.Q8_0, 0.01),
+    (GGMLType.Q2_K, 0.35),
+    (GGMLType.Q3_K, 0.18),
+    (GGMLType.Q4_K, 0.10),
+    (GGMLType.Q5_K, 0.05),
+    (GGMLType.Q6_K, 0.03),
+]
+
+
+@pytest.mark.parametrize("qtype,max_rmse", FORMATS, ids=lambda p: getattr(p, "name", p))
+def test_round_trip_rmse(qtype, max_rmse, rng):
+    x = rng.standard_normal((8, 512), dtype=np.float32)
+    q = quants.quantize(x, qtype)
+    y = quants.dequantize(q, qtype, x.shape)
+    rmse = float(np.sqrt(np.mean((x - y) ** 2)))
+    assert rmse < max_rmse, f"{qtype.name}: rmse {rmse}"
+
+
+@pytest.mark.parametrize("qtype,_", FORMATS, ids=lambda p: getattr(p, "name", p))
+def test_dequant_bit_exact_vs_oracle(qtype, _, oracle, rng):
+    """Our dequantization of arbitrary valid block bytes must agree bit-for-
+    bit with the reference numpy codec."""
+    from gguf.constants import GGMLQuantizationType as OT
+
+    x = rng.standard_normal((4, 1024), dtype=np.float32) * 3.0
+    blocks = quants.quantize(x, qtype)  # valid on-disk bytes
+    raw = np.ascontiguousarray(blocks).view(np.uint8).reshape(4, -1)
+    theirs = oracle.dequantize(raw, OT(int(qtype)))
+    ours = quants.dequantize(blocks, qtype, theirs.shape)
+    np.testing.assert_array_equal(ours, theirs.astype(np.float32))
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                                   GGMLType.Q5_1, GGMLType.Q8_0],
+                         ids=lambda p: p.name)
+def test_quantize_bit_exact_vs_oracle(qtype, oracle, rng):
+    """For legacy 32-element formats our quantizer matches the reference's
+    rounding semantics byte-for-byte."""
+    from gguf.constants import GGMLQuantizationType as OT
+
+    x = rng.standard_normal((4, 256), dtype=np.float32)
+    ours = np.ascontiguousarray(quants.quantize(x, qtype)).view(np.uint8).reshape(4, -1)
+    theirs = oracle.quantize(x, OT(int(qtype)))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_f16_bf16_roundtrip(rng):
+    x = rng.standard_normal((2, 64), dtype=np.float32)
+    f16 = quants.quantize(x, GGMLType.F16)
+    assert f16.dtype == np.float16
+    np.testing.assert_allclose(quants.dequantize(f16, GGMLType.F16, x.shape), x,
+                               atol=2e-3, rtol=2e-3)
+    bf16 = quants.quantize(x, GGMLType.BF16)
+    assert bf16.dtype == np.uint16
+    np.testing.assert_allclose(quants.dequantize(bf16, GGMLType.BF16, x.shape), x,
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_block_geometry():
+    for qtype, _ in FORMATS:
+        tr = type_traits(qtype)
+        x = np.zeros((tr.block_size * 2,), dtype=np.float32)
+        q = quants.quantize(x, qtype)
+        assert q.shape == (2, tr.type_size)
+        y = quants.dequantize(q, qtype)
+        assert y.shape == (tr.block_size * 2,)
+        assert np.all(y == 0)
