@@ -1,0 +1,83 @@
+"""Quantized-weight kernel tests (TPU analog of the reference's
+tests/test-backend-ops.cpp op-conformance harness: numpy codec is the
+oracle, the XLA path and the Pallas kernel must agree with it)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omni_tpu.core import GGMLType, quants
+from omni_tpu.kernels import (
+    QTensor,
+    dequant,
+    matmul,
+    qmatmul_pallas,
+    qmatmul_xla,
+    repack,
+)
+
+NATIVE = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0]
+
+
+def _make_qtensor(rng, qtype, n=16, k=512):
+    w = rng.standard_normal((n, k), dtype=np.float32)
+    blocks = quants.quantize(w, qtype)
+    ref = quants.dequantize(blocks, qtype, (n, k))  # bit-exact f32 reference
+    return repack(blocks, qtype, (n, k)), ref
+
+
+@pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
+def test_repack_dequant_bit_exact(qtype, rng):
+    """XLA dequant of the repacked SoA layout == numpy block dequant, bitwise."""
+    qt, ref = _make_qtensor(rng, qtype)
+    got = np.asarray(dequant(qt, jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
+def test_qmatmul_xla_matches_dense(qtype, rng):
+    qt, ref = _make_qtensor(rng, qtype)
+    x = rng.standard_normal((4, qt.shape[1]), dtype=np.float32)
+    got = np.asarray(qmatmul_xla(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    want = x.astype(np.float32) @ ref.T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
+
+
+@pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
+@pytest.mark.parametrize("m", [1, 4, 48], ids=lambda m: f"m{m}")
+def test_qmatmul_pallas_interpret_matches_xla(qtype, m, rng):
+    """The fused Pallas kernel (interpret mode on CPU) must agree with the
+    XLA fallback to bf16 tolerance, including ragged N edges."""
+    qt, _ = _make_qtensor(rng, qtype, n=24, k=512)  # n=24 < block_n: ragged
+    x = jnp.asarray(rng.standard_normal((m, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_pallas(x, qt, block_m=32, block_n=16, out_dtype=jnp.float32,
+                         interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-1)
+
+
+def test_matmul_dense_path(rng):
+    x = jnp.asarray(rng.standard_normal((3, 64), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 64), dtype=np.float32))
+    got = matmul(x, w, out_dtype=jnp.float32)
+    # matmuls run at DEFAULT (bf16-ish) precision by policy
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x) @ np.asarray(w).T,
+                               rtol=2e-2, atol=1e-1)
+
+
+def test_qtensor_is_pytree(rng):
+    qt, _ = _make_qtensor(rng, GGMLType.Q5_K)
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.ggml_type == qt.ggml_type and qt2.shape == qt.shape
+    assert qt2.qh is not None
+
+    @jax.jit
+    def f(q, x):
+        return qmatmul_xla(x, q, out_dtype=jnp.float32)
+
+    x = jnp.ones((2, qt.shape[1]), jnp.float32)
+    out = f(qt, x)
+    assert out.shape == (2, qt.shape[0])
