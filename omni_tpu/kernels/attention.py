@@ -1,0 +1,45 @@
+"""Attention over the unified KV cell pool.
+
+XLA path (this module) is the reference semantics: masked softmax over every
+cell with GQA head grouping — the role of ggml_flash_attn_ext in the
+reference graphs (/root/reference/src/llama-graph.cpp:1342-1347). A fused
+Pallas flash kernel with the same contract lives in `flash_attention.py`
+and is selected on TPU for large pools.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def cache_attention(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [S, Hkv, D]
+    v: jax.Array,  # [S, Hkv, D]
+    mask: jax.Array,  # [T, S] bool
+    scale: float | None = None,
+    logit_softcap: float = 0.0,
+) -> jax.Array:
+    t, hq, d = q.shape
+    s, hkv, _ = k.shape
+    g = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+
+    qg = q.reshape(t, hkv, g, d)
+    scores = jnp.einsum(
+        "thgd,shd->thgs", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "thgs,shd->thgd", p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(t, hq, d)

@@ -1,15 +1,13 @@
 """Fused dequantize × matmul Pallas kernels.
 
 Plays the role of the reference's CUDA quantized matmul kernels
-(/root/reference/ggml/src/ggml-cuda/mmq.cu for GEMM,
-mmvq.cu for GEMV): weights stay quantized in HBM, are DMA'd tile-by-tile
-into VMEM, dequantized in vector registers, and fed to the MXU. One kernel
-covers both prefill (large M) and decode (M = batch) — Pallas pipelines the
-HBM→VMEM tile streams across the grid automatically.
-
-Layouts come from `qformats.QTensor` (SoA; see that module). Dequant math is
-f32 (bit-exact with the reference's scale semantics) then cast to bf16 for
-the MXU with f32 accumulation.
+(/root/reference/ggml/src/ggml-cuda/mmq.cu for GEMM, mmvq.cu for GEMV):
+weights stay quantized in HBM, are DMA'd tile-by-tile into VMEM, dequantized
+in vector registers (sublane-axis ops only — see qformats), and fed to the
+MXU. One kernel covers prefill (large M) and decode (M = batch); the grid
+is (M/TM, N/TN, K/TK) with an f32 VMEM accumulator over the K dimension, so
+arbitrarily large K (ffn_down: 12288) stays within VMEM budget and Pallas
+double-buffers the HBM tile streams automatically.
 """
 
 from __future__ import annotations
@@ -22,126 +20,107 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.dtypes import GGMLType
-from .qformats import QTensor, dequant
+from .qformats import QTensor, dequant_t, dequant_tile
+
+# rows of ONE logical K element per plane, as a fraction: plane_rows = K // div
+_PLANE_DIV = {
+    GGMLType.Q8_0: {"q": 1, "d": 32},
+    GGMLType.Q4_K: {"q": 2, "sc": 32, "mn": 32, "d": 256, "dm": 256},
+    GGMLType.Q5_K: {"q": 2, "sc": 32, "mn": 32, "d": 256, "dm": 256, "qh": 8},
+    GGMLType.Q6_K: {"q": 1, "sc": 16, "d": 256},
+}
 
 
-def _dequant_tile_f32(t: GGMLType, refs: dict[str, jax.Array], k: int) -> jax.Array:
-    """Dequantize one [TN, K] weight tile inside the kernel. `refs` holds the
-    already-loaded VMEM blocks."""
-    if t == GGMLType.Q8_0:
-        q = refs["q"].astype(jnp.float32)  # [TN, K] int8
-        d = refs["d"]  # [TN, K/32] f32
-        tn = q.shape[0]
-        return (q.reshape(tn, k // 32, 32) * d[:, :, None]).reshape(tn, k)
-
-    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
-        qp = refs["q"]  # [TN, K/2] uint8
-        tn = qp.shape[0]
-        q = jnp.concatenate([qp & jnp.uint8(0xF), qp >> jnp.uint8(4)], axis=1)
-        q = q.astype(jnp.float32)
-        if t == GGMLType.Q5_K:
-            qh = refs["qh"]  # [TN, K/8] uint8
-            sh = jnp.arange(8, dtype=jnp.uint8).reshape(1, 1, 8)
-            bits = ((qh[:, :, None] >> sh) & jnp.uint8(1)).astype(jnp.float32)
-            q = q + bits.reshape(tn, k) * 16.0
-        nsb = k // 256
-        dl = refs["d"][:, :, None] * refs["sc"].reshape(tn, nsb, 8).astype(jnp.float32)
-        ml = refs["dm"][:, :, None] * refs["mn"].reshape(tn, nsb, 8).astype(jnp.float32)
-        dl = dl.reshape(tn, k // 32)
-        ml = ml.reshape(tn, k // 32)
-        w = q.reshape(tn, k // 32, 32) * dl[:, :, None] - ml[:, :, None]
-        return w.reshape(tn, k)
-
-    if t == GGMLType.Q6_K:
-        q = refs["q"].astype(jnp.float32)  # [TN, K] int8 (-32..31)
-        tn = q.shape[0]
-        nsb = k // 256
-        dl = refs["d"][:, :, None] * refs["sc"].reshape(tn, nsb, 16).astype(jnp.float32)
-        dl = dl.reshape(tn, k // 16)
-        return (q.reshape(tn, k // 16, 16) * dl[:, :, None]).reshape(tn, k)
-
-    raise NotImplementedError(t.name)
-
-
-def _make_kernel(t: GGMLType, k: int, names: tuple[str, ...], out_dtype):
+def _make_kernel(t: GGMLType, names: tuple[str, ...], nk: int, out_dtype):
     def kernel(x_ref, *rest):
         refs = {nm: rest[i][...] for i, nm in enumerate(names)}
         o_ref = rest[len(names)]
-        w = _dequant_tile_f32(t, refs, k).astype(jnp.bfloat16)  # [TN, K]
-        x = x_ref[...].astype(jnp.bfloat16)  # [TM, K]
-        acc = jax.lax.dot_general(
-            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        acc_ref = rest[len(names) + 1]
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        w = dequant_tile(t, refs, jnp.bfloat16)  # [TK, TN]
+        x = x_ref[...].astype(jnp.bfloat16)  # [TM, TK]
+        acc_ref[...] += jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        o_ref[...] = acc.astype(out_dtype)
+
+        @pl.when(kk == nk - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
 
     return kernel
 
 
-def _qt_planes(qt: QTensor) -> dict[str, jax.Array]:
-    planes = {"q": qt.q, "d": qt.d}
-    if qt.sc is not None:
-        planes["sc"] = qt.sc
-    if qt.mn is not None:
-        planes["mn"] = qt.mn
-    if qt.dm is not None:
-        planes["dm"] = qt.dm
-    if qt.qh is not None:
-        planes["qh"] = qt.qh
-    return planes
-
-
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret")
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret")
 )
 def qmatmul_pallas(
     x: jax.Array,
     qt: QTensor,
     *,
     block_m: int = 256,
-    block_n: int = 512,
+    block_n: int = 256,
+    block_k: int = 2048,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[M, N] = x[M, K] @ dequant(W[N, K]).T via a fused Pallas kernel."""
+    """out[M, N] = x[M, K] @ dequant(W).T_logical via the fused kernel."""
     m, k = x.shape
     n, k2 = qt.shape
     assert k == k2, (x.shape, qt.shape)
+    granule = 32 if qt.ggml_type == GGMLType.Q8_0 else 256
     tm = min(block_m, m)
     tn = min(block_n, n)
-    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn))
+    assert k % granule == 0, (k, granule)
+    # K tiles must divide K exactly: a ragged K edge would accumulate
+    # garbage (unlike masked M/N edges). Largest granule-multiple divisor:
+    tk = max(granule, min(block_k, k))
+    while k % tk != 0:
+        tk -= granule
+    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), pl.cdiv(k, tk))
 
-    planes = _qt_planes(qt)
+    planes = qt.planes()
     names = tuple(planes)
+    divs = _PLANE_DIV[qt.ggml_type]
 
-    in_specs = [pl.BlockSpec((tm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)]
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM)
+    ]
     for nm in names:
-        arr = planes[nm]
-        cols = arr.shape[1]
+        dv = divs[nm]
         in_specs.append(
-            pl.BlockSpec((tn, cols), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (tk // dv, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            )
         )
 
     flops = 2 * m * n * k
     bytes_accessed = x.size * x.dtype.itemsize + qt.nbytes + m * n * 4
-    out = pl.pallas_call(
-        _make_kernel(qt.ggml_type, k, names, out_dtype),
+    return pl.pallas_call(
+        _make_kernel(qt.ggml_type, names, grid[2], out_dtype),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(x, *[planes[nm] for nm in names])
-    return out
 
 
 def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference/fallback path: full dequant via XLA then plain matmul."""
-    w = dequant(qt, jnp.bfloat16)
+    w_t = dequant_t(qt, jnp.bfloat16)  # [K, N]
     return jax.lax.dot_general(
-        x.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        x.astype(jnp.bfloat16), w_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
 

@@ -2,29 +2,34 @@
 
 GGUF block formats (AoS: scales and quants interleaved per block) are
 hostile to TPU vector lanes, so at load time each quantized tensor is
-repacked ONCE on the host into a structure-of-arrays `QTensor`:
+repacked ONCE on the host into a structure-of-arrays `QTensor`, stored
+**K-major (transposed)**: a weight W[N, K] becomes planes shaped [K', N].
+Quant groups then lie along the *sublane* axis, where Mosaic supports the
+broadcast-and-collapse needed to expand per-group scales (lane-axis
+expansion does not lower); the matmul consumes the tile directly as the
+RHS of x[M,K] @ W_t[K,N].
 
-- `q`     — bit-packed quants, laid out so unpacking is two slices +
-            shifts (no lane interleave): byte j of a row holds element j in
-            the low nibble and element j + K/2 in the high nibble.
-- `sc/mn` — per-32/16-group integer sub-scales (int8), straight from the
-            superblock's packed 6-bit lanes.
-- `d/dm`  — per-superblock f16 super-scales widened to f32.
+Planes per format (rows × N):
+- Q8_0: q int8 [K], d f32 [K/32]
+- Q4_K: q u8 [K/2] (superblock-local halves: byte row r of superblock s
+  holds element s·256+r in the low nibble and s·256+128+r in the high),
+  sc/mn int8 [K/32], d/dm f32 [K/256]
+- Q5_K: Q4_K planes + qh u8 [K/8] (bit b of row r = high bit of element
+  8r+b, original element order)
+- Q6_K: q int8 [K] (sign-extended 6-bit), sc int8 [K/16], d f32 [K/256]
 
 Dequantization stays bit-exact with the reference semantics
 (/root/reference/ggml/src/ggml-quants.c): the effective group scale is the
-single f32 product d*sc, exactly as the reference computes it; repacking is
+single f32 product d*sc exactly as the reference computes it; repacking is
 a pure permutation. This plays the role of the reference's CUDA
-`convert.cu` / `mmq.cu` tile layouts, re-designed for TPU lanes.
+`convert.cu` / `mmq.cu` tile layouts, re-designed for TPU tiling.
 
-Formats with native kernels: Q4_K, Q5_K, Q6_K, Q8_0. Everything else is
-dequantized to bf16/f32 at load time by `omni_tpu.core.quants`.
+Formats without native kernels are dequantized to bf16 at load time.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,19 +44,20 @@ NATIVE_QTYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0)
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QTensor:
-    """A quantized 2-D weight [N, K] in TPU SoA layout."""
+    """A quantized 2-D weight, logical shape [N, K], planes stored [K', N]."""
 
     ggml_type: GGMLType
     shape: tuple[int, ...]  # logical (N, K)
-    q: jax.Array  # packed quants
-    sc: jax.Array | None  # int8 group sub-scales
-    mn: jax.Array | None  # int8 group sub-mins (affine formats)
-    d: jax.Array  # f32 super-scales
-    dm: jax.Array | None  # f32 super-min-scales (affine formats)
-    qh: jax.Array | None = None  # high-bit plane (Q5_K)
+    q: jax.Array  # packed quants [K or K/2, N]
+    sc: jax.Array | None  # int8 group sub-scales [K/g, N]
+    mn: jax.Array | None  # int8 group sub-mins [K/g, N]
+    d: jax.Array  # f32 super-scales [K/256 or K/32, N]
+    dm: jax.Array | None  # f32 super-min-scales
+    qh: jax.Array | None = None  # high-bit plane [K/8, N] (Q5_K)
 
     def tree_flatten(self):
-        return (self.q, self.sc, self.mn, self.d, self.dm, self.qh), (self.ggml_type, self.shape)
+        return (self.q, self.sc, self.mn, self.d, self.dm, self.qh), (
+            self.ggml_type, self.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -60,62 +66,64 @@ class QTensor:
     @property
     def nbytes(self) -> int:
         return sum(a.size * a.dtype.itemsize for a in
-                   (self.q, self.sc, self.mn, self.d, self.dm) if a is not None)
+                   (self.q, self.sc, self.mn, self.d, self.dm, self.qh)
+                   if a is not None)
+
+    def planes(self) -> dict[str, jax.Array]:
+        out = {"q": self.q, "d": self.d}
+        for nm in ("sc", "mn", "dm", "qh"):
+            a = getattr(self, nm)
+            if a is not None:
+                out[nm] = a
+        return out
 
 
 # --------------------------------------------------------------------------
 # host-side repack (numpy, once at load)
 # --------------------------------------------------------------------------
 
-def _pack_halves(q: np.ndarray) -> np.ndarray:
-    """[N, K] 4-bit values -> [N, K/2] bytes, element j | element j+K/2 << 4."""
+def _pack_sb_halves(q: np.ndarray) -> np.ndarray:
+    """[N, K] 4-bit values -> [N, K/2] bytes with superblock-local halves."""
     n, k = q.shape
-    return (q[:, : k // 2] | (q[:, k // 2 :] << np.uint8(4))).astype(np.uint8)
+    s = q.reshape(n, k // QK_K, 2, 128)
+    return (s[:, :, 0, :] | (s[:, :, 1, :] << np.uint8(4))).reshape(n, k // 2)
 
 
 def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
-    """GGUF block bytes -> SoA QTensor (host numpy -> device arrays)."""
+    """GGUF block bytes -> K-major SoA QTensor."""
     t = GGMLType(ggml_type)
     n, k = shape
     tr = type_traits(t)
     b = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, tr.type_size)
     nsb = b.shape[0] // n  # superblocks per row
 
+    def T(a):  # host transpose -> device
+        return jnp.asarray(np.ascontiguousarray(a.T))
+
     if t == GGMLType.Q8_0:
         d = nq._f16(b[:, :2]).reshape(n, k // 32)
         q = b[:, 2:].view(np.int8).reshape(n, k)
-        return QTensor(t, shape, jnp.asarray(q), None, None, jnp.asarray(d), None)
+        return QTensor(t, shape, T(q), None, None, T(d), None)
 
-    if t == GGMLType.Q4_K:
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
         d = nq._f16(b[:, :2]).reshape(n, nsb)
         dm = nq._f16(b[:, 2:4]).reshape(n, nsb)
         sc6, mn6 = nq._unpack_scale_min_k4(b[:, 4:16])
-        q = nq._split_nibbles(b[:, 16:], 32).reshape(n, k)  # element order 0..255/superblock
+        if t == GGMLType.Q4_K:
+            q = nq._split_nibbles(b[:, 16:], 32).reshape(n, k)
+            qh_plane = None
+        else:
+            hi = nq._expand_bits(b[:, 16:48], list(range(8)), 32, 1)
+            lo = nq._split_nibbles(b[:, 48:], 32)
+            q5 = (lo | (hi << np.uint8(4))).reshape(n, k)
+            q = q5 & np.uint8(0xF)
+            qh_plane = T(np.packbits(q5 >> 4, axis=-1, bitorder="little"))
         return QTensor(
             t, shape,
-            jnp.asarray(_pack_halves(q)),
-            jnp.asarray(sc6.reshape(n, nsb * 8).view(np.int8)),
-            jnp.asarray(mn6.reshape(n, nsb * 8).view(np.int8)),
-            jnp.asarray(d), jnp.asarray(dm),
-        )
-
-    if t == GGMLType.Q5_K:
-        d = nq._f16(b[:, :2]).reshape(n, nsb)
-        dm = nq._f16(b[:, 2:4]).reshape(n, nsb)
-        sc6, mn6 = nq._unpack_scale_min_k4(b[:, 4:16])
-        hi = nq._expand_bits(b[:, 16:48], list(range(8)), 32, 1)
-        lo = nq._split_nibbles(b[:, 48:], 32)
-        q = (lo | (hi << np.uint8(4))).reshape(n, k)  # 5-bit values 0..31
-        # store 5-bit values as low nibble + separate high-bit plane
-        q4 = _pack_halves(q & np.uint8(0xF))
-        qh = np.packbits(q.reshape(n, k) >> 4, axis=-1, bitorder="little")
-        return QTensor(
-            t, shape,
-            jnp.asarray(q4),
-            jnp.asarray(sc6.reshape(n, nsb * 8).view(np.int8)),
-            jnp.asarray(mn6.reshape(n, nsb * 8).view(np.int8)),
-            jnp.asarray(d), jnp.asarray(dm),
-            qh=jnp.asarray(qh),
+            T(_pack_sb_halves(q)),
+            T(sc6.reshape(n, nsb * 8).view(np.int8)),
+            T(mn6.reshape(n, nsb * 8).view(np.int8)),
+            T(d), T(dm), qh=qh_plane,
         )
 
     if t == GGMLType.Q6_K:
@@ -124,48 +132,71 @@ def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> Q
         q = ((ql | (qh << np.uint8(4))).astype(np.int8) - np.int8(32)).reshape(n, k)
         scales = b[:, 192:208].view(np.int8).reshape(n, nsb * 16)
         d = nq._f16(b[:, 208:210]).reshape(n, nsb)
-        # 6-bit values in [-32, 31] stored as int8 (sign-extended); 8 bits vs
-        # 6.56 on disk — traded for shift-free int8 loads on the VPU.
-        return QTensor(t, shape, jnp.asarray(q), jnp.asarray(scales), None,
-                       jnp.asarray(d), None)
+        # 6-bit values stored sign-extended int8: 8 bits vs 6.56 on disk,
+        # traded for shift-free int8 sublane loads
+        return QTensor(t, shape, T(q), T(scales), None, T(d), None)
 
     raise NotImplementedError(f"repack: {t.name}")
 
 
 # --------------------------------------------------------------------------
-# jnp dequantization (XLA fallback path; also the kernels' reference)
+# tile dequantization — shared by the Pallas kernel and the XLA fallback.
+# All ops are sublane-axis only (Mosaic-lowerable): leading-dim reshapes,
+# sublane broadcast/collapse, iota on dim 0.
 # --------------------------------------------------------------------------
 
-GROUP = {GGMLType.Q4_K: 32, GGMLType.Q5_K: 32, GGMLType.Q6_K: 16, GGMLType.Q8_0: 32}
+def _expand_rows(a: jax.Array, r: int) -> jax.Array:
+    """[G, N] -> [G*r, N], each row repeated r times (sublane broadcast)."""
+    g, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
 
 
-def _unpack_halves(qp: jax.Array, k: int) -> jax.Array:
-    """[N, K/2] bytes -> [N, K] uint8 (inverse of `_pack_halves`)."""
-    return jnp.concatenate([qp & jnp.uint8(0xF), qp >> jnp.uint8(4)], axis=-1)
+def _unpack_sb_halves(qp: jax.Array) -> jax.Array:
+    """[K/2, N] packed bytes -> [K, N] uint8-as-int32, original element order."""
+    rows, n = qp.shape
+    qp = qp.astype(jnp.int32)
+    lo = (qp & 0xF).reshape(rows // 128, 1, 128, n)
+    hi = (qp >> 4).reshape(rows // 128, 1, 128, n)
+    return jnp.concatenate([lo, hi], axis=1).reshape(rows * 2, n)
+
+
+def dequant_tile(t: GGMLType, p: dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
+    """Dequantize plane tile(s) -> [K_tile, N_tile] float. K_tile must be a
+    multiple of the superblock (256) for K-quants / 32 for Q8_0."""
+    if t == GGMLType.Q8_0:
+        q = p["q"].astype(jnp.int32).astype(jnp.float32)
+        return (q * _expand_rows(p["d"], 32)).astype(dtype)
+
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        q = _unpack_sb_halves(p["q"]).astype(jnp.float32)
+        kt, n = q.shape
+        if t == GGMLType.Q5_K:
+            qh = _expand_rows(p["qh"].astype(jnp.int32), 8)
+            sh = jax.lax.broadcasted_iota(jnp.int32, qh.shape, 0) % 8
+            q = q + ((qh >> sh) & 1).astype(jnp.float32) * 16.0
+        sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
+        mn = p["mn"].astype(jnp.int32).astype(jnp.float32)
+        dl = _expand_rows(p["d"], 8) * sc  # [K/32, N] f32, exact d*sc
+        ml = _expand_rows(p["dm"], 8) * mn
+        return (q * _expand_rows(dl, 32) - _expand_rows(ml, 32)).astype(dtype)
+
+    if t == GGMLType.Q6_K:
+        q = p["q"].astype(jnp.int32).astype(jnp.float32)
+        sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
+        dl = _expand_rows(p["d"], 16) * sc  # [K/16, N]
+        return (q * _expand_rows(dl, 16)).astype(dtype)
+
+    raise NotImplementedError(t.name)
+
+
+def dequant_t(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Full dequantization -> [K, N] (transposed) via XLA ops."""
+    return dequant_tile(qt.ggml_type, qt.planes(), dtype)
 
 
 def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
-    """Full dequantization of a QTensor via XLA ops (bit-exact in f32)."""
-    n, k = qt.shape
-    t = qt.ggml_type
-    if t == GGMLType.Q8_0:
-        d = jnp.repeat(qt.d, 32, axis=-1)
-        return (qt.q.astype(jnp.float32) * d).astype(dtype)
-    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
-        q = _unpack_halves(qt.q, k).astype(jnp.float32)
-        if t == GGMLType.Q5_K:
-            sh = jnp.arange(8, dtype=jnp.uint8).reshape(1, 1, 8)
-            bits = ((qt.qh[..., None] >> sh) & jnp.uint8(1)).astype(jnp.float32)
-            q = q + bits.reshape(n, k) * 16.0
-        dl = (qt.d[..., None] * qt.sc.reshape(n, -1, 8).astype(jnp.float32)).reshape(n, k // 32)
-        ml = (qt.dm[..., None] * qt.mn.reshape(n, -1, 8).astype(jnp.float32)).reshape(n, k // 32)
-        out = q.reshape(n, k // 32, 32) * dl[..., None] - ml[..., None]
-        return out.reshape(n, k).astype(dtype)
-    if t == GGMLType.Q6_K:
-        dl = (qt.d[..., None] * qt.sc.reshape(n, -1, 16).astype(jnp.float32)).reshape(n, k // 16)
-        out = qt.q.astype(jnp.float32).reshape(n, k // 16, 16) * dl[..., None]
-        return out.reshape(n, k).astype(dtype)
-    raise NotImplementedError(t.name)
+    """Full dequantization -> logical [N, K]."""
+    return dequant_t(qt, dtype).T
 
 
 def load_quantized(blocks: np.ndarray, ggml_type: GGMLType,

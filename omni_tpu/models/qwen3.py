@@ -1,0 +1,161 @@
+"""Qwen3 dense decoder (the LLM module of MiniCPM-o 4.5).
+
+Architecture contract (verified against the reference:
+/root/reference/src/llama-model.cpp:9287-9407 llm_build_qwen3, shapes per
+/root/reference/tools/omni/convert/model.txt:1-29): pre-RMSNorm blocks,
+GQA attention with per-head q/k RMSNorm, NeoX RoPE, SwiGLU FFN, tied-or-
+separate output head. Weights load directly from the reference's GGUF
+tensor naming (blk.N.attn_q.weight etc.).
+
+The forward operates on a flat ubatch of T tokens — each with its own
+position and sequence id — against the unified KV cell pool, which is what
+makes continuous batching and the omni streaming protocol (mixed-sequence
+batches) work the same way llama_batch does (include/llama.h:230).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.gguf import GGUFReader
+from ..kernels import load_quantized
+from ..kernels.attention import cache_attention
+from ..kernels.dequant_matmul import matmul
+from ..kernels.norms import rms_norm
+from ..kernels.rope import apply_rope
+from ..runtime.kv_cache import KVCache
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    n_layers: int
+    d_model: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    d_ff: int
+    n_vocab: int
+    rope_base: float = 1000000.0
+    rms_eps: float = 1e-6
+
+    @staticmethod
+    def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
+        arch = arch or kv["general.architecture"]
+        g = lambda key, default=None: kv.get(f"{arch}.{key}", default)
+        n_heads = int(g("attention.head_count"))
+        d_model = int(g("embedding_length"))
+        return Qwen3Config(
+            n_layers=int(g("block_count")),
+            d_model=d_model,
+            n_heads=n_heads,
+            n_kv_heads=int(g("attention.head_count_kv", n_heads)),
+            head_dim=int(g("attention.key_length", d_model // n_heads)),
+            d_ff=int(g("feed_forward_length")),
+            n_vocab=len(kv["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in kv
+            else int(g("vocab_size")),
+            rope_base=float(g("rope.freq_base", 10000.0)),
+            rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        )
+
+
+def load_params(reader: GGUFReader, keep_quantized: bool = True) -> dict:
+    """GGUF tensors -> parameter pytree (QTensor for native quant formats)."""
+    params: dict[str, Any] = {"layers": []}
+
+    def get(name: str, required: bool = True, keep_q: bool | None = None):
+        if name not in reader.tensors:
+            if required:
+                raise KeyError(f"missing tensor {name}")
+            return None
+        ti = reader.tensors[name]
+        kq = keep_quantized if keep_q is None else keep_q
+        return load_quantized(ti.data, ti.ggml_type, ti.shape, kq)
+
+    # embeddings stay dense bf16: decode gathers rows, which a block-
+    # quantized layout would make O(vocab) per step
+    params["token_embd"] = get("token_embd.weight", keep_q=False)
+    params["output_norm"] = get("output_norm.weight")
+    out = get("output.weight", required=False)
+    params["output"] = out  # None => tied to token_embd
+
+    i = 0
+    while f"blk.{i}.attn_norm.weight" in reader.tensors:
+        p = f"blk.{i}."
+        params["layers"].append({
+            "attn_norm": get(p + "attn_norm.weight"),
+            "wq": get(p + "attn_q.weight"),
+            "wk": get(p + "attn_k.weight"),
+            "wv": get(p + "attn_v.weight"),
+            "wo": get(p + "attn_output.weight"),
+            "q_norm": get(p + "attn_q_norm.weight", required=False),
+            "k_norm": get(p + "attn_k_norm.weight", required=False),
+            "ffn_norm": get(p + "ffn_norm.weight"),
+            "w_gate": get(p + "ffn_gate.weight"),
+            "w_up": get(p + "ffn_up.weight"),
+            "w_down": get(p + "ffn_down.weight"),
+        })
+        i += 1
+    return params
+
+
+def embed(params: dict, tokens: jax.Array) -> jax.Array:
+    """Token ids -> embeddings [T, d] (bf16)."""
+    return params["token_embd"][tokens].astype(jnp.bfloat16)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen3Config,
+    x: jax.Array,  # [T, d_model] input embeddings (use `embed` for tokens)
+    pos: jax.Array,  # [T] int32
+    seq_id: jax.Array,  # [T] int32
+    cache: KVCache,
+    slots: jax.Array,  # [T] cell indices from cache.find_slots
+    write_mask: jax.Array | None = None,  # [T] bool; False = padding row
+) -> tuple[jax.Array, jax.Array, KVCache]:
+    """One decode/prefill step. Returns (logits [T, vocab] f32,
+    hidden [T, d_model] — the tap the omni TTS projector consumes
+    (reference tools/omni/omni.cpp:345-403), updated cache)."""
+    t = x.shape[0]
+    h = x.astype(jnp.bfloat16)
+
+    # commit cell metadata first so intra-batch causal attention sees it
+    if write_mask is None:
+        write_mask = jnp.ones((t,), bool)
+    cache = cache.commit(slots, pos, seq_id, valid=write_mask)
+    mask = cache.attn_mask(pos, seq_id)  # [T, S]
+
+    for li, lp in enumerate(params["layers"]):
+        h_in = h
+        hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = matmul(hn, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
+        k = matmul(hn, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        v = matmul(hn, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        if lp["q_norm"] is not None:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        if lp["k_norm"] is not None:
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, pos, cfg.rope_base)
+        k = apply_rope(k, pos, cfg.rope_base)
+        # padding rows write into their (unowned) slots: metadata stays free,
+        # so the garbage K/V is never attended to and gets overwritten later
+        cache = cache.write(li, slots, k, v)
+        kc, vc = cache.read_layer(li)
+        attn = cache_attention(q, kc, vc, mask)
+        h = h_in + matmul(attn.reshape(t, -1), lp["wo"])
+
+        h_in = h
+        hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
+        gate = matmul(hn, lp["w_gate"])
+        up = matmul(hn, lp["w_up"])
+        h = h_in + matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+                          lp["w_down"])
+
+    hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
+    head = params["output"] if params["output"] is not None else params["token_embd"]
+    logits = matmul(hidden, head, out_dtype=jnp.float32)
+    return logits, hidden.astype(jnp.float32), cache

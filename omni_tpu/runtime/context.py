@@ -1,0 +1,243 @@
+"""Decode engine: the TPU counterpart of llama_context
+(/root/reference/src/llama-context.cpp decode/encode, include/llama.h:860).
+
+Owns the parameter pytree, the unified KV cache, and shape-bucketed jitted
+step functions. A `Batch` mirrors llama_batch (include/llama.h:230): either
+token ids or raw embeddings, with explicit positions and sequence ids —
+embedding injection is how encoder outputs (vision/audio) enter the LLM.
+
+Every step returns logits AND last hidden states, the tap the omni TTS
+conditioning requires (reference tools/omni/omni.cpp:345-403).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kv_cache import KVCache
+from .sampler import SamplerParams, sample, update_prev_tokens
+
+# ubatch padding buckets (limit recompilation: one compiled step per bucket)
+BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 511) // 512) * 512
+
+
+@dataclasses.dataclass
+class Batch:
+    """Token-or-embedding ubatch (contract of llama_batch)."""
+
+    tokens: np.ndarray | None = None  # [T] int32
+    embeds: np.ndarray | None = None  # [T, d] float
+    pos: np.ndarray | None = None  # [T] int32; default = arange
+    seq_id: np.ndarray | None = None  # [T] int32; default = 0
+
+    def __len__(self) -> int:
+        return len(self.tokens) if self.tokens is not None else len(self.embeds)
+
+
+class Context:
+    """One model instance + its KV cache + compiled step functions."""
+
+    def __init__(
+        self,
+        cfg,
+        params,
+        forward_fn: Callable,  # (params,cfg,x,pos,seq,cache,slots,write_mask)
+        embed_fn: Callable,  # (params, tokens) -> [T, d]
+        n_ctx: int = 4096,
+        kv_dtype=jnp.bfloat16,
+        n_kv_heads: int | None = None,
+        head_dim: int | None = None,
+        sampler: SamplerParams | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self._forward = forward_fn
+        self._embed = embed_fn
+        self.n_ctx = n_ctx
+        self.cache = KVCache.create(
+            cfg.n_layers,
+            n_ctx,
+            n_kv_heads or cfg.n_kv_heads,
+            head_dim or cfg.head_dim,
+            dtype=kv_dtype,
+            rope_base=cfg.rope_base,
+        )
+        self.sampler = sampler or SamplerParams()
+        self.key = jax.random.PRNGKey(self.sampler.seed)
+        self.prev_tokens = jnp.full((max(self.sampler.penalty_last_n, 1),), -1, jnp.int32)
+        self._steps: dict[int, Callable] = {}
+        self.n_past: dict[int, int] = {}  # per-seq position high-water mark
+
+    # ---- compiled step ----------------------------------------------------
+    def _step_fn(self, t: int) -> Callable:
+        if t in self._steps:
+            return self._steps[t]
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache: KVCache, x, pos, seq, write_mask):
+            slots = cache.find_slots(x.shape[0])
+            logits, hidden, cache = self._forward(
+                params, self.cfg, x, pos, seq, cache, slots, write_mask
+            )
+            return logits, hidden, cache
+
+        self._steps[t] = step
+        return step
+
+    # ---- public API (llama_decode counterpart) ----------------------------
+    def decode(self, batch: Batch, return_hidden: bool = False):
+        """Run one ubatch. Returns (logits [T, vocab] np, hidden or None)."""
+        t = len(batch)
+        tb = _bucket(t)
+        pos = batch.pos if batch.pos is not None else self._auto_pos(batch)
+        seq = batch.seq_id if batch.seq_id is not None else np.zeros(t, np.int32)
+
+        if batch.tokens is not None:
+            x = self._embed(self.params, jnp.asarray(
+                np.pad(np.asarray(batch.tokens, np.int32), (0, tb - t))))
+        else:
+            e = np.asarray(batch.embeds, np.float32)
+            x = jnp.asarray(np.pad(e, ((0, tb - t), (0, 0))), jnp.bfloat16)
+
+        pos_p = jnp.asarray(np.pad(np.asarray(pos, np.int32), (0, tb - t)))
+        seq_p = jnp.asarray(np.pad(np.asarray(seq, np.int32), (0, tb - t)))
+        wmask = jnp.asarray(np.arange(tb) < t)
+
+        logits, hidden, self.cache = self._step_fn(tb)(
+            self.params, self.cache, x, pos_p, seq_p, wmask
+        )
+        for s in np.unique(np.asarray(seq)):
+            mx = int(np.max(np.asarray(pos)[np.asarray(seq) == s]))
+            self.n_past[int(s)] = max(self.n_past.get(int(s), 0), mx + 1)
+        if return_hidden:
+            return logits[:t], hidden[:t]
+        return logits[:t], None
+
+    def _auto_pos(self, batch: Batch) -> np.ndarray:
+        seq = batch.seq_id if batch.seq_id is not None else np.zeros(len(batch), np.int32)
+        pos = np.zeros(len(batch), np.int32)
+        counters = dict(self.n_past)
+        for i, s in enumerate(np.asarray(seq)):
+            pos[i] = counters.get(int(s), 0)
+            counters[int(s)] = pos[i] + 1
+        return pos
+
+    def prefill(self, tokens, seq_id: int = 0, chunk: int = 256):
+        """Chunked prompt ingestion; returns logits of the last position."""
+        tokens = np.asarray(tokens, np.int32)
+        logits = None
+        for i in range(0, len(tokens), chunk):
+            part = tokens[i : i + chunk]
+            logits, _ = self.decode(Batch(
+                tokens=part,
+                seq_id=np.full(len(part), seq_id, np.int32),
+            ))
+        return logits[-1] if logits is not None else None
+
+    def sample_token(self, logits_row) -> int:
+        self.key, sub = jax.random.split(self.key)
+        tok = sample(jnp.asarray(logits_row), sub, self.sampler, self.prev_tokens)
+        self.prev_tokens = update_prev_tokens(self.prev_tokens, tok)
+        return int(tok)
+
+    def generate(self, prompt_tokens, max_new: int = 64, seq_id: int = 0,
+                 stop_tokens: tuple[int, ...] = (), return_hidden: bool = False):
+        """Simple autoregressive loop (greedy/dist per sampler params)."""
+        last = self.prefill(prompt_tokens, seq_id)
+        out, hiddens = [], []
+        tok = self.sample_token(last)
+        for _ in range(max_new):
+            if tok in stop_tokens:
+                break
+            out.append(tok)
+            logits, hidden = self.decode(
+                Batch(tokens=np.array([tok], np.int32),
+                      seq_id=np.array([seq_id], np.int32)),
+                return_hidden=return_hidden,
+            )
+            if return_hidden:
+                hiddens.append(np.asarray(hidden[0]))
+            tok = self.sample_token(logits[0])
+        if return_hidden:
+            return out, hiddens
+        return out
+
+    # ---- KV session ops (llama_memory_* counterparts) ----------------------
+    def seq_rm(self, seq_id, p0=-1, p1=-1):
+        self.cache = jax.jit(KVCache.seq_rm)(self.cache, seq_id, p0, p1)
+
+    def seq_cp(self, seq_src, seq_dst, p0=-1, p1=-1):
+        self.cache = jax.jit(KVCache.seq_cp)(self.cache, seq_src, seq_dst, p0, p1)
+
+    def seq_add(self, seq_id, p0, p1, delta):
+        self.cache = jax.jit(KVCache.seq_add)(self.cache, seq_id, p0, p1, delta)
+        if seq_id in self.n_past:
+            self.n_past[seq_id] = max(0, self.n_past[seq_id] + int(delta))
+
+    def seq_div(self, seq_id, p0, p1, d):
+        self.cache = jax.jit(KVCache.seq_div)(self.cache, seq_id, p0, p1, d)
+        if seq_id in self.n_past:
+            self.n_past[seq_id] = self.n_past[seq_id] // int(d)
+
+    def clear_kv(self):
+        self.cache = self.cache.clear()
+        self.n_past.clear()
+
+    # ---- state save/load (llama_state_{get,set}_data counterpart) ---------
+    @staticmethod
+    def _to_np(a: jax.Array) -> np.ndarray:
+        x = np.asarray(a)
+        # bf16 has no portable numpy repr: persist the bit pattern
+        return x.view(np.uint16) if a.dtype == jnp.bfloat16 else x
+
+    def state_bytes(self) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        arrs = {
+            "k": self._to_np(self.cache.k), "v": self._to_np(self.cache.v),
+            "pos": np.asarray(self.cache.pos),
+            "seq_mask": np.asarray(self.cache.seq_mask),
+        }
+        if self.cache.quantized:
+            arrs["k_scale"] = np.asarray(self.cache.k_scale)
+            arrs["v_scale"] = np.asarray(self.cache.v_scale)
+        np_past = np.array(sorted(self.n_past.items()), np.int64).reshape(-1, 2)
+        np.savez(buf, n_past=np_past, **arrs)
+        return buf.getvalue()
+
+    def load_state_bytes(self, data: bytes) -> None:
+        import io
+
+        z = np.load(io.BytesIO(data))
+
+        def from_np(x, dtype):
+            if dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                return jnp.asarray(x.view(ml_dtypes.bfloat16))
+            return jnp.asarray(x, dtype)
+
+        self.cache = dataclasses.replace(
+            self.cache,
+            k=from_np(z["k"], self.cache.k.dtype),
+            v=from_np(z["v"], self.cache.v.dtype),
+            pos=jnp.asarray(z["pos"]),
+            seq_mask=jnp.asarray(z["seq_mask"]),
+            k_scale=jnp.asarray(z["k_scale"]) if "k_scale" in z.files else None,
+            v_scale=jnp.asarray(z["v_scale"]) if "v_scale" in z.files else None,
+        )
+        self.n_past = {int(a): int(b) for a, b in z["n_past"]}

@@ -1,0 +1,231 @@
+"""Unified KV cache with llama.cpp session semantics on static TPU shapes.
+
+Re-design of the reference's unified cache
+(/root/reference/src/llama-kv-cache.{h,cpp}: ring-buffer cells with per-seq
+metadata, find_slot, seq_rm/seq_cp/seq_add/seq_div — see SURVEY.md §2.2):
+
+- Fixed pool of `size` cells per layer; every array is static-shape so the
+  whole thing lives inside jit. A cell is (pos:int32, seq_mask:uint32)
+  where bit s of seq_mask = "cell belongs to sequence s" (multi-membership
+  exactly like the reference's per-cell seq-id set; max 32 sequences).
+- find_slot = rank-of-free-cells via cumsum + scatter (no host sync).
+- seq_add/seq_div mutate *positions*; cached K is stored rotated, so these
+  apply an incremental RoPE rotation by the delta (the reference's K-shift
+  graph, src/llama-kv-cache.cpp build_rope_shift) — semantics the omni
+  sliding windows (tools/omni/omni.cpp:686-820, 3107-3405) and self-extend
+  (examples/passkey/passkey.cpp:133-139) depend on.
+
+Attention reads the whole pool with a per-query mask (seq bit ∧ causal pos);
+masked cells contribute -inf scores. K/V can optionally be stored int8 with
+per-(cell, head) scales — the TPU analog of the reference's quantized KV
+cache types (include/llama.h:330).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.rope import apply_rope
+
+MAX_SEQS = 32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-model cache state (all layers)."""
+
+    k: jax.Array  # [L, S, Hkv, D] bf16 or int8
+    v: jax.Array  # [L, S, Hkv, D]
+    k_scale: jax.Array | None  # [L, S, Hkv] f32, set when quantized
+    v_scale: jax.Array | None
+    pos: jax.Array  # [S] int32, -1 = unused
+    seq_mask: jax.Array  # [S] uint32 bitset of owning sequences
+    rope_base: float = dataclasses.field(metadata=dict(static=True), default=10000.0)
+
+    # ---- construction ----------------------------------------------------
+    @staticmethod
+    def create(n_layers: int, size: int, n_kv_heads: int, head_dim: int,
+               dtype=jnp.bfloat16, rope_base: float = 10000.0) -> "KVCache":
+        quant = dtype == jnp.int8
+        shape = (n_layers, size, n_kv_heads, head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            k_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
+            v_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
+            pos=jnp.full((size,), -1, jnp.int32),
+            seq_mask=jnp.zeros((size,), jnp.uint32),
+            rope_base=rope_base,
+        )
+
+    @property
+    def size(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    # ---- slot allocation ---------------------------------------------------
+    def find_slots(self, n: int) -> jax.Array:
+        """Indices of the first `n` free cells ([n] int32). Cells past the
+        pool's capacity alias slot `size-1`; `can_fit` guards real use."""
+        free = self.seq_mask == 0
+        rank = jnp.cumsum(free) - 1  # rank among free cells
+        slots = jnp.full((n,), self.size - 1, jnp.int32)
+        idx = jnp.where(free & (rank < n), rank, n)  # OOB -> dropped
+        return slots.at[idx].set(jnp.arange(self.size, dtype=jnp.int32), mode="drop")
+
+    def can_fit(self, n: int) -> jax.Array:
+        return jnp.sum(self.seq_mask == 0) >= n
+
+    def n_used(self) -> jax.Array:
+        return jnp.sum(self.seq_mask != 0)
+
+    # ---- write -------------------------------------------------------------
+    def write(self, layer: int, slots: jax.Array, k: jax.Array, v: jax.Array) -> "KVCache":
+        """Store per-token K/V ([T, Hkv, D]) into `slots` of `layer`."""
+        if self.quantized:
+            ks, k_q = _quant_rows(k)
+            vs, v_q = _quant_rows(v)
+            return dataclasses.replace(
+                self,
+                k=self.k.at[layer, slots].set(k_q),
+                v=self.v.at[layer, slots].set(v_q),
+                k_scale=self.k_scale.at[layer, slots].set(ks),
+                v_scale=self.v_scale.at[layer, slots].set(vs),
+            )
+        return dataclasses.replace(
+            self,
+            k=self.k.at[layer, slots].set(k.astype(self.k.dtype)),
+            v=self.v.at[layer, slots].set(v.astype(self.v.dtype)),
+        )
+
+    def commit(self, slots: jax.Array, pos: jax.Array, seq_id: jax.Array,
+               valid: jax.Array | None = None) -> "KVCache":
+        """Mark `slots` as owned: cell metadata update (once per ubatch).
+        Rows with valid=False write pos=-1/mask=0 (inert padding)."""
+        bit = jnp.uint32(1) << seq_id.astype(jnp.uint32)
+        if valid is not None:
+            bit = jnp.where(valid, bit, 0).astype(jnp.uint32)
+            pos = jnp.where(valid, pos, -1)
+        return dataclasses.replace(
+            self,
+            pos=self.pos.at[slots].set(pos.astype(jnp.int32)),
+            seq_mask=self.seq_mask.at[slots].set(bit),
+        )
+
+    def read_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized K/V of one layer: ([S, Hkv, D], [S, Hkv, D])."""
+        if self.quantized:
+            k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None].astype(jnp.bfloat16)
+            v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None].astype(jnp.bfloat16)
+            return k, v
+        return self.k[layer], self.v[layer]
+
+    # ---- sequence ops (contract: include/llama.h:707-759 KV API) -----------
+    def _owned(self, seq_id: int | jax.Array) -> jax.Array:
+        return (self.seq_mask >> jnp.uint32(seq_id)) & 1 != 0
+
+    def _in_range(self, p0, p1) -> jax.Array:
+        lo = jnp.where(p0 < 0, jnp.iinfo(jnp.int32).min, p0)
+        hi = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
+        return (self.pos >= lo) & (self.pos < hi)
+
+    def seq_rm(self, seq_id, p0=-1, p1=-1) -> "KVCache":
+        sel = self._owned(seq_id) & self._in_range(p0, p1)
+        bit = jnp.uint32(1) << jnp.uint32(seq_id)
+        new_mask = jnp.where(sel, self.seq_mask & ~bit, self.seq_mask)
+        return dataclasses.replace(
+            self,
+            seq_mask=new_mask,
+            pos=jnp.where(new_mask == 0, -1, self.pos),
+        )
+
+    def seq_cp(self, seq_src, seq_dst, p0=-1, p1=-1) -> "KVCache":
+        sel = self._owned(seq_src) & self._in_range(p0, p1)
+        bit = jnp.uint32(1) << jnp.uint32(seq_dst)
+        return dataclasses.replace(
+            self, seq_mask=jnp.where(sel, self.seq_mask | bit, self.seq_mask)
+        )
+
+    def seq_keep(self, seq_id) -> "KVCache":
+        bit = jnp.uint32(1) << jnp.uint32(seq_id)
+        new_mask = self.seq_mask & bit
+        return dataclasses.replace(
+            self, seq_mask=new_mask, pos=jnp.where(new_mask == 0, -1, self.pos)
+        )
+
+    def seq_add(self, seq_id, p0, p1, delta) -> "KVCache":
+        """Shift positions by `delta` (context-shift); re-rotates cached K."""
+        sel = self._owned(seq_id) & self._in_range(p0, p1)
+        new_pos = jnp.where(sel, self.pos + delta, self.pos)
+        rot = jnp.where(sel, delta, 0)
+        return self._apply_pos_change(new_pos, rot, drop=sel & (new_pos < 0))
+
+    def seq_div(self, seq_id, p0, p1, d) -> "KVCache":
+        """Divide positions (self-extend grouped attention)."""
+        sel = self._owned(seq_id) & self._in_range(p0, p1)
+        new_pos = jnp.where(sel, self.pos // d, self.pos)
+        rot = new_pos - self.pos
+        return self._apply_pos_change(new_pos, rot, drop=jnp.zeros_like(sel))
+
+    def _apply_pos_change(self, new_pos, rot, drop) -> "KVCache":
+        k = self.k
+        if self.quantized:
+            # rotate in bf16 then re-quantize the affected rows
+            kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
+            kf = apply_rope(kf, jnp.broadcast_to(rot[None, :], k.shape[:2]), self.rope_base)
+            scale, kq = _quant_rows(kf)
+            return dataclasses.replace(
+                self, k=kq, k_scale=scale,
+                pos=jnp.where(drop, -1, new_pos),
+                seq_mask=jnp.where(drop, 0, self.seq_mask).astype(jnp.uint32),
+            )
+        kf = apply_rope(k, jnp.broadcast_to(rot[None, :], k.shape[:2]), self.rope_base)
+        return dataclasses.replace(
+            self, k=kf.astype(k.dtype),
+            pos=jnp.where(drop, -1, new_pos),
+            seq_mask=jnp.where(drop, 0, self.seq_mask).astype(jnp.uint32),
+        )
+
+    def seq_pos_min(self, seq_id) -> jax.Array:
+        owned = self._owned(seq_id)
+        return jnp.min(jnp.where(owned, self.pos, jnp.iinfo(jnp.int32).max))
+
+    def seq_pos_max(self, seq_id) -> jax.Array:
+        owned = self._owned(seq_id)
+        return jnp.max(jnp.where(owned, self.pos, -1))
+
+    def clear(self) -> "KVCache":
+        return dataclasses.replace(
+            self,
+            pos=jnp.full_like(self.pos, -1),
+            seq_mask=jnp.zeros_like(self.seq_mask),
+        )
+
+    # ---- attention mask ----------------------------------------------------
+    def attn_mask(self, q_pos: jax.Array, q_seq: jax.Array,
+                  slots: jax.Array | None = None) -> jax.Array:
+        """[T, S] bool: query t may attend to cell c (same seq, causal).
+
+        `slots`/metadata for the current ubatch must already be committed.
+        """
+        owned = ((self.seq_mask[None, :] >> q_seq[:, None].astype(jnp.uint32)) & 1) != 0
+        causal = self.pos[None, :] <= q_pos[:, None]
+        used = self.seq_mask[None, :] != 0
+        return owned & causal & used
+
+
+def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 quantization of K/V rows."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return scale, q

@@ -1,0 +1,78 @@
+"""Test/bench fixtures: tiny random models in real GGUF containers.
+
+Plays the role of the reference's tiny-model fixtures (15M tinyllama etc.,
+tests/CMakeLists.txt:188-192) without network access: the models are random
+but structurally faithful, so every loader/decode/KV/sampler path runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import GGMLType, GGUFWriter, quants
+
+
+def write_tiny_qwen3(
+    path,
+    n_layers: int = 2,
+    d_model: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    head_dim: int = 16,
+    d_ff: int = 128,
+    n_vocab: int = 256,
+    qtype: GGMLType = GGMLType.F16,
+    seed: int = 0,
+    qk_norm: bool = True,
+    tied_head: bool = True,
+) -> None:
+    """Random Qwen3-architecture GGUF (llama.cpp tensor naming)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path)
+    w.add_kv("general.architecture", "qwen3")
+    w.add_kv("qwen3.block_count", n_layers)
+    w.add_kv("qwen3.embedding_length", d_model)
+    w.add_kv("qwen3.feed_forward_length", d_ff)
+    w.add_kv("qwen3.attention.head_count", n_heads)
+    w.add_kv("qwen3.attention.head_count_kv", n_kv_heads)
+    w.add_kv("qwen3.attention.key_length", head_dim)
+    w.add_kv("qwen3.attention.value_length", head_dim)
+    w.add_kv("qwen3.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv("qwen3.rope.freq_base", 1000000.0)
+    w.add_kv("qwen3.context_length", 4096)
+    w.add_kv("tokenizer.ggml.model", "gpt2")
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+
+    def t(name: str, shape: tuple[int, ...], scale: float = 0.08,
+          force_type: GGMLType | None = None):
+        x = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tt = force_type if force_type is not None else (
+            qtype if len(shape) == 2 and shape[-1] % 256 == 0 else GGMLType.F32
+        )
+        if tt == GGMLType.F32:
+            w.add_tensor(name, x)
+        elif tt == GGMLType.F16:
+            w.add_tensor(name, x.astype(np.float16))
+        else:
+            w.add_tensor(name, quants.quantize(x, tt), tt, logical_shape=shape)
+        return x
+
+    t("token_embd.weight", (n_vocab, d_model), 0.5)
+    t("output_norm.weight", (d_model,), 1.0)
+    if not tied_head:
+        t("output.weight", (n_vocab, d_model))
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        t(p + "attn_norm.weight", (d_model,), 1.0)
+        t(p + "attn_q.weight", (n_heads * head_dim, d_model))
+        t(p + "attn_k.weight", (n_kv_heads * head_dim, d_model))
+        t(p + "attn_v.weight", (n_kv_heads * head_dim, d_model))
+        t(p + "attn_output.weight", (d_model, n_heads * head_dim))
+        if qk_norm:
+            t(p + "attn_q_norm.weight", (head_dim,), 1.0)
+            t(p + "attn_k_norm.weight", (head_dim,), 1.0)
+        t(p + "ffn_norm.weight", (d_model,), 1.0)
+        t(p + "ffn_gate.weight", (d_ff, d_model))
+        t(p + "ffn_up.weight", (d_ff, d_model))
+        t(p + "ffn_down.weight", (d_model, d_ff))
+    w.write()

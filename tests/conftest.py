@@ -5,8 +5,10 @@ the reference's CPU-as-oracle strategy, see SURVEY.md §4)."""
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even when the
+# environment preselects the TPU platform: tests are the CPU oracle; the
+# real chip is exercised by bench.py and scripts/tpu_smoke.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,133 @@
+"""End-to-end LLM runtime tests on a tiny random Qwen3 GGUF.
+
+Covers the llama_decode contract (SURVEY.md §3.4/§A.6): batch-vs-
+incremental logit consistency, hidden-state tap, embedding injection,
+sequence isolation, and state save/load."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omni_tpu.core import GGMLType, GGUFReader
+from omni_tpu.models import qwen3
+from omni_tpu.runtime import Batch, Context, SamplerParams
+from omni_tpu.testing import write_tiny_qwen3
+
+
+@pytest.fixture(scope="module")
+def ctx_factory(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny_qwen3.gguf"
+    write_tiny_qwen3(path, qtype=GGMLType.Q4_K, d_model=256, d_ff=256,
+                     n_heads=4, n_kv_heads=2, head_dim=32, tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+
+    def make(n_ctx=128, **kw):
+        return Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=n_ctx, **kw)
+
+    return make
+
+
+def test_config_and_load(ctx_factory):
+    ctx = ctx_factory()
+    assert ctx.cfg.n_layers == 2
+    assert ctx.cfg.n_vocab == 256
+    assert ctx.cfg.rope_base == 1000000.0
+
+
+def test_batch_vs_incremental_consistency(ctx_factory):
+    """Decoding token-by-token must produce the same final logits as one
+    batched prefill (same KV contents, same mask semantics)."""
+    toks = np.array([5, 17, 99, 3, 42, 7], np.int32)
+
+    ctx_a = ctx_factory()
+    logits_a, _ = ctx_a.decode(Batch(tokens=toks))
+
+    ctx_b = ctx_factory()
+    outs = []
+    for i, t in enumerate(toks):
+        lg, _ = ctx_b.decode(Batch(tokens=np.array([t], np.int32),
+                                   pos=np.array([i], np.int32)))
+        outs.append(np.asarray(lg[0]))
+
+    # bf16 matmul tiling differs between bucket sizes; compare loosely plus
+    # exact greedy agreement below
+    np.testing.assert_allclose(np.asarray(logits_a[-1]), outs[-1],
+                               rtol=7e-2, atol=7e-2)
+    # greedy argmax must agree exactly at every position
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logits_a), -1),
+        np.argmax(np.stack(outs), -1),
+    )
+
+
+def test_hidden_state_tap(ctx_factory):
+    ctx = ctx_factory()
+    logits, hidden = ctx.decode(Batch(tokens=np.array([1, 2, 3], np.int32)),
+                                return_hidden=True)
+    assert hidden.shape == (3, ctx.cfg.d_model)
+    assert logits.shape == (3, ctx.cfg.n_vocab)
+    assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_embedding_injection_matches_token_path(ctx_factory):
+    """Feeding embed(token) as raw embeddings == feeding the token id
+    (the encoder-output injection path)."""
+    toks = np.array([9, 12, 50], np.int32)
+    ctx_a = ctx_factory()
+    la, _ = ctx_a.decode(Batch(tokens=toks))
+
+    ctx_b = ctx_factory()
+    emb = np.asarray(qwen3.embed(ctx_b.params, jnp.asarray(toks)), np.float32)
+    lb, _ = ctx_b.decode(Batch(embeds=emb))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)
+
+
+def test_sequence_isolation(ctx_factory):
+    """Two interleaved sequences must not contaminate each other."""
+    ctx = ctx_factory()
+    solo = ctx_factory()
+    a = np.array([10, 20, 30], np.int32)
+    b = np.array([7, 7, 7], np.int32)
+    mixed_tokens = np.array([10, 7, 20, 7, 30, 7], np.int32)
+    mixed_pos = np.array([0, 0, 1, 1, 2, 2], np.int32)
+    mixed_seq = np.array([0, 1, 0, 1, 0, 1], np.int32)
+    lm, _ = ctx.decode(Batch(tokens=mixed_tokens, pos=mixed_pos, seq_id=mixed_seq))
+    ls, _ = solo.decode(Batch(tokens=a))
+    np.testing.assert_allclose(np.asarray(lm[4]), np.asarray(ls[2]),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_seq_rm_then_regenerate(ctx_factory):
+    """seq_rm of a suffix then re-decode reproduces the fresh result."""
+    ctx = ctx_factory()
+    toks = np.array([5, 6, 7, 8], np.int32)
+    l_full, _ = ctx.decode(Batch(tokens=toks))
+    ctx.seq_rm(0, 2, -1)  # drop pos 2,3
+    ctx.n_past[0] = 2
+    l_redo, _ = ctx.decode(Batch(tokens=toks[2:], pos=np.array([2, 3], np.int32)))
+    np.testing.assert_allclose(np.asarray(l_full[2:]), np.asarray(l_redo),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_state_save_load(ctx_factory):
+    ctx = ctx_factory()
+    ctx.decode(Batch(tokens=np.array([1, 2, 3, 4], np.int32)))
+    blob = ctx.state_bytes()
+
+    ctx2 = ctx_factory()
+    ctx2.load_state_bytes(blob)
+    l_a, _ = ctx.decode(Batch(tokens=np.array([5], np.int32)))
+    l_b, _ = ctx2.decode(Batch(tokens=np.array([5], np.int32)))
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b), rtol=1e-5, atol=1e-5)
+
+
+def test_generate_greedy_deterministic(ctx_factory):
+    ctx = ctx_factory(sampler=SamplerParams(greedy=True))
+    out1 = ctx.generate(np.array([3, 1, 4], np.int32), max_new=8)
+    ctx2 = ctx_factory(sampler=SamplerParams(greedy=True))
+    out2 = ctx2.generate(np.array([3, 1, 4], np.int32), max_new=8)
+    assert out1 == out2
+    assert len(out1) == 8
