@@ -1,0 +1,64 @@
+"""Tokenizer golden tests against the reference's committed fixtures
+(models/ggml-vocab-*.gguf{,.inp,.out}) — the same strategy as the
+reference's test-tokenizer-0 (tests/CMakeLists.txt:114-126)."""
+
+import os
+
+import pytest
+
+from omni_tpu.core import GGUFReader
+from omni_tpu.tokenizer import build_tokenizer
+
+REF = "/root/reference/models"
+
+
+def load_goldens(name):
+    inp = open(f"{REF}/ggml-vocab-{name}.gguf.inp", encoding="utf-8").read()
+    out = open(f"{REF}/ggml-vocab-{name}.gguf.out", encoding="utf-8").read()
+    texts = inp.split("\n__ggml_vocab_test__\n")
+    expected = [
+        [int(x) for x in line.split()] for line in out.splitlines()
+    ]
+    return list(zip(texts, expected))
+
+
+def make_tokenizer(name):
+    path = f"{REF}/ggml-vocab-{name}.gguf"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    r = GGUFReader(path)
+    return build_tokenizer(r.kv)
+
+
+@pytest.mark.parametrize("name", ["gpt-2", "llama-spm", "phi-3",
+                                  "deepseek-llm", "starcoder", "mpt", "refact"])
+def test_goldens(name):
+    tok = make_tokenizer(name)
+    goldens = load_goldens(name)
+    assert goldens, name
+    n_fail = 0
+    for text, want in goldens:
+        got = tok.encode(text, add_special=False, parse_special=False)
+        if got != want:
+            n_fail += 1
+            print(f"[{name}] MISMATCH {text!r}\n  got  {got}\n  want {want}")
+    assert n_fail == 0, f"{name}: {n_fail}/{len(goldens)} golden mismatches"
+
+
+@pytest.mark.parametrize("name", ["gpt-2", "llama-spm"])
+def test_decode_round_trip(name):
+    tok = make_tokenizer(name)
+    for text in ["Hello, world!", "  spaces  and\ttabs\n", "héllo 你好 🦙"]:
+        ids = tok.encode(text, add_special=False, parse_special=False)
+        out = tok.decode(ids)
+        # SPM adds a leading space by convention
+        assert out.lstrip(" ") == text.lstrip(" ") or out == text, (text, out)
+
+
+def test_special_token_parsing():
+    tok = make_tokenizer("gpt-2")
+    text = "hi<|endoftext|>there"
+    ids = tok.encode(text, add_special=False, parse_special=True)
+    assert tok.vocab.token_to_id["<|endoftext|>"] in ids
+    ids2 = tok.encode(text, add_special=False, parse_special=False)
+    assert tok.vocab.token_to_id["<|endoftext|>"] not in ids2
