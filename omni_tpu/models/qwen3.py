@@ -159,3 +159,64 @@ def forward(
     head = params["output"] if params["output"] is not None else params["token_embd"]
     logits = matmul(hidden, head, out_dtype=jnp.float32)
     return logits, hidden.astype(jnp.float32), cache
+
+
+def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:
+    """Cache-free causal forward over [B, T] token batches -> [B, T, vocab]
+    f32 logits. Used for training/finetuning (the capability of the
+    reference's ggml-opt + examples/training) and perplexity evaluation.
+    Requires dense (non-QTensor) parameters for differentiability."""
+    b, t = tokens.shape
+    h = params["token_embd"][tokens].astype(jnp.bfloat16)  # [B, T, d]
+    pos = jnp.arange(t, dtype=jnp.int32)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    def lin(x, w):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    for lp in params["layers"]:
+        h_in = h
+        hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = lin(hn, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = lin(hn, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = lin(hn, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        if lp["q_norm"] is not None:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        if lp["k_norm"] is not None:
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, pos[None, :], cfg.rope_base)
+        k = apply_rope(k, pos[None, :], cfg.rope_base)
+        g = cfg.n_heads // cfg.n_kv_heads
+        qg = q.reshape(b, t, cfg.n_kv_heads, g, cfg.head_dim)
+        scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / (cfg.head_dim ** 0.5)
+        scores = jnp.where(causal[None, None, None], scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        attn = jnp.einsum("bhgts,bshd->bthgd", p, v,
+                          preferred_element_type=jnp.float32)
+        attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim).astype(jnp.bfloat16)
+        h = h_in + lin(attn, lp["wo"])
+        h_in = h
+        hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
+        gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
+        h = h_in + lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
+
+    hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
+    head = params["output"] if params["output"] is not None else params["token_embd"]
+    return jax.lax.dot_general(
+        hidden.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def train_loss(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:
+    """Next-token cross-entropy over [B, T] (the finetune objective)."""
+    logits = forward_train(params, cfg, tokens)  # [B, T, V]
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

@@ -5,15 +5,16 @@ the reference's CPU-as-oracle strategy, see SURVEY.md §4)."""
 import os
 import sys
 
-# Must be set before jax is imported anywhere. Force CPU even when the
-# environment preselects the TPU platform: tests are the CPU oracle; the
-# real chip is exercised by bench.py and scripts/tpu_smoke.py.
+# Force an 8-device CPU platform even when the environment preselects a TPU
+# plugin (the axon plugin rewrites JAX_PLATFORMS during import, so plain env
+# vars are not enough): import jax first, then override config before any
+# backend initialization. Tests are the CPU oracle; the real chip is
+# exercised by bench.py and scripts/tpu_smoke.py.
+import jax  # noqa: E402
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
