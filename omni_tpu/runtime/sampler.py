@@ -56,7 +56,8 @@ def apply_penalties(logits: jax.Array, prev_tokens: jax.Array,
                     p: SamplerParams) -> jax.Array:
     """Repetition/frequency/presence penalties over a trailing window.
     prev_tokens: [W] int32, -1 padding."""
-    counts = jnp.zeros_like(logits).at[prev_tokens].add(1.0, mode="drop")
+    idx = jnp.where(prev_tokens >= 0, prev_tokens, logits.shape[-1])
+    counts = jnp.zeros_like(logits).at[idx].add(1.0, mode="drop")
     present = counts > 0
     if p.penalty_repeat != 1.0:
         penal = jnp.where(logits > 0, logits / p.penalty_repeat,

@@ -1,0 +1,99 @@
+"""Sampler chain unit tests (analog of the reference's tests/test-sampling.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omni_tpu.runtime.sampler import (
+    SamplerParams,
+    apply_min_p,
+    apply_penalties,
+    apply_top_k,
+    apply_top_p,
+    apply_typical,
+    sample,
+    update_prev_tokens,
+)
+
+
+def test_top_k():
+    logits = jnp.asarray([1.0, 5.0, 3.0, 4.0, 2.0])
+    out = np.asarray(apply_top_k(logits, 2))
+    assert np.isfinite(out[[1, 3]]).all()
+    assert np.isinf(out[[0, 2, 4]]).all() and (out[[0, 2, 4]] < 0).all()
+
+
+def test_top_p_keeps_minimal_prefix():
+    logits = jnp.log(jnp.asarray([0.5, 0.3, 0.1, 0.05, 0.05]))
+    out = np.asarray(apply_top_p(logits, 0.75))
+    # 0.5 + 0.3 = 0.8 > 0.75 -> keep first two (boundary token included)
+    assert np.isfinite(out[:2]).all()
+    assert (out[2:] < -1e20).all()
+
+
+def test_min_p():
+    logits = jnp.log(jnp.asarray([0.6, 0.3, 0.05, 0.05]))
+    out = np.asarray(apply_min_p(logits, 0.2))  # cutoff = 0.6*0.2 = 0.12
+    assert np.isfinite(out[:2]).all()
+    assert (out[2:] < -1e20).all()
+
+
+def test_penalties_reduce_repeated_token():
+    logits = jnp.asarray([2.0, 2.0, -1.0])
+    prev = jnp.asarray([0, 0, 2, -1], jnp.int32)
+    p = SamplerParams(penalty_repeat=2.0, penalty_last_n=4)
+    out = np.asarray(apply_penalties(logits, prev, p))
+    assert out[0] == pytest.approx(1.0)  # positive: divided
+    assert out[1] == pytest.approx(2.0)  # untouched
+    assert out[2] == pytest.approx(-2.0)  # negative: multiplied
+
+
+def test_penalty_padding_does_not_wrap():
+    """Regression: -1 ring padding must not penalize the LAST vocab entry."""
+    logits = jnp.asarray([1.0, 1.0, 1.0, 4.0])
+    prev = jnp.full((8,), -1, jnp.int32)
+    p = SamplerParams(penalty_repeat=10.0, penalty_last_n=8)
+    out = np.asarray(apply_penalties(logits, prev, p))
+    np.testing.assert_allclose(out, np.asarray(logits))
+
+
+def test_typical_keeps_mass():
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal(64), jnp.float32)
+    out = np.asarray(apply_typical(logits, 0.5))
+    assert np.isfinite(out).sum() >= 1
+    assert np.isfinite(out).sum() < 64
+
+
+def test_greedy_deterministic():
+    logits = jnp.asarray([0.1, 3.0, 0.2])
+    key = jax.random.PRNGKey(0)
+    p = SamplerParams(greedy=True)
+    assert int(sample(logits, key, p)) == 1
+
+
+def test_dist_respects_filtering():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.linspace(3, -3, 50), jnp.float32)
+    p = SamplerParams(temp=1.0, top_k=2, top_p=1.0, min_p=0.0)
+    draws = {int(sample(logits, jax.random.fold_in(key, i), p)) for i in range(30)}
+    assert draws <= {0, 1}
+
+
+def test_update_prev_tokens_ring():
+    prev = jnp.asarray([-1, -1, 5], jnp.int32)
+    out = np.asarray(update_prev_tokens(prev, jnp.int32(7)))
+    np.testing.assert_array_equal(out, [-1, 5, 7])
+
+
+def test_sample_in_jit():
+    p = SamplerParams(temp=0.7, top_k=10)
+
+    @jax.jit
+    def f(logits, key, prev):
+        return sample(logits, key, p, prev)
+
+    logits = jnp.asarray(np.random.default_rng(1).standard_normal(256), jnp.float32)
+    tok = f(logits, jax.random.PRNGKey(3), jnp.full((64,), -1, jnp.int32))
+    assert 0 <= int(tok) < 256
