@@ -1,0 +1,173 @@
+"""Token2Wav: streaming flow-matching token → mel → waveform pipeline.
+
+Top-level session semantics from the reference
+(/root/reference/tools/omni/token2wav/token2wav.cpp Token2WavSession and
+token2wav-impl.cpp Token2Mel/Token2Wav):
+
+- feed_window(tokens[≤28], is_final): pad to 28 with token 4218, run one
+  chunk (token-embed → conformer upsampler ×2 → encoder_proj → mu →
+  CFM(5 steps, CFG 0.7) → 56 mel frames, cropped to 2·n_tokens), then
+  vocoder over [8-frame mel cache | new mel] with source-prefix reuse and
+  a hamming crossfade over the first 3840 samples against the previous
+  chunk's tail. 25 main tokens ⇒ exactly 1 s of 24 kHz audio.
+- Speaker conditioning: L2-normalized 192-dim x-vector → affine → 80-dim,
+  loaded (with priming caches) from the reference's prompt_cache.gguf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import conformer as conf
+from . import dit as ditm
+from . import hifigan as hg
+
+PAD_TOKEN = 4218
+CHUNK_MAIN = 25
+PRE_LOOKAHEAD = 3
+DT = CHUNK_MAIN + PRE_LOOKAHEAD
+MEL_CHANNELS = 80
+SPK_DIM = 192
+
+
+class Token2Wav:
+    """Streaming token→wav session (counterpart of flow::Token2WavSession)."""
+
+    def __init__(self, encoder_params, encoder_cfg, flow_extra, dit_params,
+                 dit_cfg, voc_params, spk: np.ndarray,
+                 n_timesteps: int = 5, temperature: float = 1.0):
+        self.enc_p = encoder_params
+        self.enc_cfg = encoder_cfg
+        self.extra = flow_extra  # input_embedding, spk_affine, encoder_proj
+        self.dit_p = dit_params
+        self.dit_cfg = dit_cfg
+        self.voc_p = voc_params
+        self.n_timesteps = n_timesteps
+        self.temperature = temperature
+
+        spk = np.asarray(spk, np.float32).reshape(-1)[:SPK_DIM]
+        spk_n = spk / (np.linalg.norm(spk) + 1e-12)
+        self.spk80 = jnp.asarray(
+            spk_n @ np.asarray(flow_extra["spk_affine_w"]).T
+            + np.asarray(flow_extra["spk_affine_b"]))
+        self.reset()
+
+    # -- session state -------------------------------------------------------
+    def reset(self):
+        self.enc_state = conf.ConformerState.create(self.enc_cfg)
+        self.cfm_state = ditm.CFMState.create(self.dit_cfg, self.n_timesteps)
+        self.mel_cache = np.zeros((0, self.dit_cfg.out_channels), np.float32)
+        self.source_cache = np.zeros((0,), np.float32)
+        self.speech_cache = np.zeros((0,), np.float32)
+
+    @classmethod
+    def from_gguf(cls, encoder_gguf: str, flow_matching_gguf: str,
+                  flow_extra_gguf: str, vocoder_gguf: str,
+                  prompt_cache_gguf: str | None = None,
+                  spk: np.ndarray | None = None,
+                  n_timesteps: int = 5, temperature: float = 1.0) -> "Token2Wav":
+        from ...core import GGUFReader, quants
+
+        enc_p, enc_cfg = conf.load_conformer_params(GGUFReader(encoder_gguf))
+        dit_p, dit_cfg = ditm.load_dit_params(GGUFReader(flow_matching_gguf))
+        fx = GGUFReader(flow_extra_gguf)
+
+        def get(r, name):
+            ti = r.tensors[name]
+            return jnp.asarray(quants.dequantize(ti.data, ti.ggml_type, ti.shape))
+
+        extra = {
+            "input_embedding": get(fx, "input_embedding.weight"),
+            "spk_affine_w": get(fx, "spk_embed_affine_layer.weight"),
+            "spk_affine_b": get(fx, "spk_embed_affine_layer.bias"),
+            "encoder_proj_w": get(fx, "encoder_proj.weight"),
+            "encoder_proj_b": get(fx, "encoder_proj.bias"),
+        }
+        voc_p = hg.load_hifigan_params(GGUFReader(vocoder_gguf))
+
+        if spk is None and prompt_cache_gguf:
+            pc = GGUFReader(prompt_cache_gguf)
+            ti = pc.tensors["prompt_cache.spk_cb"]
+            spk = np.asarray(quants.dequantize(ti.data, ti.ggml_type, ti.shape))
+        if spk is None:
+            spk = np.zeros(SPK_DIM, np.float32)
+        t2w = cls(enc_p, enc_cfg, extra, dit_p, dit_cfg, voc_p, spk,
+                  n_timesteps, temperature)
+        # NOTE: priming caches from prompt_cache.gguf (conformer/estimator
+        # K/V of the reference voice) requires the packed-layout import;
+        # tracked as follow-up — sessions start cold without it.
+        return t2w
+
+    # -- one chunk -----------------------------------------------------------
+    def _token2mel(self, tokens: np.ndarray, last: bool) -> np.ndarray:
+        emb = self.extra["input_embedding"][jnp.asarray(tokens, jnp.int32)]
+        feats, self.enc_state = conf.encode_chunk(
+            self.enc_p, self.enc_cfg, emb, self.enc_state, last_chunk=last)
+        mu = jnp.einsum("tc,nc->tn", feats, self.extra["encoder_proj_w"],
+                        preferred_element_type=jnp.float32) + self.extra["encoder_proj_b"]
+        mel, self.cfm_state = ditm.cfm_solve_chunk(
+            self.dit_p, self.dit_cfg, mu, self.spk80, self.cfm_state,
+            self.n_timesteps, self.temperature)
+        return np.asarray(mel, np.float32)  # [T_mel, 80]
+
+    def feed_window(self, tokens, is_final: bool = False) -> np.ndarray:
+        """25(+3 lookahead) audio codes -> 24 kHz float wave (1 s per full
+        window). Mirrors Token2Wav::push_tokens_window incl. caches/fade."""
+        tokens = np.asarray(tokens, np.int32)
+        n = len(tokens)
+        assert 0 <= n <= DT, n
+        if n == 0:
+            return np.zeros(0, np.float32)
+        chunk = np.full(DT, PAD_TOKEN, np.int32)
+        chunk[:n] = tokens
+        mel = self._token2mel(chunk, is_final)
+        mel = mel[: n * 2]  # valid frames
+
+        mel_in = np.concatenate([self.mel_cache, mel], axis=0)
+        cached_src = jnp.asarray(self.source_cache) if len(self.source_cache) else None
+        wave, source = hg.vocode(self.voc_p, jnp.asarray(mel_in), cached_src)
+        wave = np.asarray(wave, np.float32)
+        source = np.asarray(source, np.float32)
+
+        if len(self.speech_cache):
+            wave = _fade_in_out(wave, self.speech_cache)
+
+        self.mel_cache = mel_in[-hg.MEL_CACHE:]
+        self.source_cache = source[-hg.SOURCE_CACHE:]
+        self.speech_cache = wave[-hg.SOURCE_CACHE:]
+        # the reference emits the full (crossfaded) window including the
+        # regenerated cached-mel head — observable contract preserved
+        return wave
+
+    def feed_tokens(self, tokens, is_final: bool = False) -> np.ndarray:
+        """Auto-windowing variant (Token2WavSession::feed_tokens)."""
+        self_pending = getattr(self, "_pending", [])
+        self_pending.extend(np.asarray(tokens, np.int32).tolist())
+        out = []
+        while len(self_pending) >= DT:
+            window = np.asarray(self_pending[:DT], np.int32)
+            out.append(self.feed_window(window, False))
+            del self_pending[:CHUNK_MAIN]
+        if is_final and self_pending:
+            out.append(self.feed_window(np.asarray(self_pending, np.int32), True))
+            self_pending.clear()
+        self._pending = self_pending
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
+def _fade_in_out(wave: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:
+    """Hamming-window crossfade over the overlap (token2wav_utils::fade_in_out)."""
+    n = min(len(prev_tail), len(wave))
+    if n == 0:
+        return wave
+    t = np.arange(2 * n, dtype=np.float32)
+    window = 0.54 - 0.46 * np.cos(2 * np.pi * t / (2 * n - 1))
+    fade_in = window[:n]
+    fade_out = window[n:]
+    out = wave.copy()
+    out[:n] = wave[:n] * fade_in + prev_tail[:n] * fade_out
+    return out
