@@ -184,7 +184,7 @@ def decode(p: dict, mel: jax.Array, source: jax.Array) -> jax.Array:
 
     x = jnp.where(x >= 0, x, 0.01 * x)
     post = _conv1d(x, p["conv_post_w"], p["conv_post_b"], pad=3)  # [Ts, 18]
-    mag = jnp.clip(jnp.exp(post[:, :F_BINS]), a_max=1e2)
+    mag = jnp.clip(jnp.exp(post[:, :F_BINS]), max=1e2)
     phase = jnp.sin(post[:, F_BINS:])
     real = (mag * jnp.cos(phase)).T
     imag = (mag * jnp.sin(phase)).T

@@ -1,0 +1,446 @@
+"""Full-duplex omni-modal streaming pipeline orchestrator.
+
+Re-design of the reference's omni engine (/root/reference/tools/omni/
+omni.{h,cpp}; SURVEY.md §2.3/§3/§A.3-A.7): owns the five model contexts and
+three worker stages (LLM prefill / TTS / Token2Wav) connected by bounded
+queues with the reference's cadence and back-pressure:
+
+- prefill-embeds queue cap 1000, TTS queue cap 1, T2W queue cap 25
+  (omni.cpp:3713-3722) — the LLM never runs more than one text chunk
+  ahead of TTS.
+- LLM→TTS chunks of 10 valid text tokens with their hidden states;
+  duplex speak segments capped at 26 tokens/chunk (omni.h:233).
+- TTS→T2W chunks of 25 audio codes; T2W buffer primed with 3 silence
+  tokens (4218) and consuming 28 (25+3 lookahead) per 1 s window
+  (omni.cpp:3817-3821, 8292-8298).
+- Special-token protocol (ids cached from the vocab at init,
+  omni.cpp:3939-3983): <|speak|>, <|listen|>, <|chunk_eos|>, <|turn_eos|>,
+  <|tts_eos|>, </s>, <unit>, </unit> with simplex/duplex semantics.
+- Session prompts per §A.4 (simplex system/assistant/turn-end templates,
+  duplex unit protocol).
+- Round-granular sliding window: evict oldest full rounds past the
+  watermark, protect n_keep system-prompt tokens, re-base positions with
+  seq_add (omni.cpp:686-820).
+
+Threading mirrors the reference but with Python queues; all device work
+happens inside the jitted model steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import tts as tts_mod
+from ..runtime import Batch, Context
+
+# queue capacities (omni.cpp:3713-3722)
+PREFILL_QUEUE_CAP = 1000
+TTS_QUEUE_CAP = 1
+T2W_QUEUE_CAP = 25
+
+STEP_SIZE = 10  # LLM tokens per TTS chunk (omni.cpp:9120)
+DUPLEX_CHUNK_CAP = 26  # omni.h:233
+SIMPLEX_AUDIO_CAP = 500  # audio codes per text chunk (omni.cpp:4976)
+T2W_MAIN = 25
+T2W_LOOKAHEAD = 3
+SILENCE_TOKEN = 4218
+
+# special-token literals (ids resolved from the model vocab at init)
+SPECIALS = [
+    "<|speak|>", "<|listen|>", "<|chunk_eos|>", "<|chunk_tts_eos|>",
+    "<|turn_eos|>", "<|tts_eos|>", "</s>", "<|tts_bos|>", "</unit>",
+    "<unit>", "<|tts_pad|>", "<|im_end|>", "<|im_start|>",
+    "<|audio_start|>", "<|audio_end|>", "<think>", "</think>",
+]
+
+SIMPLEX_ASSISTANT_PROMPT = (
+    "<|im_end|>\n<|im_start|>assistant\n<think>\n\n</think>\n\n<|tts_bos|>"
+)
+SIMPLEX_TURN_END = "<|im_end|>\n<|im_start|>user\n"
+
+
+@dataclasses.dataclass
+class SessionConfig:
+    """Runtime-mutable session config (update_session_config contract)."""
+
+    duplex: bool = False
+    use_tts: bool = True
+    media_type: int = 1  # 1=audio, 2=omni(audio+vision)
+    max_slice_nums: int = -1  # vision high-res override
+    max_preserved_context: int = 3072  # round-window watermark
+    high_water: int = 4000  # duplex unit-window marks (omni.h:81-94)
+    low_water: int = 3500
+    max_new_tokens: int = 512
+
+
+@dataclasses.dataclass
+class LLMOut:
+    """LLM→TTS chunk (struct LLMOut, omni.cpp:256)."""
+
+    text: str
+    token_ids: list[int]
+    hidden_states: np.ndarray  # [n, d_llm]
+    end_of_turn: bool = False
+    is_final: bool = False
+
+
+@dataclasses.dataclass
+class RoundBoundary:
+    start_pos: int
+    end_pos: int
+
+
+class OmniPipeline:
+    """Session orchestrator. Model contexts are injected, which keeps the
+    pipeline testable with tiny models and lets the server own lifetimes."""
+
+    def __init__(
+        self,
+        llm: Context,
+        tokenizer,
+        tts_ctx: Context | None = None,
+        tts_extras: dict | None = None,
+        token2wav=None,  # models.token2wav.Token2Wav
+        audio_encoder: Callable | None = None,  # wav[np] -> embeds [T, d_llm]
+        vision_encoder: Callable | None = None,  # img[np] -> embeds [64, d_llm]
+        config: SessionConfig | None = None,
+    ):
+        self.llm = llm
+        self.tok = tokenizer
+        self.tts_ctx = tts_ctx
+        self.tts_extras = tts_extras
+        self.t2w = token2wav
+        self.audio_encoder = audio_encoder
+        self.vision_encoder = vision_encoder
+        self.cfg = config or SessionConfig()
+
+        self.special = {}
+        for s in SPECIALS:
+            tid = tokenizer.vocab.token_to_id.get(s) if tokenizer else None
+            if tid is not None:
+                self.special[s] = tid
+        self._filter_ids = set(self.special.values())
+
+        # threading / state
+        self.embed_queue: queue.Queue = queue.Queue(PREFILL_QUEUE_CAP)
+        self.tts_queue: queue.Queue = queue.Queue(TTS_QUEUE_CAP)
+        self.t2w_queue: queue.Queue = queue.Queue(T2W_QUEUE_CAP)
+        self.text_out: queue.Queue = queue.Queue()
+        self.wav_out: queue.Queue = queue.Queue()
+        self.break_event = threading.Event()
+        self.session_stop = threading.Event()
+        self.prefill_done = threading.Event()
+        self.llama_mtx = threading.Lock()  # serializes LLM ctx (omni.h:287)
+        self.n_keep = 0
+        self.rounds: list[RoundBoundary] = []
+        self._threads: list[threading.Thread] = []
+        self._t2w_buffer: list[int] = [SILENCE_TOKEN] * 3
+        self._tts_key = jax.random.PRNGKey(0)
+        self._workers_started = False
+
+    # ------------------------------------------------------------------ util
+    def _encode(self, text: str) -> np.ndarray:
+        return np.asarray(self.tok.encode(text, add_special=False), np.int32)
+
+    def _eval_text(self, text: str):
+        toks = self._encode(text)
+        if len(toks):
+            with self.llama_mtx:
+                logits, _ = self.llm.decode(Batch(tokens=toks))
+            return logits[-1]
+        return None
+
+    def _eval_embeds(self, emb: np.ndarray) -> None:
+        with self.llama_mtx:
+            self.llm.decode(Batch(embeds=np.asarray(emb, np.float32)))
+
+    def is_end_token(self, tid: int) -> bool:
+        names = ("<|turn_eos|>", "<|tts_eos|>", "</s>") if not self.cfg.duplex \
+            else ("<|turn_eos|>", "</s>",)
+        return any(self.special.get(n) == tid for n in names) or \
+            (self.tok.vocab.is_eog(tid) if self.tok else False)
+
+    def is_valid_tts_token(self, tid: int) -> bool:
+        """TTS-conditioning filter (omni.cpp:4432-4476): no special ids,
+        nothing ≥150000."""
+        return tid < 150000 and tid not in self._filter_ids
+
+    # ------------------------------------------------------------- prefill
+    def stream_prefill(self, audio: np.ndarray | None = None,
+                       image: np.ndarray | None = None,
+                       index: int = 0,
+                       system_prompt: str = "",
+                       ref_audio: np.ndarray | None = None) -> None:
+        """Per-1s-chunk ingestion (omni.cpp:8637). index==0 = session init:
+        system prompt + reference-voice audio; workers are spawned."""
+        if index == 0:
+            if self.cfg.duplex:
+                pre = "<|im_start|>system\nStreaming Duplex Conversation!" + \
+                    (system_prompt or "") + "<|audio_start|>"
+                suf = "<|audio_end|><|im_end|>\n"
+            else:
+                pre = ("<|im_start|>system\n" + (system_prompt or "") +
+                       "\n<|audio_start|>")
+                suf = "<|audio_end|><|im_end|>\n<|im_start|>user\n"
+            self._eval_text(pre)
+            if ref_audio is not None and self.audio_encoder is not None:
+                self._eval_embeds(self.audio_encoder(ref_audio))
+            self._eval_text(suf)
+            self.n_keep = self.llm.n_past.get(0, 0)
+            self._start_workers()
+            self.prefill_done.set()
+            return
+
+        # async: encode on caller thread, enqueue for the LLM worker
+        item: dict[str, Any] = {"index": index}
+        if audio is not None and self.audio_encoder is not None:
+            item["audio_embeds"] = self.audio_encoder(audio)
+        if image is not None and self.vision_encoder is not None:
+            item["image_embeds"] = self.vision_encoder(image)
+        self.prefill_done.clear()
+        self.embed_queue.put(item)
+
+    def _llm_prefill_worker(self) -> None:
+        """Consumes encoder embeds, wraps with markers, prefills LLM KV
+        (llm_thread_func, omni.cpp:4229-4425)."""
+        while not self.session_stop.is_set():
+            try:
+                item = self.embed_queue.get(timeout=0.05)
+            except queue.Empty:
+                if self.embed_queue.empty():
+                    self.prefill_done.set()
+                continue
+            if self.cfg.duplex:
+                self._eval_text("<unit>")
+            if "image_embeds" in item:
+                self._eval_text("<image>")
+                self._eval_embeds(item["image_embeds"])
+                self._eval_text("</image>")
+            if "audio_embeds" in item:
+                self._eval_text("<|audio_start|>")
+                self._eval_embeds(item["audio_embeds"])
+                self._eval_text("<|audio_end|>")
+            if self.embed_queue.empty():
+                self.prefill_done.set()
+
+    # -------------------------------------------------------------- decode
+    def stream_decode(self, round_idx: int = 0,
+                      max_new_tokens: int | None = None) -> None:
+        """One response turn (omni.cpp:8950). Text chunks appear on
+        `text_out`; audio (if TTS enabled) on `wav_out`."""
+        limit = max_new_tokens or self.cfg.max_new_tokens
+        self.prefill_done.wait(timeout=30.0)
+        self.break_event.clear()
+        round_start = self.llm.n_past.get(0, 0)
+
+        if not self.cfg.duplex:
+            last_logits = self._eval_text(SIMPLEX_ASSISTANT_PROMPT)
+        else:
+            last_logits = self._eval_text("<|speak|>" if "<|speak|>" in
+                                          self.special else "\n")
+
+        chunk_tokens: list[int] = []
+        chunk_hiddens: list[np.ndarray] = []
+        n_new = 0
+        segment_tokens = 0
+        ended_with_listen = False
+
+        tok = None
+        while n_new < limit and not self.break_event.is_set():
+            if tok is not None:
+                with self.llama_mtx:
+                    logits, hidden = self.llm.decode(
+                        Batch(tokens=np.array([tok], np.int32)),
+                        return_hidden=True)
+                last_logits = logits[0]
+                if self.is_valid_tts_token(int(tok)):
+                    chunk_tokens.append(int(tok))
+                    chunk_hiddens.append(np.asarray(hidden[0]))
+            tok = self.llm.sample_token(last_logits)
+            n_new += 1
+            segment_tokens += 1
+
+            if self.special.get("<|listen|>") == tok:
+                # duplex: end speak segment WITHOUT KV cleanup (omni.cpp:9281)
+                ended_with_listen = True
+                self.text_out.put({"content": "", "is_listen": True,
+                                   "stop": True})
+                break
+            if self.is_end_token(tok):
+                break
+            if self.cfg.duplex and segment_tokens >= DUPLEX_CHUNK_CAP:
+                # force <|chunk_eos|> + </unit> (omni.cpp:9317-9344)
+                if "<|chunk_eos|>" in self.special:
+                    self._eval_text("<|chunk_eos|>")
+                if "</unit>" in self.special:
+                    self._eval_text("</unit>")
+                segment_tokens = 0
+
+            if len(chunk_tokens) >= STEP_SIZE:
+                self._emit_chunk(chunk_tokens, chunk_hiddens, False)
+                chunk_tokens, chunk_hiddens = [], []
+
+        if chunk_tokens:
+            self._emit_chunk(chunk_tokens, chunk_hiddens, True)
+        else:
+            self._emit_chunk([], [], True)
+
+        if not self.cfg.duplex and not ended_with_listen:
+            self._eval_text(SIMPLEX_TURN_END)
+        self.rounds.append(RoundBoundary(round_start, self.llm.n_past.get(0, 0)))
+        self._slide_window_if_needed()
+        self.text_out.put({"content": "", "stop": True,
+                           "end_of_turn": not ended_with_listen})
+
+    def _emit_chunk(self, tokens: list[int], hiddens: list[np.ndarray],
+                    final: bool) -> None:
+        text = self.tok.decode(tokens) if (self.tok and tokens) else ""
+        if text:
+            self.text_out.put({"content": text, "stop": False})
+        out = LLMOut(text=text, token_ids=list(tokens),
+                     hidden_states=np.stack(hiddens) if hiddens else
+                     np.zeros((0, self.llm.cfg.d_model), np.float32),
+                     end_of_turn=final, is_final=final)
+        if self.cfg.use_tts and self.tts_ctx is not None:
+            self.tts_queue.put(out)  # blocks at depth 1 = back-pressure
+
+    # ------------------------------------------------------------------ TTS
+    def _tts_worker(self) -> None:
+        """LLMOut chunks -> audio codes (tts_thread_func, omni.cpp:6093)."""
+        first_chunk = True
+        while not self.session_stop.is_set():
+            try:
+                out: LLMOut = self.tts_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if self.break_event.is_set():
+                first_chunk = True
+                continue
+            codes = self._tts_generate(out, first_chunk)
+            first_chunk = out.is_final  # reset at end of turn
+            for c in codes:
+                self.t2w_queue.put(c)
+            if out.is_final:
+                self.t2w_queue.put(None)  # turn-end sentinel
+
+    def _tts_generate(self, out: LLMOut, first_chunk: bool) -> list[int]:
+        if not out.token_ids and not out.is_final:
+            return []
+        ex = self.tts_extras
+        cond = tts_mod.build_condition(
+            ex,
+            jnp.asarray(np.asarray(out.token_ids, np.int32))
+            if out.token_ids else jnp.zeros((0,), jnp.int32),
+            jnp.asarray(out.hidden_states, jnp.float32),
+            end_of_turn=out.end_of_turn,
+        )
+        if first_chunk:
+            self.tts_ctx.clear_kv()
+        _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(cond)),
+                                        return_hidden=True)
+        cap = DUPLEX_CHUNK_CAP if self.cfg.duplex else SIMPLEX_AUDIO_CAP
+        prev = jnp.full((16,), -1, jnp.int32)
+        codes: list[int] = []
+        h = jnp.asarray(hidden[-1])
+        for i in range(cap):
+            logits = tts_mod.audio_logits(ex, h)
+            self._tts_key, sub = jax.random.split(self._tts_key)
+            rel = int(tts_mod.sample_audio_token(
+                logits, sub, prev, skip_processors=(i == 0 and first_chunk),
+                force_no_eos=(self.cfg.duplex and not out.is_final)))
+            if rel == tts_mod.AUDIO_EOS_REL:
+                break
+            codes.append(rel)
+            prev = jnp.concatenate([prev[1:], jnp.int32(rel)[None]])
+            emb = tts_mod.code_embedding(ex, jnp.int32(rel))
+            _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(emb)[None]),
+                                            return_hidden=True)
+            h = jnp.asarray(hidden[-1])
+        return codes
+
+    # ------------------------------------------------------------------ T2W
+    def _t2w_worker(self) -> None:
+        """25+3 sliding window (t2w_thread_func_cpp, omni.cpp:8284)."""
+        while not self.session_stop.is_set():
+            try:
+                item = self.t2w_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            final = item is None
+            if not final:
+                self._t2w_buffer.append(int(item))
+            while len(self._t2w_buffer) >= T2W_MAIN + T2W_LOOKAHEAD or (
+                    final and len(self._t2w_buffer) > 3):
+                window = self._t2w_buffer[: T2W_MAIN + T2W_LOOKAHEAD]
+                last = final and len(self._t2w_buffer) <= T2W_MAIN + T2W_LOOKAHEAD
+                if self.t2w is not None:
+                    wave = self.t2w.feed_window(np.asarray(window, np.int32),
+                                                is_final=last)
+                    self.wav_out.put(wave)
+                consume = min(T2W_MAIN, len(self._t2w_buffer))
+                del self._t2w_buffer[:consume]
+                if last:
+                    self._t2w_buffer = [SILENCE_TOKEN] * 3
+                    break
+
+    # ----------------------------------------------------------- lifecycle
+    def _start_workers(self) -> None:
+        if self._workers_started:
+            return
+        self._workers_started = True
+        for fn in (self._llm_prefill_worker, self._tts_worker, self._t2w_worker):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop_speak(self) -> None:
+        """Break: stop generation + drain downstream queues (omni.cpp:9548)."""
+        self.break_event.set()
+        for q in (self.tts_queue, self.t2w_queue, self.text_out):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+
+    def clean_kvcache(self) -> None:
+        self.llm.clear_kv()
+        if self.tts_ctx:
+            self.tts_ctx.clear_kv()
+        self.n_keep = 0
+        self.rounds.clear()
+
+    def shutdown(self) -> None:
+        self.session_stop.set()
+        for t in self._threads:
+            t.join(timeout=1.0)
+
+    # ------------------------------------------------------- sliding window
+    def _slide_window_if_needed(self) -> None:
+        """Round-granular eviction (kv_cache_slide_window, omni.cpp:686-820):
+        drop oldest full rounds, never touch n_keep, re-base positions."""
+        n_past = self.llm.n_past.get(0, 0)
+        if n_past <= self.cfg.max_preserved_context:
+            return
+        while self.rounds and n_past > self.cfg.max_preserved_context:
+            r = self.rounds[0]
+            if r.start_pos < self.n_keep:
+                break
+            drop = r.end_pos - r.start_pos
+            self.llm.seq_rm(0, r.start_pos, r.end_pos)
+            self.llm.seq_add(0, r.end_pos, -1, -drop)
+            self.rounds.pop(0)
+            for rb in self.rounds:
+                rb.start_pos -= drop
+                rb.end_pos -= drop
+            n_past -= drop
+        self.llm.n_past[0] = n_past

@@ -1,0 +1,189 @@
+"""End-to-end omni pipeline test: tiny LLM + TTS + Token2Wav wired through
+the real orchestrator (queues, workers, special-token protocol, sliding
+window). Random weights — this validates plumbing and protocol, not audio
+quality (that's the per-model tests' job)."""
+
+import queue
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omni_tpu.core import GGMLType, GGUFReader
+from omni_tpu.models import qwen3
+import omni_tpu.models.token2wav as t2w_mod
+from omni_tpu.omni.pipeline import OmniPipeline, SessionConfig
+from omni_tpu.runtime import Context, SamplerParams
+from omni_tpu.testing import write_tiny_qwen3
+from omni_tpu.testing_t2w import r, tiny_conformer, tiny_dit, tiny_hifigan
+
+
+class ToyTokenizer:
+    """Char-level tokenizer with the omni special tokens; enough for the
+    protocol (real runs use the GGUF BPE tokenizer)."""
+
+    SPECIALS = ["<|speak|>", "<|listen|>", "<|chunk_eos|>", "<|turn_eos|>",
+                "<|tts_eos|>", "</s>", "<|tts_bos|>", "</unit>", "<unit>",
+                "<|im_end|>", "<|im_start|>", "<|audio_start|>",
+                "<|audio_end|>", "<think>", "</think>"]
+
+    def __init__(self, n_base=180):
+        self.n_base = n_base
+        names = {s: n_base + i for i, s in enumerate(self.SPECIALS)}
+
+        class V:
+            token_to_id = names
+
+            @staticmethod
+            def is_eog(tid):
+                return tid == names["</s>"]
+
+        self.vocab = V()
+        self._id2special = {v: k for k, v in names.items()}
+
+    def encode(self, text, add_special=False, parse_special=True):
+        ids = []
+        rest = text
+        while rest:
+            matched = False
+            for s, tid in self.vocab.token_to_id.items():
+                if rest.startswith(s):
+                    ids.append(tid)
+                    rest = rest[len(s):]
+                    matched = True
+                    break
+            if not matched:
+                ids.append(ord(rest[0]) % self.n_base)
+                rest = rest[1:]
+        return ids
+
+    def decode(self, ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            if i in self._id2special:
+                out.append(self._id2special[i])
+            else:
+                out.append(chr(97 + i % 26))
+        return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    d_llm = 64
+
+    # LLM: vocab 256 > special ids (180..)
+    path = tmp_path_factory.mktemp("p") / "llm.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=d_llm, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=256, qtype=GGMLType.F32)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    llm = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
+                  n_ctx=512, sampler=SamplerParams(temp=1.0, top_k=50, seed=1))
+
+    # TTS: separate tiny llama + extras (50 audio codes)
+    tpath = tmp_path_factory.mktemp("p") / "tts.gguf"
+    write_tiny_qwen3(tpath, n_layers=2, d_model=32, n_heads=2, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=64, qk_norm=False,
+                     qtype=GGMLType.F32)
+    treader = GGUFReader(tpath)
+    tcfg = qwen3.Qwen3Config.from_gguf(treader.kv)
+    tts_ctx = Context(tcfg, qwen3.load_params(treader), qwen3.forward,
+                      qwen3.embed, n_ctx=512)
+    import omni_tpu.models.tts as tts_mod
+
+    tts_mod_text_eos_orig = tts_mod.TEXT_EOS_ID
+    tts_mod.TEXT_EOS_ID = 5
+    n_codes = 50
+    tts_mod_audio_eos_orig = tts_mod.AUDIO_EOS_REL
+    tts_mod.AUDIO_EOS_REL = n_codes - 1
+    extras = {
+        "emb_text": r(rng, 256, 32), "emb_code": r(rng, n_codes, 32),
+        "head_code": r(rng, n_codes, 32),
+        "proj_sem_w1": r(rng, 32, d_llm), "proj_sem_b1": r(rng, 32),
+        "proj_sem_w2": r(rng, 32, 32), "proj_sem_b2": r(rng, 32),
+    }
+
+    # Token2Wav tiny session
+    dit_p, dit_cfg = tiny_dit(rng)
+    conf_p, conf_cfg = tiny_conformer(rng, d=32)
+    voc_p = tiny_hifigan(rng)
+    extra_t2w = {
+        "input_embedding": r(rng, 5000, conf_cfg.d_model),
+        "spk_affine_w": r(rng, dit_cfg.out_channels, 192),
+        "spk_affine_b": r(rng, dit_cfg.out_channels),
+        "encoder_proj_w": r(rng, dit_cfg.out_channels, conf_cfg.d_model),
+        "encoder_proj_b": r(rng, dit_cfg.out_channels),
+    }
+    t2w = t2w_mod.Token2Wav(conf_p, conf_cfg, extra_t2w, dit_p, dit_cfg,
+                            voc_p, spk=rng.standard_normal(192), n_timesteps=2)
+
+    pipe = OmniPipeline(
+        llm=llm,
+        tokenizer=ToyTokenizer(),
+        tts_ctx=tts_ctx,
+        tts_extras=extras,
+        token2wav=t2w,
+        audio_encoder=lambda wav: rng.standard_normal((10, d_llm)).astype(np.float32) * 0.1,
+        config=SessionConfig(duplex=False, max_new_tokens=40),
+    )
+    yield pipe
+    pipe.shutdown()
+    tts_mod.TEXT_EOS_ID = tts_mod_text_eos_orig
+    tts_mod.AUDIO_EOS_REL = tts_mod_audio_eos_orig
+
+
+def test_full_simplex_round(pipeline):
+    pipe = pipeline
+    # session init: system prompt + reference voice
+    pipe.stream_prefill(index=0, system_prompt="You are a voice assistant.",
+                        ref_audio=np.zeros(16000, np.float32))
+    assert pipe.n_keep > 0
+
+    # one 1-second audio chunk
+    pipe.stream_prefill(audio=np.zeros(16000, np.float32), index=1)
+
+    # decode one turn
+    pipe.stream_decode(round_idx=0, max_new_tokens=25)
+
+    texts, got_stop = [], False
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            ev = pipe.text_out.get(timeout=1.0)
+        except queue.Empty:
+            continue
+        if ev.get("stop"):
+            got_stop = True
+            break
+        texts.append(ev["content"])
+    assert got_stop
+    # audio should flow end-to-end within the window cadence
+    deadline = time.time() + 120
+    waves = []
+    while time.time() < deadline and not waves:
+        try:
+            waves.append(pipe.wav_out.get(timeout=2.0))
+        except queue.Empty:
+            pass
+    assert waves, "no audio produced by the T2W worker"
+    assert waves[0].ndim == 1 and len(waves[0]) > 0
+
+
+def test_round_boundaries_and_window(pipeline):
+    pipe = pipeline
+    assert len(pipe.rounds) >= 1
+    r0 = pipe.rounds[0]
+    assert r0.start_pos >= pipe.n_keep
+    assert r0.end_pos > r0.start_pos
+
+
+def test_stop_speak_drains(pipeline):
+    pipe = pipeline
+    pipe.text_out.put({"content": "x", "stop": False})
+    pipe.stop_speak()
+    assert pipe.text_out.empty()
+    assert pipe.break_event.is_set()
