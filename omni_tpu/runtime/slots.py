@@ -1,0 +1,164 @@
+"""Continuous batching over the unified KV cache.
+
+Counterpart of llama-server's slot scheduler (/root/reference/tools/server/
+server.cpp:1618 server_slot, :2508-2548 n_parallel slots sharing one
+context, :2560-2564 unified batch, :3683-3692 prompt batching): N slots map
+to N sequence ids in ONE KVCache; every scheduler iteration assembles a
+mixed ubatch — prompt tokens from slots still prefilling (up to n_batch)
+plus one token for each generating slot — runs ONE decode, then samples
+per-slot. Slot release frees its sequence's cells.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .context import Batch, Context
+from .sampler import SamplerParams, sample, update_prev_tokens
+
+
+class SlotState(enum.Enum):
+    IDLE = 0
+    PROCESSING_PROMPT = 1
+    GENERATING = 2
+    DONE = 3
+
+
+@dataclasses.dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    prompt: np.ndarray | None = None
+    n_prompt_done: int = 0
+    n_past: int = 0
+    n_decoded: int = 0
+    max_new: int = 128
+    sampler: SamplerParams = dataclasses.field(default_factory=SamplerParams)
+    prev_tokens: Any = None
+    key: Any = None
+    out_tokens: list = dataclasses.field(default_factory=list)
+    stop_tokens: tuple = ()
+    on_token: Callable | None = None  # streaming callback(token_id, text_done)
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+
+class SlotScheduler:
+    """Drives continuous batching on one Context."""
+
+    def __init__(self, ctx: Context, n_slots: int = 4, n_batch: int = 256):
+        self.ctx = ctx
+        self.n_batch = n_batch
+        self.slots = [Slot(id=i) for i in range(n_slots)]
+
+    # ------------------------------------------------------------- control
+    def launch(self, prompt_tokens, max_new: int = 128,
+               sampler: SamplerParams | None = None,
+               stop_tokens: tuple = (), on_token=None) -> Slot | None:
+        """Assign a request to a free slot (launch_slot_with_task)."""
+        for s in self.slots:
+            if s.state == SlotState.IDLE:
+                s.state = SlotState.PROCESSING_PROMPT
+                s.prompt = np.asarray(prompt_tokens, np.int32)
+                s.n_prompt_done = 0
+                s.n_past = 0
+                s.n_decoded = 0
+                s.max_new = max_new
+                s.sampler = sampler or SamplerParams()
+                s.prev_tokens = jnp.full((max(s.sampler.penalty_last_n, 1),),
+                                         -1, jnp.int32)
+                s.key = jax.random.PRNGKey(s.sampler.seed + s.id)
+                s.out_tokens = []
+                s.stop_tokens = tuple(stop_tokens)
+                s.on_token = on_token
+                s.t_start = time.time()
+                return s
+        return None
+
+    def release(self, slot: Slot) -> None:
+        self.ctx.seq_rm(slot.id, -1, -1)
+        self.ctx.n_past.pop(slot.id, None)
+        slot.state = SlotState.IDLE
+        slot.prompt = None
+
+    def has_work(self) -> bool:
+        return any(s.state in (SlotState.PROCESSING_PROMPT, SlotState.GENERATING)
+                   for s in self.slots)
+
+    # ----------------------------------------------------------- main loop
+    def step(self) -> None:
+        """One update_slots iteration: assemble mixed batch, decode, sample."""
+        tokens, pos, seq, want_logits = [], [], [], []
+
+        gen_slots = []
+        for s in self.slots:
+            if s.state == SlotState.PROCESSING_PROMPT:
+                room = self.n_batch - len(tokens)
+                if room <= 0:
+                    continue
+                part = s.prompt[s.n_prompt_done : s.n_prompt_done + room]
+                tokens.extend(part.tolist())
+                pos.extend(range(s.n_past, s.n_past + len(part)))
+                seq.extend([s.id] * len(part))
+                s.n_prompt_done += len(part)
+                s.n_past += len(part)
+                if s.n_prompt_done >= len(s.prompt):
+                    s.state = SlotState.GENERATING
+                    want_logits.append((s, len(tokens) - 1))
+                    gen_slots.append(s)
+            elif s.state == SlotState.GENERATING and s.out_tokens:
+                tokens.append(s.out_tokens[-1])
+                pos.append(s.n_past)
+                seq.append(s.id)
+                s.n_past += 1
+                want_logits.append((s, len(tokens) - 1))
+                gen_slots.append(s)
+
+        if not tokens:
+            return
+
+        logits, _ = self.ctx.decode(Batch(
+            tokens=np.asarray(tokens, np.int32),
+            pos=np.asarray(pos, np.int32),
+            seq_id=np.asarray(seq, np.int32),
+        ))
+
+        for s, row in want_logits:
+            s.key, sub = jax.random.split(s.key)
+            tok = sample(jnp.asarray(logits[row]), sub, s.sampler, s.prev_tokens)
+            s.prev_tokens = update_prev_tokens(s.prev_tokens, tok)
+            tok = int(tok)
+            if s.n_decoded == 0:
+                s.t_first_token = time.time()
+            s.n_decoded += 1
+            stopped = tok in s.stop_tokens or s.n_decoded >= s.max_new
+            if tok not in s.stop_tokens:
+                s.out_tokens.append(tok)
+            if s.on_token is not None:
+                s.on_token(tok, stopped)
+            if stopped:
+                s.state = SlotState.DONE
+
+    def run_until_done(self, max_iters: int = 100000) -> None:
+        for _ in range(max_iters):
+            if not self.has_work():
+                break
+            self.step()
+
+    # ------------------------------------------------------------- metrics
+    def metrics(self) -> dict:
+        return {
+            "slots_idle": sum(1 for s in self.slots if s.state == SlotState.IDLE),
+            "slots_processing": sum(1 for s in self.slots
+                                    if s.state != SlotState.IDLE),
+            "kv_cells_used": int(self.ctx.cache.n_used()),
+            "kv_cells_total": self.ctx.cache.size,
+        }

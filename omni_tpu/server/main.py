@@ -1,0 +1,388 @@
+"""HTTP inference server.
+
+Counterpart of llama-server (/root/reference/tools/server/server.cpp):
+OpenAI-compatible completions/chat/embeddings-style endpoints with SSE
+streaming, slot-based continuous batching, health/metrics/slots
+introspection, tokenize/detokenize, and the six omni streaming endpoints
+(/v1/stream/{omni_init,prefill,decode,break,reset,update_session_config},
+server.cpp:6240-6248) wired to a single OmniPipeline.
+
+stdlib http.server (threaded); device work stays inside the jitted steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..core import GGUFReader
+from ..models import qwen3
+from ..runtime import Context, SamplerParams
+from ..runtime.slots import SlotScheduler
+from ..tokenizer import build_tokenizer
+
+
+def apply_chat_template(messages: list[dict], add_generation_prompt=True) -> str:
+    """ChatML (the MiniCPM-o/Qwen default; reference default_tts_chat_template
+    at omni.cpp:3518)."""
+    out = []
+    for m in messages:
+        out.append(f"<|im_start|>{m['role']}\n{m.get('content', '')}<|im_end|>\n")
+    if add_generation_prompt:
+        out.append("<|im_start|>assistant\n")
+    return "".join(out)
+
+
+class ServerState:
+    def __init__(self, ctx: Context, tokenizer, n_slots: int = 4,
+                 model_name: str = "omni-tpu"):
+        self.ctx = ctx
+        self.tok = tokenizer
+        self.model_name = model_name
+        self.sched = SlotScheduler(ctx, n_slots=n_slots)
+        self.sched_lock = threading.Lock()
+        self.omni = None  # OmniPipeline, created by /v1/stream/omni_init
+        self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
+                        "t_start": time.time()}
+
+    # ---- scheduler-backed completion ---------------------------------
+    def complete(self, prompt_tokens, max_new, sampler, stream_cb=None):
+        done = threading.Event()
+
+        def on_token(tok, finished):
+            self.metrics["n_tokens_generated"] += 1
+            if stream_cb:
+                stream_cb(tok, finished)
+            if finished:
+                done.set()
+
+        with self.sched_lock:
+            slot = self.sched.launch(prompt_tokens, max_new=max_new,
+                                     sampler=sampler,
+                                     stop_tokens=self._stop_ids(),
+                                     on_token=on_token)
+            if slot is None:
+                return None
+        while not done.is_set():
+            with self.sched_lock:
+                if self.sched.has_work():
+                    self.sched.step()
+                else:
+                    break
+        out = list(slot.out_tokens)
+        timing = {
+            "prompt_ms": (slot.t_first_token - slot.t_start) * 1e3,
+            "predicted_ms": (time.time() - slot.t_first_token) * 1e3,
+            "n_decoded": slot.n_decoded,
+        }
+        with self.sched_lock:
+            self.sched.release(slot)
+        return out, timing
+
+    def _stop_ids(self):
+        v = self.tok.vocab
+        ids = [v.eos_id] if v.eos_id is not None else []
+        for s in ("<|im_end|>", "<|endoftext|>"):
+            t = v.token_to_id.get(s)
+            if t is not None:
+                ids.append(t)
+        return tuple(ids)
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        # ---- helpers -----------------------------------------------------
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _sse_send(self, obj) -> None:
+            data = f"data: {json.dumps(obj)}\n\n".encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+        def _sse_done(self):
+            data = b"data: [DONE]\n\n"
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        # ---- GET ----------------------------------------------------------
+        def do_GET(self):
+            state.metrics["n_requests"] += 1
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": state.model_name, "object": "model"}]})
+            elif self.path == "/props":
+                self._json(200, {
+                    "model": state.model_name,
+                    "n_ctx": state.ctx.n_ctx,
+                    "n_slots": len(state.sched.slots),
+                })
+            elif self.path == "/slots":
+                self._json(200, [
+                    {"id": s.id, "state": s.state.name,
+                     "n_past": s.n_past, "n_decoded": s.n_decoded}
+                    for s in state.sched.slots])
+            elif self.path == "/metrics":
+                m = state.sched.metrics()
+                lines = [
+                    "# TYPE omni_tpu_requests_total counter",
+                    f"omni_tpu_requests_total {state.metrics['n_requests']}",
+                    "# TYPE omni_tpu_tokens_generated_total counter",
+                    f"omni_tpu_tokens_generated_total {state.metrics['n_tokens_generated']}",
+                    "# TYPE omni_tpu_kv_cells_used gauge",
+                    f"omni_tpu_kv_cells_used {m['kv_cells_used']}",
+                    f"omni_tpu_kv_cells_total {m['kv_cells_total']}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json(404, {"error": "not found"})
+
+        # ---- POST ---------------------------------------------------------
+        def do_POST(self):
+            state.metrics["n_requests"] += 1
+            try:
+                body = self._body()
+                route = self.path.split("?")[0]
+                if route in ("/completion", "/completions", "/v1/completions"):
+                    self._handle_completion(body)
+                elif route == "/v1/chat/completions":
+                    self._handle_chat(body)
+                elif route in ("/tokenize",):
+                    toks = state.tok.encode(body.get("content", ""),
+                                            add_special=body.get("add_special", False))
+                    self._json(200, {"tokens": toks})
+                elif route in ("/detokenize",):
+                    self._json(200, {"content": state.tok.decode(
+                        body.get("tokens", []))})
+                elif route.startswith("/v1/stream/"):
+                    self._handle_omni(route[len("/v1/stream/"):], body)
+                else:
+                    self._json(404, {"error": "not found"})
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:  # noqa: BLE001
+                    pass
+
+        # ---- completions ---------------------------------------------------
+        def _sampler_from(self, body) -> SamplerParams:
+            return SamplerParams(
+                temp=float(body.get("temperature", 0.8)),
+                top_k=int(body.get("top_k", 40)),
+                top_p=float(body.get("top_p", 0.95)),
+                min_p=float(body.get("min_p", 0.05)),
+                penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+                seed=int(body.get("seed", 42)),
+                greedy=float(body.get("temperature", 0.8)) <= 0,
+            )
+
+        def _handle_completion(self, body):
+            prompt = body.get("prompt", "")
+            toks = np.asarray(state.tok.encode(prompt), np.int32)
+            max_new = int(body.get("n_predict", body.get("max_tokens", 128)))
+            sampler = self._sampler_from(body)
+            if body.get("stream"):
+                self._sse_start()
+
+                def cb(tok, finished):
+                    self._sse_send({
+                        "content": state.tok.decode([tok]),
+                        "stop": bool(finished)})
+
+                state.complete(toks, max_new, sampler, stream_cb=cb)
+                self._sse_done()
+            else:
+                out, timing = state.complete(toks, max_new, sampler)
+                self._json(200, {
+                    "content": state.tok.decode(out),
+                    "tokens_predicted": timing["n_decoded"],
+                    "timings": timing,
+                })
+
+        def _handle_chat(self, body):
+            prompt = apply_chat_template(body.get("messages", []))
+            toks = np.asarray(
+                state.tok.encode(prompt, parse_special=True), np.int32)
+            max_new = int(body.get("max_tokens", 128))
+            sampler = self._sampler_from(body)
+            rid = f"chatcmpl-{int(time.time()*1000)}"
+            if body.get("stream"):
+                self._sse_start()
+
+                def cb(tok, finished):
+                    self._sse_send({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "model": state.model_name,
+                        "choices": [{"index": 0, "delta":
+                                     {"content": state.tok.decode([tok])},
+                                     "finish_reason": "stop" if finished else None}],
+                    })
+
+                state.complete(toks, max_new, sampler, stream_cb=cb)
+                self._sse_done()
+            else:
+                out, timing = state.complete(toks, max_new, sampler)
+                self._json(200, {
+                    "id": rid, "object": "chat.completion",
+                    "model": state.model_name,
+                    "choices": [{"index": 0, "message": {
+                        "role": "assistant",
+                        "content": state.tok.decode(out, skip_special=True)},
+                        "finish_reason": "stop"}],
+                    "usage": {"prompt_tokens": len(toks),
+                              "completion_tokens": timing["n_decoded"],
+                              "total_tokens": len(toks) + timing["n_decoded"]},
+                })
+
+        # ---- omni streaming endpoints (server.cpp:5548-6080) ---------------
+        def _handle_omni(self, action: str, body: dict):
+            if action == "omni_init":
+                ok = self._omni_init(body)
+                self._json(200 if ok else 500,
+                           {"success": ok} if ok else
+                           {"error": "omni init failed (model_dir missing?)"})
+            elif state.omni is None:
+                self._json(400, {"error": "omni session not initialized"})
+            elif action == "prefill":
+                idx = int(body.get("cnt", body.get("index", 0)))
+                audio = None
+                if body.get("audio_path_prefix"):
+                    from ..omni.audio import load_wav_mono_16k
+
+                    path = body["audio_path_prefix"]
+                    if idx > 0:
+                        path = f"{path}{idx}.wav" if path.endswith("_") else path
+                    audio = load_wav_mono_16k(path)
+                image = None
+                if body.get("img_path_prefix"):
+                    from ..omni.image import load_image
+
+                    image = load_image(body["img_path_prefix"])
+                state.omni.stream_prefill(
+                    audio=audio, image=image, index=idx,
+                    system_prompt=body.get("system_prompt", ""))
+                self._json(200, {"success": True})
+            elif action == "decode":
+                t = threading.Thread(
+                    target=state.omni.stream_decode,
+                    kwargs={"round_idx": int(body.get("round_idx", -1))},
+                    daemon=True)
+                t.start()
+                self._sse_start()
+                while True:
+                    try:
+                        ev = state.omni.text_out.get(timeout=60.0)
+                    except queue.Empty:
+                        break
+                    self._sse_send({
+                        "content": ev.get("content", ""),
+                        "stop": bool(ev.get("stop")),
+                        "is_listen": bool(ev.get("is_listen")),
+                        "end_of_turn": bool(ev.get("end_of_turn")),
+                    })
+                    if ev.get("stop"):
+                        break
+                self._sse_done()
+            elif action == "break":
+                state.omni.stop_speak()
+                self._json(200, {"success": True})
+            elif action == "reset":
+                state.omni.clean_kvcache()
+                self._json(200, {"success": True})
+            elif action == "update_session_config":
+                cfg = state.omni.cfg
+                for k in ("duplex", "media_type", "max_slice_nums",
+                          "max_preserved_context", "use_tts"):
+                    if k in body:
+                        setattr(cfg, k, body[k])
+                self._json(200, {"success": True})
+            else:
+                self._json(404, {"error": f"unknown stream action {action}"})
+
+        def _omni_init(self, body: dict) -> bool:
+            from ..omni.pipeline import OmniPipeline, SessionConfig
+
+            cfgp = SessionConfig(
+                duplex=bool(body.get("duplex", False)),
+                use_tts=bool(body.get("use_tts", False)),
+                media_type=int(body.get("media_type",
+                                        body.get("msg_type", 1))),
+            )
+            # text-only omni session over the already-loaded LLM; full
+            # model-dir loading (APM/VPM/TTS/T2W GGUFs) via omni-cli path
+            state.omni = OmniPipeline(
+                llm=state.ctx, tokenizer=state.tok, config=cfgp)
+            return True
+
+    return Handler
+
+
+def serve(state: ServerState, host: str = "127.0.0.1", port: int = 8080):
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    return httpd
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("omni-server")
+    ap.add_argument("-m", "--model", required=True, help="LLM GGUF path")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ap.add_argument("-np", "--parallel", type=int, default=4)
+    ap.add_argument("--cache-type-k", default="bf16", choices=["bf16", "q8_0"])
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    reader = GGUFReader(args.model)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+    tok = build_tokenizer(reader.kv)
+    kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
+                  n_ctx=args.ctx_size, kv_dtype=kv_dtype)
+    state = ServerState(ctx, tok, n_slots=args.parallel)
+    httpd = serve(state, args.host, args.port)
+    print(f"omni-server listening on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,13 @@ def write_tiny_qwen3(
     seed: int = 0,
     qk_norm: bool = True,
     tied_head: bool = True,
+    byte_tokenizer: bool = False,
 ) -> None:
-    """Random Qwen3-architecture GGUF (llama.cpp tensor naming)."""
+    """Random Qwen3-architecture GGUF (llama.cpp tensor naming).
+
+    byte_tokenizer=True writes a functional byte-level BPE vocab (the 256
+    GPT-2 byte alphabet + control tokens) so build_tokenizer() works on the
+    fixture; n_vocab must be >= 300 in that case."""
     rng = np.random.default_rng(seed)
     w = GGUFWriter(path)
     w.add_kv("general.architecture", "qwen3")
@@ -41,7 +46,26 @@ def write_tiny_qwen3(
     w.add_kv("qwen3.rope.freq_base", 1000000.0)
     w.add_kv("qwen3.context_length", 4096)
     w.add_kv("tokenizer.ggml.model", "gpt2")
-    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+    w.add_kv("tokenizer.ggml.pre", "qwen2")
+    if byte_tokenizer:
+        from .tokenizer.bpe import bytes_to_unicode
+        from .tokenizer.vocab import TYPE_CONTROL, TYPE_NORMAL
+
+        alphabet = [bytes_to_unicode()[b] for b in range(256)]
+        specials = ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                    "<|tts_bos|>", "<|tts_eos|>", "<|speak|>", "<|listen|>",
+                    "<|chunk_eos|>", "<|turn_eos|>", "</s>", "<unit>",
+                    "</unit>", "<|audio_start|>", "<|audio_end|>"]
+        toks = alphabet + specials
+        assert n_vocab >= len(toks), (n_vocab, len(toks))
+        toks += [f"<pad{i}>" for i in range(n_vocab - len(toks))]
+        w.add_kv("tokenizer.ggml.tokens", toks)
+        w.add_kv("tokenizer.ggml.token_type",
+                 [TYPE_NORMAL] * 256 + [TYPE_CONTROL] * (n_vocab - 256))
+        w.add_kv("tokenizer.ggml.merges", ["Ġ t", "h e"])
+        w.add_kv("tokenizer.ggml.eos_token_id", 256)  # <|endoftext|>
+    else:
+        w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
 
     def t(name: str, shape: tuple[int, ...], scale: float = 0.08,
           force_type: GGMLType | None = None):

@@ -1,0 +1,128 @@
+"""Server behavioral tests (spirit of the reference's pytest suite under
+tools/server/tests/): real HTTP against the real server on a tiny model."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from omni_tpu.core import GGMLType, GGUFReader
+from omni_tpu.models import qwen3
+from omni_tpu.runtime import Context
+from omni_tpu.server.main import ServerState, serve
+from omni_tpu.testing import write_tiny_qwen3
+from omni_tpu.tokenizer import build_tokenizer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "llm.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     byte_tokenizer=True)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
+                  n_ctx=256)
+    tok = build_tokenizer(reader.kv)
+    state = ServerState(ctx, tok, n_slots=2)
+    httpd = serve(state, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, obj, raw=False):
+    req = urllib.request.Request(url, json.dumps(obj).encode(),
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        data = r.read()
+    return data if raw else json.loads(data)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.read().decode()
+
+
+def test_health(server):
+    assert json.loads(_get(server + "/health")) == {"status": "ok"}
+
+
+def test_models_props_slots(server):
+    models = json.loads(_get(server + "/v1/models"))
+    assert models["data"][0]["id"] == "omni-tpu"
+    props = json.loads(_get(server + "/props"))
+    assert props["n_ctx"] == 256 and props["n_slots"] == 2
+    slots = json.loads(_get(server + "/slots"))
+    assert len(slots) == 2 and slots[0]["state"] == "IDLE"
+
+
+def test_tokenize_round_trip(server):
+    r = _post(server + "/tokenize", {"content": "hello world"})
+    assert len(r["tokens"]) > 0
+    r2 = _post(server + "/detokenize", {"tokens": r["tokens"]})
+    assert r2["content"] == "hello world"
+
+
+def test_completion(server):
+    r = _post(server + "/v1/completions",
+              {"prompt": "hi", "n_predict": 6, "temperature": 0.0})
+    assert r["tokens_predicted"] <= 6
+    assert "content" in r and "timings" in r
+
+
+def test_completion_stream_sse(server):
+    raw = _post(server + "/v1/completions",
+                {"prompt": "hi", "n_predict": 4, "stream": True,
+                 "temperature": 0.0}, raw=True).decode()
+    events = [json.loads(line[6:]) for line in raw.splitlines()
+              if line.startswith("data: ") and line != "data: [DONE]"]
+    assert len(events) == 4
+    assert events[-1]["stop"] is True
+    assert "data: [DONE]" in raw
+
+
+def test_chat_completions(server):
+    r = _post(server + "/v1/chat/completions",
+              {"messages": [{"role": "user", "content": "hello"}],
+               "max_tokens": 5, "temperature": 0.0})
+    assert r["object"] == "chat.completion"
+    assert r["choices"][0]["message"]["role"] == "assistant"
+    assert r["usage"]["completion_tokens"] <= 5
+
+
+def test_metrics_prometheus(server):
+    text = _get(server + "/metrics")
+    assert "omni_tpu_requests_total" in text
+    assert "omni_tpu_kv_cells_total" in text
+
+
+def test_parallel_requests(server):
+    results = []
+
+    def hit():
+        results.append(_post(server + "/v1/completions",
+                             {"prompt": "abc", "n_predict": 4,
+                              "temperature": 0.0}))
+
+    ts = [threading.Thread(target=hit) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=300) for t in ts]
+    assert len(results) == 2
+    assert results[0]["content"] == results[1]["content"]  # same greedy result
+
+
+def test_omni_init_and_config(server):
+    r = _post(server + "/v1/stream/omni_init",
+              {"media_type": 1, "duplex": False, "use_tts": False})
+    assert r["success"] is True
+    r = _post(server + "/v1/stream/update_session_config",
+              {"max_preserved_context": 128})
+    assert r["success"] is True
+    r = _post(server + "/v1/stream/reset", {})
+    assert r["success"] is True
