@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kv_cache import KVCache
-from .sampler import SamplerParams, sample, update_prev_tokens
+from .sampler import (SamplerParams, mirostat_init, sample,
+                      update_prev_tokens)
 
 # ubatch padding buckets (limit recompilation: one compiled step per bucket)
 BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
@@ -78,6 +79,7 @@ class Context:
         self.sampler = sampler or SamplerParams()
         self.key = jax.random.PRNGKey(self.sampler.seed)
         self.prev_tokens = jnp.full((max(self.sampler.penalty_last_n, 1),), -1, jnp.int32)
+        self.mu = mirostat_init(self.sampler) if self.sampler.mirostat else None
         self._steps: dict[int, Callable] = {}
         self.n_past: dict[int, int] = {}  # per-seq position high-water mark
 
@@ -149,7 +151,12 @@ class Context:
 
     def sample_token(self, logits_row) -> int:
         self.key, sub = jax.random.split(self.key)
-        tok = sample(jnp.asarray(logits_row), sub, self.sampler, self.prev_tokens)
+        if self.mu is not None:
+            tok, self.mu = sample(jnp.asarray(logits_row), sub, self.sampler,
+                                  self.prev_tokens, mu=self.mu)
+        else:
+            tok = sample(jnp.asarray(logits_row), sub, self.sampler,
+                         self.prev_tokens)
         self.prev_tokens = update_prev_tokens(self.prev_tokens, tok)
         return int(tok)
 

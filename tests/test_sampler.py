@@ -97,3 +97,122 @@ def test_sample_in_jit():
     logits = jnp.asarray(np.random.default_rng(1).standard_normal(256), jnp.float32)
     tok = f(logits, jax.random.PRNGKey(3), jnp.full((64,), -1, jnp.int32))
     assert 0 <= int(tok) < 256
+
+
+# ---------------------------------------------------------------------------
+# logit bias / DRY / mirostat (reference llama-sampling.cpp counterparts)
+# ---------------------------------------------------------------------------
+
+def test_logit_bias():
+    from omni_tpu.runtime.sampler import apply_logit_bias
+
+    logits = jnp.zeros(8, jnp.float32)
+    out = np.asarray(apply_logit_bias(logits, ((2, 5.0), (3, -np.inf))))
+    assert out[2] == 5.0 and out[3] == -np.inf and out[0] == 0.0
+
+
+def test_allowed_mask():
+    from omni_tpu.runtime.sampler import apply_allowed_mask
+
+    logits = jnp.ones(6, jnp.float32)
+    allowed = jnp.asarray([1, 4, -1, -1], jnp.int32)
+    out = np.asarray(apply_allowed_mask(logits, allowed))
+    assert np.isfinite(out[[1, 4]]).all()
+    assert np.isneginf(out[[0, 2, 3, 5]]).all()
+
+
+def test_dry_penalizes_repeat_continuation():
+    from omni_tpu.runtime.sampler import apply_dry
+
+    p = SamplerParams(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=2,
+                      penalty_last_n=16)
+    # context ... A B C A B  -> continuing with C extends "A B C", penalize C
+    A, B, C = 10, 11, 12
+    prev = np.full(16, -1, np.int32)
+    prev[-5:] = [A, B, C, A, B]
+    logits = jnp.zeros(32, jnp.float32)
+    out = np.asarray(apply_dry(logits, jnp.asarray(prev), p))
+    assert out[C] < 0.0  # penalized
+    assert out[5] == 0.0  # unrelated token untouched
+
+
+def test_dry_respects_allowed_length():
+    from omni_tpu.runtime.sampler import apply_dry
+
+    p = SamplerParams(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=4,
+                      penalty_last_n=16)
+    A, B, C = 10, 11, 12
+    prev = np.full(16, -1, np.int32)
+    prev[-5:] = [A, B, C, A, B]  # match length 2 < allowed 4
+    out = np.asarray(apply_dry(jnp.zeros(32, jnp.float32), jnp.asarray(prev), p))
+    np.testing.assert_array_equal(out, np.zeros(32))
+
+
+def test_dry_breaker_resets_match():
+    from omni_tpu.runtime.sampler import apply_dry
+
+    p = SamplerParams(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=2,
+                      dry_breakers=(99,), penalty_last_n=16)
+    A, B, C = 10, 11, 12
+    prev = np.full(16, -1, np.int32)
+    prev[-6:] = [A, 99, C, A, 99, C]  # breaker kills the n-gram match
+    out = np.asarray(apply_dry(jnp.zeros(32, jnp.float32), jnp.asarray(prev), p))
+    np.testing.assert_array_equal(out, np.zeros(32))
+
+
+def test_mirostat_v2_tracks_tau():
+    from omni_tpu.runtime.sampler import mirostat_init, sample
+
+    p = SamplerParams(mirostat=2, mirostat_tau=3.0, mirostat_eta=0.2, temp=1.0)
+    mu = mirostat_init(p)
+    assert float(mu) == 6.0
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal(128), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        tok, mu = sample(logits, jax.random.fold_in(key, i), p,
+                         jnp.full((4,), -1, jnp.int32), mu=mu)
+        assert 0 <= int(tok) < 128
+    assert np.isfinite(float(mu))
+
+
+def test_mirostat_v1_runs_in_jit():
+    from omni_tpu.runtime.sampler import mirostat_init, sample
+
+    p = SamplerParams(mirostat=1, temp=1.0)
+    mu = mirostat_init(p)
+
+    @jax.jit
+    def f(logits, key, mu):
+        return sample(logits, key, p, None, mu=mu)
+
+    logits = jnp.asarray(np.random.default_rng(2).standard_normal(512), jnp.float32)
+    tok, mu2 = f(logits, jax.random.PRNGKey(1), mu)
+    assert 0 <= int(tok) < 512
+    assert np.isfinite(float(mu2))
+
+
+def test_grammar_constrained_sampling_end_to_end():
+    """Grammar mask + sampler chain: only grammar-legal tokens drawn."""
+    from omni_tpu.grammar import Grammar, VocabTrie, parse_gbnf
+    from omni_tpu.runtime.sampler import apply_allowed_mask
+
+    vocab = {0: "yes", 1: "no", 2: "maybe", 3: "y", 4: "es"}
+    g = parse_gbnf('root ::= "yes" | "no"')
+    trie = VocabTrie(vocab.items())
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0)
+    key = jax.random.PRNGKey(0)
+    text = ""
+    for i in range(4):
+        allowed = g.allowed_tokens(trie)
+        if not allowed:
+            break
+        logits = jnp.zeros(5, jnp.float32)
+        masked = apply_allowed_mask(
+            logits, jnp.asarray(allowed, jnp.int32))
+        tok = int(sample(masked, jax.random.fold_in(key, i), p))
+        assert tok in allowed
+        g.accept(vocab[tok])
+        text += vocab[tok]
+        if g.exhausted:
+            break
+    assert text in ("yes", "no", "yes".strip())
