@@ -1,5 +1,7 @@
 from .kv_cache import KVCache, MAX_SEQS
 from .sampler import SamplerParams, sample
 from .context import Batch, Context
+from .speculative import SpecParams, SpecStats, speculative_generate
 
-__all__ = ["KVCache", "MAX_SEQS", "SamplerParams", "sample", "Batch", "Context"]
+__all__ = ["KVCache", "MAX_SEQS", "SamplerParams", "sample", "Batch",
+           "Context", "SpecParams", "SpecStats", "speculative_generate"]

@@ -28,11 +28,12 @@ from .sampler import (SamplerParams, mirostat_init, sample,
 BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
-def _bucket(n: int) -> int:
-    for b in BUCKETS:
+def _bucket(n: int, buckets: tuple[int, ...] = BUCKETS) -> int:
+    for b in buckets:
         if n <= b:
             return b
-    return ((n + 511) // 512) * 512
+    step = max(buckets[-1], 1)
+    return ((n + step - 1) // step) * step
 
 
 @dataclasses.dataclass
@@ -62,6 +63,7 @@ class Context:
         n_kv_heads: int | None = None,
         head_dim: int | None = None,
         sampler: SamplerParams | None = None,
+        buckets: tuple[int, ...] = BUCKETS,
     ):
         self.cfg = cfg
         self.params = params
@@ -82,6 +84,7 @@ class Context:
         self.mu = mirostat_init(self.sampler) if self.sampler.mirostat else None
         self._steps: dict[int, Callable] = {}
         self.n_past: dict[int, int] = {}  # per-seq position high-water mark
+        self.buckets = tuple(sorted(buckets))
 
     # ---- compiled step ----------------------------------------------------
     def _step_fn(self, t: int) -> Callable:
@@ -103,7 +106,7 @@ class Context:
     def decode(self, batch: Batch, return_hidden: bool = False):
         """Run one ubatch. Returns (logits [T, vocab] np, hidden or None)."""
         t = len(batch)
-        tb = _bucket(t)
+        tb = _bucket(t, self.buckets)
         pos = batch.pos if batch.pos is not None else self._auto_pos(batch)
         seq = batch.seq_id if batch.seq_id is not None else np.zeros(t, np.int32)
 
