@@ -127,7 +127,17 @@ def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
 
 def matmul(x: jax.Array, w, out_dtype=jnp.bfloat16) -> jax.Array:
     """Unified linear: `w` is a QTensor (fused kernel on TPU, XLA fallback
-    elsewhere) or a plain [N, K] array."""
+    elsewhere), a plain [N, K] array, or a LoraWeight (base + low-rank
+    delta via two skinny matmuls — reference build_lora_mm role)."""
+    if type(w).__name__ == "LoraWeight":  # avoid circular import
+        y = matmul(x, w.base, out_dtype=jnp.float32)
+        xa = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.a.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jax.lax.dot_general(
+            xa.astype(jnp.bfloat16), w.b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return (y + w.scale * delta).astype(out_dtype)
     if isinstance(w, QTensor):
         if jax.default_backend() == "tpu":
             return qmatmul_pallas(x, w, out_dtype=out_dtype)

@@ -154,6 +154,8 @@ def forward(
         up = matmul(hn, lp["w_up"])
         h = h_in + matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
                           lp["w_down"])
+        if lp.get("cvec") is not None:  # control-vector steering
+            h = h + lp["cvec"].astype(h.dtype)
 
     hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
