@@ -1,0 +1,734 @@
+// Quantization codecs + TPU SoA repack.
+//
+// Formats and element orders follow the GGUF on-disk block layouts
+// (reference ggml/src/ggml-common.h:219-335, semantics ggml-quants.c);
+// the numerics intentionally match omni_tpu/core/quants.py so the two
+// implementations validate each other bit-for-bit (dequant + the
+// order-independent quantizers).
+
+#include "omni_native.h"
+#include "common.hpp"
+
+#include <algorithm>
+#include <cmath>
+
+using namespace on;
+
+namespace {
+
+constexpr int QK = 32;    // legacy block
+constexpr int QKK = 256;  // K-quant superblock
+
+struct Traits { int block_size; int type_size; };
+
+Traits traits(int t) {
+    switch (t) {
+        case 0:  return {1, 4};        // F32
+        case 1:  return {1, 2};        // F16
+        case 2:  return {32, 18};      // Q4_0
+        case 3:  return {32, 20};      // Q4_1
+        case 6:  return {32, 22};      // Q5_0
+        case 7:  return {32, 24};      // Q5_1
+        case 8:  return {32, 34};      // Q8_0
+        case 10: return {256, 84};     // Q2_K
+        case 11: return {256, 110};    // Q3_K
+        case 12: return {256, 144};    // Q4_K
+        case 13: return {256, 176};    // Q5_K
+        case 14: return {256, 210};    // Q6_K
+        case 30: return {1, 2};        // BF16
+        default: return {0, 0};
+    }
+}
+
+// ---- get_scale_min_k4 (Q4_K/Q5_K packed 6-bit scales) --------------------
+inline void scale_min_k4(const uint8_t *s, uint8_t sc[8], uint8_t mn[8]) {
+    for (int j = 0; j < 4; ++j) {
+        sc[j] = s[j] & 63;
+        mn[j] = s[j + 4] & 63;
+        sc[j + 4] = (s[j + 8] & 0x0F) | ((s[j] >> 2) & 0x30);
+        mn[j + 4] = (s[j + 8] >> 4) | ((s[j + 4] >> 2) & 0x30);
+    }
+}
+
+inline void pack_scale_min_k4(const uint8_t sc[8], const uint8_t mn[8],
+                              uint8_t *out) {
+    for (int j = 0; j < 4; ++j) {
+        out[j] = (uint8_t)(sc[j] | ((sc[j + 4] >> 4) << 6));
+        out[j + 4] = (uint8_t)(mn[j] | ((mn[j + 4] >> 4) << 6));
+        out[j + 8] = (uint8_t)((sc[j + 4] & 0x0F) | ((mn[j + 4] & 0x0F) << 4));
+    }
+}
+
+// ---- per-block dequantizers (one block -> block_size floats) -------------
+
+void deq_q4_0(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    for (int j = 0; j < 16; ++j) {
+        y[j] = d * (float)((int)(b[2 + j] & 0xF) - 8);
+        y[j + 16] = d * (float)((int)(b[2 + j] >> 4) - 8);
+    }
+}
+
+void deq_q4_1(const uint8_t *b, float *y) {
+    float d = fp16v(b), m = fp16v(b + 2);
+    for (int j = 0; j < 16; ++j) {
+        y[j] = d * (float)(b[4 + j] & 0xF) + m;
+        y[j + 16] = d * (float)(b[4 + j] >> 4) + m;
+    }
+}
+
+void deq_q5_0(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    uint32_t qh;
+    std::memcpy(&qh, b + 2, 4);
+    for (int j = 0; j < 16; ++j) {
+        int lo0 = b[6 + j] & 0xF, lo1 = b[6 + j] >> 4;
+        int h0 = (qh >> j) & 1, h1 = (qh >> (j + 16)) & 1;
+        y[j] = d * (float)((lo0 | (h0 << 4)) - 16);
+        y[j + 16] = d * (float)((lo1 | (h1 << 4)) - 16);
+    }
+}
+
+void deq_q5_1(const uint8_t *b, float *y) {
+    float d = fp16v(b), m = fp16v(b + 2);
+    uint32_t qh;
+    std::memcpy(&qh, b + 4, 4);
+    for (int j = 0; j < 16; ++j) {
+        int lo0 = b[8 + j] & 0xF, lo1 = b[8 + j] >> 4;
+        int h0 = (qh >> j) & 1, h1 = (qh >> (j + 16)) & 1;
+        y[j] = d * (float)(lo0 | (h0 << 4)) + m;
+        y[j + 16] = d * (float)(lo1 | (h1 << 4)) + m;
+    }
+}
+
+void deq_q8_0(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    const int8_t *q = (const int8_t *)(b + 2);
+    for (int j = 0; j < 32; ++j) y[j] = d * (float)q[j];
+}
+
+void deq_q2_k(const uint8_t *b, float *y) {
+    const uint8_t *scales = b, *qs = b + 16;
+    float d = fp16v(b + 80), dmin = fp16v(b + 82);
+    // elems: per 32-byte group g2 (0,1), shifts 0/2/4/6 give 32 elems each
+    for (int g2 = 0; g2 < 2; ++g2) {
+        for (int s = 0; s < 4; ++s) {
+            int base = g2 * 128 + s * 32;
+            for (int j = 0; j < 32; ++j) {
+                int e = base + j;
+                int g16 = e / 16;
+                float dl = d * (float)(scales[g16] & 0xF);
+                float ml = dmin * (float)(scales[g16] >> 4);
+                int q = (qs[g2 * 32 + j] >> (2 * s)) & 3;
+                y[e] = dl * (float)q - ml;
+            }
+        }
+    }
+}
+
+void unpack_scales_q3k(const uint8_t *s, int8_t sc[16]) {
+    uint8_t lo[16], hi[16];
+    for (int j = 0; j < 8; ++j) { lo[j] = s[j] & 0xF; lo[j + 8] = s[j] >> 4; }
+    for (int sh = 0; sh < 4; ++sh)
+        for (int j = 0; j < 4; ++j)
+            hi[sh * 4 + j] = (s[8 + j] >> (2 * sh)) & 3;
+    for (int j = 0; j < 16; ++j)
+        sc[j] = (int8_t)((lo[j] | (hi[j] << 4))) - 32;
+}
+
+void deq_q3_k(const uint8_t *b, float *y) {
+    const uint8_t *hmask = b, *qs = b + 32;
+    int8_t sc[16];
+    unpack_scales_q3k(b + 96, sc);
+    float d = fp16v(b + 108);
+    for (int g2 = 0; g2 < 2; ++g2) {
+        for (int s = 0; s < 4; ++s) {
+            int base = g2 * 128 + s * 32;
+            for (int j = 0; j < 32; ++j) {
+                int e = base + j;
+                int hbit = (hmask[j] >> (e / 32)) & 1;  // shift index = e/32
+                int ql = (qs[g2 * 32 + j] >> (2 * s)) & 3;
+                int q = ql - ((hbit ^ 1) << 2);
+                y[e] = d * (float)sc[e / 16] * (float)q;
+            }
+        }
+    }
+}
+
+void deq_q4_k(const uint8_t *b, float *y) {
+    float d = fp16v(b), dmin = fp16v(b + 2);
+    uint8_t sc[8], mn[8];
+    scale_min_k4(b + 4, sc, mn);
+    const uint8_t *qs = b + 16;
+    for (int g = 0; g < 4; ++g) {  // 32-byte nibble groups
+        for (int j = 0; j < 32; ++j) {
+            int e0 = g * 64 + j, e1 = g * 64 + 32 + j;
+            uint8_t byte = qs[g * 32 + j];
+            float dl0 = d * (float)sc[e0 / 32], ml0 = dmin * (float)mn[e0 / 32];
+            float dl1 = d * (float)sc[e1 / 32], ml1 = dmin * (float)mn[e1 / 32];
+            y[e0] = dl0 * (float)(byte & 0xF) - ml0;
+            y[e1] = dl1 * (float)(byte >> 4) - ml1;
+        }
+    }
+}
+
+void deq_q5_k(const uint8_t *b, float *y) {
+    float d = fp16v(b), dmin = fp16v(b + 2);
+    uint8_t sc[8], mn[8];
+    scale_min_k4(b + 4, sc, mn);
+    const uint8_t *qh = b + 16, *qs = b + 48;
+    for (int g = 0; g < 4; ++g) {
+        for (int j = 0; j < 32; ++j) {
+            int e0 = g * 64 + j, e1 = g * 64 + 32 + j;
+            uint8_t byte = qs[g * 32 + j];
+            int h0 = (qh[j] >> (e0 / 32)) & 1;
+            int h1 = (qh[j] >> (e1 / 32)) & 1;
+            int q0 = (byte & 0xF) | (h0 << 4);
+            int q1 = (byte >> 4) | (h1 << 4);
+            y[e0] = d * (float)sc[e0 / 32] * (float)q0 - dmin * (float)mn[e0 / 32];
+            y[e1] = d * (float)sc[e1 / 32] * (float)q1 - dmin * (float)mn[e1 / 32];
+        }
+    }
+}
+
+inline int q6k_elem(const uint8_t *ql, const uint8_t *qh, int e) {
+    // lo: 64-byte nibble groups; hi: 32-byte groups, shifts 0/2/4/6
+    int half = e / 128, r = e % 128;
+    uint8_t lo = (r < 64) ? (ql[half * 64 + r] & 0xF) : (ql[half * 64 + r - 64] >> 4);
+    int hs = (e % 128) / 32;  // shift index within half
+    uint8_t hb = (qh[half * 32 + (e % 32)] >> (2 * hs)) & 3;
+    return (int)(lo | (hb << 4)) - 32;
+}
+
+void deq_q6_k(const uint8_t *b, float *y) {
+    const uint8_t *ql = b, *qh = b + 128;
+    const int8_t *scales = (const int8_t *)(b + 192);
+    float d = fp16v(b + 208);
+    for (int e = 0; e < 256; ++e)
+        y[e] = d * (float)scales[e / 16] * (float)q6k_elem(ql, qh, e);
+}
+
+// ---- per-block quantizers -------------------------------------------------
+
+void q_q8_0(const float *x, uint8_t *b) {
+    float amax = 0;
+    for (int j = 0; j < 32; ++j) amax = std::max(amax, std::fabs(x[j]));
+    float d = amax / 127.0f;
+    uint16_t h = f32_to_f16(d);
+    std::memcpy(b, &h, 2);
+    float inv = safe_inv(d);
+    for (int j = 0; j < 32; ++j)
+        ((int8_t *)(b + 2))[j] = (int8_t)round_half_away(x[j] * inv);
+}
+
+void q_q4_0(const float *x, uint8_t *b) {
+    int im = 0;
+    for (int j = 1; j < 32; ++j)
+        if (std::fabs(x[j]) > std::fabs(x[im])) im = j;
+    float d = x[im] / -8.0f;
+    uint16_t h = f32_to_f16(d);
+    std::memcpy(b, &h, 2);
+    float inv = safe_inv(d);
+    uint8_t q[32];
+    for (int j = 0; j < 32; ++j) {
+        float v = std::trunc(x[j] * inv + 8.5f);
+        q[j] = (uint8_t)std::min(15.0f, std::max(0.0f, v));
+    }
+    for (int j = 0; j < 16; ++j) b[2 + j] = q[j] | (q[j + 16] << 4);
+}
+
+void q_q4_1(const float *x, uint8_t *b) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < 32; ++j) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 15.0f;
+    uint16_t hd = f32_to_f16(d), hm = f32_to_f16(mn);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    float inv = safe_inv(d);
+    uint8_t q[32];
+    for (int j = 0; j < 32; ++j) {
+        float v = std::trunc((x[j] - mn) * inv + 0.5f);
+        q[j] = (uint8_t)std::min(15.0f, std::max(0.0f, v));
+    }
+    for (int j = 0; j < 16; ++j) b[4 + j] = q[j] | (q[j + 16] << 4);
+}
+
+void q_q5_0(const float *x, uint8_t *b) {
+    int im = 0;
+    for (int j = 1; j < 32; ++j)
+        if (std::fabs(x[j]) > std::fabs(x[im])) im = j;
+    float d = x[im] / -16.0f;
+    uint16_t h = f32_to_f16(d);
+    std::memcpy(b, &h, 2);
+    float inv = safe_inv(d);
+    uint8_t q[32];
+    uint32_t qh = 0;
+    for (int j = 0; j < 32; ++j) {
+        float v = std::trunc(x[j] * inv + 16.5f);
+        q[j] = (uint8_t)std::min(31.0f, std::max(0.0f, v));
+        qh |= (uint32_t)(q[j] >> 4) << j;
+    }
+    std::memcpy(b + 2, &qh, 4);
+    for (int j = 0; j < 16; ++j)
+        b[6 + j] = (q[j] & 0xF) | ((q[j + 16] & 0xF) << 4);
+}
+
+void q_q5_1(const float *x, uint8_t *b) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < 32; ++j) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 31.0f;
+    uint16_t hd = f32_to_f16(d), hm = f32_to_f16(mn);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    float inv = safe_inv(d);
+    uint8_t q[32];
+    uint32_t qh = 0;
+    for (int j = 0; j < 32; ++j) {
+        float v = std::trunc((x[j] - mn) * inv + 0.5f);
+        q[j] = (uint8_t)std::min(31.0f, std::max(0.0f, v));
+        qh |= (uint32_t)(q[j] >> 4) << j;
+    }
+    std::memcpy(b + 4, &qh, 4);
+    for (int j = 0; j < 16; ++j)
+        b[8 + j] = (q[j] & 0xF) | ((q[j + 16] & 0xF) << 4);
+}
+
+void q_q2_k(const float *x, uint8_t *b) {
+    float scf[16], mf[16];
+    for (int g = 0; g < 16; ++g) {
+        float mn = 0, mx = x[g * 16];
+        mn = std::min(0.0f, x[g * 16]);
+        for (int j = 1; j < 16; ++j) {
+            mn = std::min(mn, x[g * 16 + j]);
+            mx = std::max(mx, x[g * 16 + j]);
+        }
+        mn = std::min(mn, 0.0f);
+        scf[g] = (mx - mn) / 3.0f;
+        mf[g] = -mn;
+    }
+    float dmax = 0, mmax = 0;
+    for (int g = 0; g < 16; ++g) { dmax = std::max(dmax, scf[g]); mmax = std::max(mmax, mf[g]); }
+    float d = dmax / 15.0f, dmin = mmax / 15.0f;
+    float invd = safe_inv(d), invm = safe_inv(dmin);
+    uint8_t sc4[16], m4[16];
+    for (int g = 0; g < 16; ++g) {
+        sc4[g] = (uint8_t)std::min(15.0f, std::max(0.0f, round_half_away(scf[g] * invd)));
+        m4[g] = (uint8_t)std::min(15.0f, std::max(0.0f, round_half_away(mf[g] * invm)));
+        b[g] = sc4[g] | (m4[g] << 4);
+    }
+    float d16 = f16_to_f32(f32_to_f16(d)), dm16 = f16_to_f32(f32_to_f16(dmin));
+    uint8_t q[256];
+    for (int g = 0; g < 16; ++g) {
+        float dl = d16 * (float)sc4[g], ml = dm16 * (float)m4[g];
+        float inv = safe_inv(dl);
+        for (int j = 0; j < 16; ++j) {
+            float v = round_half_away((x[g * 16 + j] + ml) * inv);
+            q[g * 16 + j] = (uint8_t)std::min(3.0f, std::max(0.0f, v));
+        }
+    }
+    for (int g2 = 0; g2 < 2; ++g2)
+        for (int j = 0; j < 32; ++j) {
+            uint8_t byte = 0;
+            for (int s = 0; s < 4; ++s) byte |= q[g2 * 128 + s * 32 + j] << (2 * s);
+            b[16 + g2 * 32 + j] = byte;
+        }
+    uint16_t hd = f32_to_f16(d), hm = f32_to_f16(dmin);
+    std::memcpy(b + 80, &hd, 2);
+    std::memcpy(b + 82, &hm, 2);
+}
+
+float fit_subblock_scale(const float *xs, int n, int qmin, int qmax) {
+    float amax = 0;
+    for (int j = 0; j < n; ++j) amax = std::max(amax, std::fabs(xs[j]));
+    float s = amax / (float)std::max(-qmin, qmax);
+    for (int it = 0; it < 3; ++it) {
+        float inv = safe_inv(s);
+        float num = 0, den = 0;
+        for (int j = 0; j < n; ++j) {
+            float q = round_half_away(xs[j] * inv);
+            q = std::min((float)qmax, std::max((float)qmin, q));
+            num += xs[j] * q;
+            den += q * q;
+        }
+        if (den > 0) s = num / std::max(den, 1e-30f);
+    }
+    return s;
+}
+
+void q_q3_k(const float *x, uint8_t *b) {
+    float sf[16];
+    for (int g = 0; g < 16; ++g) sf[g] = fit_subblock_scale(x + g * 16, 16, -4, 3);
+    float amax = 0;
+    for (int g = 0; g < 16; ++g) amax = std::max(amax, std::fabs(sf[g]));
+    float d = amax / 31.0f;
+    float inv = safe_inv(d);
+    int8_t sc[16];
+    for (int g = 0; g < 16; ++g) {
+        float v = round_half_away(sf[g] * inv);
+        sc[g] = (int8_t)std::min(31.0f, std::max(-32.0f, v));
+    }
+    float d16 = f16_to_f32(f32_to_f16(d));
+    uint8_t qp[256];
+    for (int g = 0; g < 16; ++g) {
+        float dl = d16 * (float)sc[g];
+        float invl = safe_inv(dl);
+        for (int j = 0; j < 16; ++j) {
+            float v = round_half_away(x[g * 16 + j] * invl);
+            int q = (int)std::min(3.0f, std::max(-4.0f, v));
+            qp[g * 16 + j] = (uint8_t)(q + 4);
+        }
+    }
+    // hmask: bit (e/32) of byte (e%32); set bit = "no subtract"
+    for (int j = 0; j < 32; ++j) {
+        uint8_t byte = 0;
+        for (int sh = 0; sh < 8; ++sh) byte |= ((qp[sh * 32 + j] >> 2) & 1) << sh;
+        b[j] = byte;
+    }
+    for (int g2 = 0; g2 < 2; ++g2)
+        for (int j = 0; j < 32; ++j) {
+            uint8_t byte = 0;
+            for (int s = 0; s < 4; ++s)
+                byte |= (qp[g2 * 128 + s * 32 + j] & 3) << (2 * s);
+            b[32 + g2 * 32 + j] = byte;
+        }
+    // pack 16 6-bit signed scales into 12 bytes
+    uint8_t u[16];
+    for (int g = 0; g < 16; ++g) u[g] = (uint8_t)((int)sc[g] + 32);
+    for (int j = 0; j < 8; ++j) b[96 + j] = (u[j] & 0xF) | ((u[j + 8] & 0xF) << 4);
+    for (int j = 0; j < 4; ++j) {
+        uint8_t byte = 0;
+        for (int sh = 0; sh < 4; ++sh) byte |= (u[sh * 4 + j] >> 4) << (2 * sh);
+        b[104 + j] = byte;
+    }
+    uint16_t hd = f32_to_f16(d);
+    std::memcpy(b + 108, &hd, 2);
+}
+
+void kquant_scale_min(const float *x, int qmax_v, float *dp, float *dminp,
+                      uint8_t sc6[8], uint8_t m6[8], uint8_t q[256]) {
+    float scf[8], mf[8];
+    for (int g = 0; g < 8; ++g) {
+        float mn = std::min(0.0f, x[g * 32]), mx = x[g * 32];
+        for (int j = 1; j < 32; ++j) {
+            mn = std::min(mn, x[g * 32 + j]);
+            mx = std::max(mx, x[g * 32 + j]);
+        }
+        mn = std::min(mn, 0.0f);
+        scf[g] = (mx - mn) / (float)qmax_v;
+        mf[g] = -mn;
+    }
+    float dmax = 0, mmax = 0;
+    for (int g = 0; g < 8; ++g) { dmax = std::max(dmax, scf[g]); mmax = std::max(mmax, mf[g]); }
+    float d = dmax / 63.0f, dmin = mmax / 63.0f;
+    float invd = safe_inv(d), invm = safe_inv(dmin);
+    for (int g = 0; g < 8; ++g) {
+        sc6[g] = (uint8_t)std::min(63.0f, std::max(0.0f, round_half_away(scf[g] * invd)));
+        m6[g] = (uint8_t)std::min(63.0f, std::max(0.0f, round_half_away(mf[g] * invm)));
+    }
+    float d16 = f16_to_f32(f32_to_f16(d)), dm16 = f16_to_f32(f32_to_f16(dmin));
+    for (int g = 0; g < 8; ++g) {
+        float dl = d16 * (float)sc6[g], ml = dm16 * (float)m6[g];
+        float inv = safe_inv(dl);
+        for (int j = 0; j < 32; ++j) {
+            float v = round_half_away((x[g * 32 + j] + ml) * inv);
+            q[g * 32 + j] = (uint8_t)std::min((float)qmax_v, std::max(0.0f, v));
+        }
+    }
+    *dp = d;
+    *dminp = dmin;
+}
+
+void q_q4_k(const float *x, uint8_t *b) {
+    float d, dmin;
+    uint8_t sc6[8], m6[8], q[256];
+    kquant_scale_min(x, 15, &d, &dmin, sc6, m6, q);
+    uint16_t hd = f32_to_f16(d), hm = f32_to_f16(dmin);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    pack_scale_min_k4(sc6, m6, b + 4);
+    for (int g = 0; g < 4; ++g)
+        for (int j = 0; j < 32; ++j)
+            b[16 + g * 32 + j] = q[g * 64 + j] | (q[g * 64 + 32 + j] << 4);
+}
+
+void q_q5_k(const float *x, uint8_t *b) {
+    float d, dmin;
+    uint8_t sc6[8], m6[8], q[256];
+    kquant_scale_min(x, 31, &d, &dmin, sc6, m6, q);
+    uint16_t hd = f32_to_f16(d), hm = f32_to_f16(dmin);
+    std::memcpy(b, &hd, 2);
+    std::memcpy(b + 2, &hm, 2);
+    pack_scale_min_k4(sc6, m6, b + 4);
+    for (int j = 0; j < 32; ++j) {
+        uint8_t byte = 0;
+        for (int sh = 0; sh < 8; ++sh) byte |= (q[sh * 32 + j] >> 4) << sh;
+        b[16 + j] = byte;
+    }
+    for (int g = 0; g < 4; ++g)
+        for (int j = 0; j < 32; ++j)
+            b[48 + g * 32 + j] = (q[g * 64 + j] & 0xF) | ((q[g * 64 + 32 + j] & 0xF) << 4);
+}
+
+void q_q6_k(const float *x, uint8_t *b) {
+    float sf[16];
+    for (int g = 0; g < 16; ++g) sf[g] = fit_subblock_scale(x + g * 16, 16, -32, 31);
+    float amax = 0;
+    for (int g = 0; g < 16; ++g) amax = std::max(amax, std::fabs(sf[g]));
+    float d = amax / 127.0f;
+    float inv = safe_inv(d);
+    int8_t sc[16];
+    for (int g = 0; g < 16; ++g) {
+        float v = round_half_away(sf[g] * inv);
+        sc[g] = (int8_t)std::min(127.0f, std::max(-128.0f, v));
+    }
+    float d16 = f16_to_f32(f32_to_f16(d));
+    uint8_t qp[256];
+    for (int g = 0; g < 16; ++g) {
+        float dl = d16 * (float)sc[g];
+        float invl = safe_inv(dl);
+        for (int j = 0; j < 16; ++j) {
+            float v = round_half_away(x[g * 16 + j] * invl);
+            int q = (int)std::min(31.0f, std::max(-32.0f, v));
+            qp[g * 16 + j] = (uint8_t)(q + 32);
+        }
+    }
+    // ql: per 128-half, byte r<64: (elem r lo4) | (elem r+64 lo4)<<4
+    for (int half = 0; half < 2; ++half)
+        for (int r = 0; r < 64; ++r)
+            b[half * 64 + r] = (qp[half * 128 + r] & 0xF) |
+                               ((qp[half * 128 + 64 + r] & 0xF) << 4);
+    // qh: per 128-half, 32 bytes; shifts 0/2/4/6 <- elem groups of 32
+    for (int half = 0; half < 2; ++half)
+        for (int j = 0; j < 32; ++j) {
+            uint8_t byte = 0;
+            for (int s = 0; s < 4; ++s)
+                byte |= (qp[half * 128 + s * 32 + j] >> 4) << (2 * s);
+            b[128 + half * 32 + j] = byte;
+        }
+    std::memcpy(b + 192, sc, 16);
+    uint16_t hd = f32_to_f16(d);
+    std::memcpy(b + 208, &hd, 2);
+}
+
+using DeqFn = void (*)(const uint8_t *, float *);
+using QFn = void (*)(const float *, uint8_t *);
+
+DeqFn deq_fn(int t) {
+    switch (t) {
+        case 2: return deq_q4_0;
+        case 3: return deq_q4_1;
+        case 6: return deq_q5_0;
+        case 7: return deq_q5_1;
+        case 8: return deq_q8_0;
+        case 10: return deq_q2_k;
+        case 11: return deq_q3_k;
+        case 12: return deq_q4_k;
+        case 13: return deq_q5_k;
+        case 14: return deq_q6_k;
+        default: return nullptr;
+    }
+}
+
+QFn q_fn(int t) {
+    switch (t) {
+        case 2: return q_q4_0;
+        case 3: return q_q4_1;
+        case 6: return q_q5_0;
+        case 7: return q_q5_1;
+        case 8: return q_q8_0;
+        case 10: return q_q2_k;
+        case 11: return q_q3_k;
+        case 12: return q_q4_k;
+        case 13: return q_q5_k;
+        case 14: return q_q6_k;
+        default: return nullptr;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int on_version(void) { return 1; }
+
+int on_dequantize(int t, const uint8_t *blocks, int64_t n_elems, float *out,
+                  int n_threads) {
+    if (t == 0) {  // F32
+        std::memcpy(out, blocks, (size_t)n_elems * 4);
+        return 0;
+    }
+    if (t == 1) {  // F16
+        parallel_for(n_elems, n_threads, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) out[i] = fp16v(blocks + 2 * i);
+        });
+        return 0;
+    }
+    if (t == 30) {  // BF16
+        parallel_for(n_elems, n_threads, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                uint16_t h;
+                std::memcpy(&h, blocks + 2 * i, 2);
+                uint32_t bits = (uint32_t)h << 16;
+                std::memcpy(out + i, &bits, 4);
+            }
+        });
+        return 0;
+    }
+    Traits tr = traits(t);
+    DeqFn fn = deq_fn(t);
+    if (!fn || tr.block_size == 0 || n_elems % tr.block_size) return -1;
+    int64_t nb = n_elems / tr.block_size;
+    parallel_for(nb, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            fn(blocks + i * tr.type_size, out + i * tr.block_size);
+    });
+    return 0;
+}
+
+int on_quantize(int t, const float *x, int64_t n_elems, uint8_t *out,
+                int n_threads) {
+    if (t == 0) {
+        std::memcpy(out, x, (size_t)n_elems * 4);
+        return 0;
+    }
+    if (t == 1) {
+        parallel_for(n_elems, n_threads, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                uint16_t h = f32_to_f16(x[i]);
+                std::memcpy(out + 2 * i, &h, 2);
+            }
+        });
+        return 0;
+    }
+    Traits tr = traits(t);
+    QFn fn = q_fn(t);
+    if (!fn || tr.block_size == 0 || n_elems % tr.block_size) return -1;
+    int64_t nb = n_elems / tr.block_size;
+    parallel_for(nb, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            fn(x + i * tr.block_size, out + i * tr.type_size);
+    });
+    return 0;
+}
+
+// ---- repack: planes are [k', n] row-major with row stride n ---------------
+
+int on_repack_q8_0(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
+                   float *d, int n_threads) {
+    if (k % 32) return -1;
+    int64_t nb = k / 32;  // blocks per row
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nb * 34;
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint8_t *blk = row + b * 34;
+                d[b * n + i] = fp16v(blk);
+                const int8_t *src = (const int8_t *)(blk + 2);
+                for (int j = 0; j < 32; ++j) q[(b * 32 + j) * n + i] = src[j];
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_q4_k(const uint8_t *blocks, int64_t n, int64_t k, uint8_t *q,
+                   int8_t *sc, int8_t *mn, float *d, float *dm,
+                   int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * 144;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * 144;
+                d[s * n + i] = fp16v(blk);
+                dm[s * n + i] = fp16v(blk + 2);
+                uint8_t s8[8], m8[8];
+                scale_min_k4(blk + 4, s8, m8);
+                for (int g = 0; g < 8; ++g) {
+                    sc[(s * 8 + g) * n + i] = (int8_t)s8[g];
+                    mn[(s * 8 + g) * n + i] = (int8_t)m8[g];
+                }
+                // unpack to element order then re-pack superblock halves:
+                // plane byte r (0..127) = elem r lo-nibble | elem r+128 hi
+                uint8_t e[256];
+                const uint8_t *qs = blk + 16;
+                for (int g = 0; g < 4; ++g)
+                    for (int j = 0; j < 32; ++j) {
+                        e[g * 64 + j] = qs[g * 32 + j] & 0xF;
+                        e[g * 64 + 32 + j] = qs[g * 32 + j] >> 4;
+                    }
+                for (int r = 0; r < 128; ++r)
+                    q[(s * 128 + r) * n + i] = e[r] | (e[128 + r] << 4);
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_q5_k(const uint8_t *blocks, int64_t n, int64_t k, uint8_t *q,
+                   int8_t *sc, int8_t *mn, float *d, float *dm, uint8_t *qh,
+                   int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * 176;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * 176;
+                d[s * n + i] = fp16v(blk);
+                dm[s * n + i] = fp16v(blk + 2);
+                uint8_t s8[8], m8[8];
+                scale_min_k4(blk + 4, s8, m8);
+                for (int g = 0; g < 8; ++g) {
+                    sc[(s * 8 + g) * n + i] = (int8_t)s8[g];
+                    mn[(s * 8 + g) * n + i] = (int8_t)m8[g];
+                }
+                const uint8_t *qhb = blk + 16, *qs = blk + 48;
+                uint8_t e[256], hbit[256];
+                for (int g = 0; g < 4; ++g)
+                    for (int j = 0; j < 32; ++j) {
+                        int e0 = g * 64 + j, e1 = g * 64 + 32 + j;
+                        e[e0] = qs[g * 32 + j] & 0xF;
+                        e[e1] = qs[g * 32 + j] >> 4;
+                        hbit[e0] = (qhb[j] >> (e0 / 32)) & 1;
+                        hbit[e1] = (qhb[j] >> (e1 / 32)) & 1;
+                    }
+                for (int r = 0; r < 128; ++r)
+                    q[(s * 128 + r) * n + i] = e[r] | (e[128 + r] << 4);
+                // qh plane: byte j of the row covers elems 8j..8j+7, bit b
+                // = elem 8j+b (little bitorder), original element order
+                for (int j = 0; j < 32; ++j) {
+                    uint8_t byte = 0;
+                    for (int bb = 0; bb < 8; ++bb)
+                        byte |= hbit[j * 8 + bb] << bb;
+                    qh[(s * 32 + j) * n + i] = byte;
+                }
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_q6_k(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
+                   int8_t *sc, float *d, int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * 210;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * 210;
+                d[s * n + i] = fp16v(blk + 208);
+                const int8_t *scales = (const int8_t *)(blk + 192);
+                for (int g = 0; g < 16; ++g) sc[(s * 16 + g) * n + i] = scales[g];
+                for (int e = 0; e < 256; ++e)
+                    q[(s * 256 + e) * n + i] =
+                        (int8_t)q6k_elem(blk, blk + 128, e);
+            }
+        }
+    });
+    return 0;
+}
+
+}  // extern "C"

@@ -423,10 +423,27 @@ _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
 }
 
 
+def _native_enabled() -> bool:
+    import os
+
+    return os.environ.get("OMNI_NATIVE", "1") != "0"
+
+
 def dequantize(blocks: np.ndarray, ggml_type: GGMLType | int,
                shape: tuple[int, ...] | None = None) -> np.ndarray:
-    """Block bytes -> float32 array (optionally reshaped to `shape`)."""
+    """Block bytes -> float32 array (optionally reshaped to `shape`).
+    Uses the multithreaded C++ codec (native/quants.cpp) when built —
+    bit-identical to this numpy path (tests/test_native.py)."""
     t = GGMLType(ggml_type)
+    if t in _DEQUANT and _native_enabled():
+        from .. import native_ext
+
+        tr = type_traits(t)
+        raw = np.ascontiguousarray(blocks, dtype=np.uint8)
+        n_elems = raw.size // tr.type_size * tr.block_size
+        out = native_ext.dequantize(int(t), raw, n_elems)
+        if out is not None:
+            return out.reshape(shape) if shape is not None else out
     if t == GGMLType.F32:
         out = np.asarray(blocks, dtype=np.float32)
     elif t == GGMLType.F16:
@@ -447,6 +464,15 @@ def quantize(data: np.ndarray, ggml_type: GGMLType | int) -> np.ndarray:
     """float array -> block bytes (uint8, shape [n_blocks, type_size])."""
     t = GGMLType(ggml_type)
     x = np.ascontiguousarray(data, dtype=np.float32)
+    if t in _QUANT and _native_enabled():
+        from .. import native_ext
+
+        tr = type_traits(t)
+        if x.size % tr.block_size == 0:
+            out = native_ext.quantize(int(t), x,
+                                      x.size // tr.block_size * tr.type_size)
+            if out is not None:
+                return out.reshape(-1, tr.type_size)
     if t == GGMLType.F32:
         return x
     if t == GGMLType.F16:

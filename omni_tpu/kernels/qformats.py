@@ -90,9 +90,21 @@ def _pack_sb_halves(q: np.ndarray) -> np.ndarray:
 
 
 def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
-    """GGUF block bytes -> K-major SoA QTensor."""
+    """GGUF block bytes -> K-major SoA QTensor. The multithreaded C++
+    repacker (native/quants.cpp, bit-identical) takes the multi-GB
+    load-time pass when built."""
     t = GGMLType(ggml_type)
     n, k = shape
+    import os
+
+    if os.environ.get("OMNI_NATIVE", "1") != "0":
+        from .. import native_ext
+
+        planes = native_ext.repack(int(t), np.ascontiguousarray(blocks), n, k)
+        if planes is not None:
+            j = {nm: jnp.asarray(a) for nm, a in planes.items()}
+            return QTensor(t, shape, j["q"], j.get("sc"), j.get("mn"),
+                           j["d"], j.get("dm"), qh=j.get("qh"))
     tr = type_traits(t)
     b = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, tr.type_size)
     nsb = b.shape[0] // n  # superblocks per row

@@ -38,6 +38,16 @@ def log_mel_spectrogram(
     n_samples = len(samples)
     if n_frames is None:
         n_frames = int(round(n_samples / HOP))
+
+    import os
+
+    if os.environ.get("OMNI_NATIVE", "1") != "0":
+        from .. import native_ext
+
+        out = native_ext.log_mel(samples, mel_filters, n_frames)
+        if out is not None:
+            return out
+
     pad = N_FFT // 2
     padded = np.concatenate([
         samples[1 : pad + 1][::-1],  # reflect head
@@ -61,8 +71,15 @@ def load_wav_mono_16k(path: str) -> np.ndarray:
     """Minimal WAV reader (PCM16/PCM32/float32) + linear resample to 16 kHz.
     Plays the role of the reference's vendored miniaudio decode
     (tools/omni/audition.cpp:42)."""
-    import struct
+    import os
     import wave
+
+    if os.environ.get("OMNI_NATIVE", "1") != "0":
+        from .. import native_ext
+
+        out = native_ext.read_wav_mono_16k(path)
+        if out is not None:
+            return out
 
     with wave.open(path, "rb") as w:
         n = w.getnframes()
