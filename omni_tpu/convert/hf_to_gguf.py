@@ -1,0 +1,332 @@
+"""Per-module HF -> GGUF converters.
+
+Each converter maps HF parameter names to the GGUF tensor naming the
+reference toolchain produces (and our loaders consume):
+- LLM: llama.cpp naming (blk.N.attn_q.weight ...) as in convert_hf_to_gguf.py
+- APM: whisper converter naming (encoder.blocks.N.attn.query.weight ...,
+  reference tools/omni/convert/convert_apm.py)
+- VPM: clip converter naming (v.blk.N.*, resampler.*, convert_vpm.py)
+- TTS: converter naming (tts.layers.N.self_attn.*, convert_tts.py) with the
+  weight-norm head_code merge (convert_tts.py:76-87)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..core import GGMLType
+from ..core.gguf import GGUFWriter
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().float().numpy()
+    return np.asarray(v)
+
+
+def merge_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
+    """Materialize torch weight-norm: W = g * V / ||V||_row (dim=0 per
+    torch's default for Linear: norm over input dim per output row)."""
+    v = _np(weight_v).astype(np.float32)
+    g = _np(weight_g).astype(np.float32).reshape(-1, *([1] * (v.ndim - 1)))
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _add(w: GGUFWriter, name: str, arr, qtype: GGMLType | None = None) -> None:
+    x = _np(arr).astype(np.float32)
+    if qtype in (None, GGMLType.F32) or x.ndim != 2 or x.shape[-1] % 256:
+        w.add_tensor(name, x if x.ndim else x.reshape(1))
+        return
+    if qtype == GGMLType.F16:
+        w.add_tensor(name, x.astype(np.float16))
+        return
+    from ..core import quants
+
+    w.add_tensor(name, quants.quantize(x, qtype), qtype, logical_shape=x.shape)
+
+
+def _strip(state: Mapping[str, Any], *prefixes: str) -> dict[str, Any]:
+    out = {}
+    for k, v in state.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LLM (Qwen3/LLaMA family) — convert_hf_to_gguf.py counterpart
+# ---------------------------------------------------------------------------
+
+_LLM_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
+def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
+                out_path: str, qtype: GGMLType = GGMLType.F16,
+                arch: str = "qwen3",
+                tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF Qwen3/LLaMA-style state dict + config.json dict -> GGUF."""
+    state = _strip(state, "model.")
+    w = GGUFWriter(out_path)
+    n_heads = int(config["num_attention_heads"])
+    d_model = int(config["hidden_size"])
+    head_dim = int(config.get("head_dim", d_model // n_heads))
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(config.get("num_key_value_heads", n_heads)))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["norm.weight"], None)
+    if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
+        put("output.weight", state["lm_head.weight"])
+    n_layers = int(config["num_hidden_layers"])
+    for i in range(n_layers):
+        for hf, gg in _LLM_LAYER_MAP.items():
+            key = f"layers.{i}.{hf}"
+            if key not in state:
+                if "norm" in hf:
+                    continue  # q/k norm optional (llama has none)
+                raise KeyError(f"missing {key}")
+            is_norm = "norm" in hf
+            put(f"blk.{i}.{gg}", state[key], None if is_norm else qtype)
+    w.write()
+    return written
+
+
+# ---------------------------------------------------------------------------
+# APM (Whisper-style audio encoder) — convert_apm.py counterpart
+# ---------------------------------------------------------------------------
+
+_APM_ATTN_MAP = {
+    "q_proj": "attn.query",
+    "k_proj": "attn.key",
+    "v_proj": "attn.value",
+    "out_proj": "attn.out",
+}
+
+
+def convert_apm(state: Mapping[str, Any], config: Mapping[str, Any],
+                out_path: str, mel_filters: np.ndarray | None = None) -> list[str]:
+    """HF Whisper encoder (+ audio_projection_layer) -> APM GGUF."""
+    state = _strip(state, "model.", "encoder.")
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "whisper")
+    n_layers = int(config.get("encoder_layers", 24))
+    w.add_kv("encoder_layers", n_layers)
+    w.add_kv("d_model", int(config.get("d_model", 1024)))
+    w.add_kv("encoder_attention_heads",
+             int(config.get("encoder_attention_heads", 16)))
+    w.add_kv("n_mel", int(config.get("num_mel_bins", 80)))
+    if mel_filters is not None:  # loader reads the filterbank from KV
+        w.add_kv("filters",
+                 [float(x) for x in np.asarray(mel_filters, np.float32).reshape(-1)])
+
+    written = []
+
+    def put(name, arr):
+        _add(w, name, arr, None)
+        written.append(name)
+
+    put("encoder.conv1.weight", state["conv1.weight"])
+    put("encoder.conv1.bias", state["conv1.bias"])
+    put("encoder.conv2.weight", state["conv2.weight"])
+    put("encoder.conv2.bias", state["conv2.bias"])
+    put("encoder.positional_embedding", state["embed_positions.weight"])
+    put("encoder.ln_post.weight", state["layer_norm.weight"])
+    put("encoder.ln_post.bias", state["layer_norm.bias"])
+    for i in range(n_layers):
+        src = f"layers.{i}."
+        dst = f"encoder.blocks.{i}."
+        for hf, gg in _APM_ATTN_MAP.items():
+            put(dst + gg + ".weight", state[src + f"self_attn.{hf}.weight"])
+            bkey = src + f"self_attn.{hf}.bias"
+            if bkey in state:  # whisper k_proj has no bias
+                put(dst + gg + ".bias", state[bkey])
+        put(dst + "attn_ln.weight", state[src + "self_attn_layer_norm.weight"])
+        put(dst + "attn_ln.bias", state[src + "self_attn_layer_norm.bias"])
+        put(dst + "mlp_ln.weight", state[src + "final_layer_norm.weight"])
+        put(dst + "mlp_ln.bias", state[src + "final_layer_norm.bias"])
+        put(dst + "mlp.0.weight", state[src + "fc1.weight"])
+        put(dst + "mlp.0.bias", state[src + "fc1.bias"])
+        put(dst + "mlp.2.weight", state[src + "fc2.weight"])
+        put(dst + "mlp.2.bias", state[src + "fc2.bias"])
+    # projection MLP (MiniCPM-o audio_projection_layer: linear1/linear2)
+    for src, dst in (("audio_projection_layer.linear1", "audio_projector.linear1"),
+                     ("audio_projection_layer.linear2", "audio_projector.linear2")):
+        if src + ".weight" in state:
+            put(dst + ".weight", state[src + ".weight"])
+            put(dst + ".bias", state[src + ".bias"])
+    w.write()
+    return written
+
+
+# ---------------------------------------------------------------------------
+# VPM (SigLip2 + resampler) — convert_vpm.py counterpart
+# ---------------------------------------------------------------------------
+
+def convert_vpm(state: Mapping[str, Any], config: Mapping[str, Any],
+                out_path: str) -> list[str]:
+    state = _strip(state, "vpm.", "vision_model.")
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    n_layers = int(config.get("num_hidden_layers", 26))
+    w.add_kv("clip.vision.block_count", n_layers)
+    w.add_kv("clip.vision.embedding_length", int(config.get("hidden_size", 1152)))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(config.get("intermediate_size", 4304)))
+    w.add_kv("clip.vision.attention.head_count",
+             int(config.get("num_attention_heads", 16)))
+    w.add_kv("clip.vision.patch_size", int(config.get("patch_size", 14)))
+    w.add_kv("clip.vision.image_size", int(config.get("image_size", 980)))
+    w.add_kv("clip.minicpmv_query_num", int(config.get("query_num", 64)))
+
+    written = []
+
+    def put(name, arr):
+        _add(w, name, arr, None)
+        written.append(name)
+
+    emb = "embeddings."
+    put("v.patch_embd.weight", state[emb + "patch_embedding.weight"])
+    put("v.patch_embd.bias", state[emb + "patch_embedding.bias"])
+    put("v.position_embd.weight", state[emb + "position_embedding.weight"])
+    put("v.post_ln.weight", state["post_layernorm.weight"])
+    put("v.post_ln.bias", state["post_layernorm.bias"])
+    for i in range(n_layers):
+        src = f"encoder.layers.{i}."
+        dst = f"v.blk.{i}."
+        for hf, gg in (("self_attn.q_proj", "attn_q"),
+                       ("self_attn.k_proj", "attn_k"),
+                       ("self_attn.v_proj", "attn_v"),
+                       ("self_attn.out_proj", "attn_out"),
+                       ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down")):
+            put(dst + gg + ".weight", state[src + hf + ".weight"])
+            put(dst + gg + ".bias", state[src + hf + ".bias"])
+        put(dst + "ln1.weight", state[src + "layer_norm1.weight"])
+        put(dst + "ln1.bias", state[src + "layer_norm1.bias"])
+        put(dst + "ln2.weight", state[src + "layer_norm2.weight"])
+        put(dst + "ln2.bias", state[src + "layer_norm2.bias"])
+
+    # resampler (64-query cross-attention into LLM width)
+    rs = {k[len("resampler."):]: v for k, v in state.items()
+          if k.startswith("resampler.")}
+    if rs:
+        put("resampler.query", rs["query"])
+        put("resampler.kv.weight", rs["kv_proj.weight"])
+        # torch MultiheadAttention in_proj packs q/k/v
+        in_w, in_b = _np(rs["attn.in_proj_weight"]), _np(rs["attn.in_proj_bias"])
+        d = in_w.shape[0] // 3
+        for j, nm in enumerate("qkv"):
+            put(f"resampler.attn.{nm}.weight", in_w[j * d:(j + 1) * d])
+            put(f"resampler.attn.{nm}.bias", in_b[j * d:(j + 1) * d])
+        put("resampler.attn.out.weight", rs["attn.out_proj.weight"])
+        put("resampler.attn.out.bias", rs["attn.out_proj.bias"])
+        put("resampler.ln_q.weight", rs["ln_q.weight"])
+        put("resampler.ln_q.bias", rs["ln_q.bias"])
+        put("resampler.ln_kv.weight", rs["ln_kv.weight"])
+        put("resampler.ln_kv.bias", rs["ln_kv.bias"])
+        put("resampler.ln_post.weight", rs["ln_post.weight"])
+        put("resampler.ln_post.bias", rs["ln_post.bias"])
+        put("resampler.proj.weight", rs["proj"])
+    w.write()
+    return written
+
+
+# ---------------------------------------------------------------------------
+# TTS decoder — convert_tts.py counterpart (weight-norm merge incl.)
+# ---------------------------------------------------------------------------
+
+def convert_tts(state: Mapping[str, Any], config: Mapping[str, Any],
+                out_path: str, qtype: GGMLType = GGMLType.F16) -> list[str]:
+    state = dict(state)
+    w = GGUFWriter(out_path)
+    arch = "minicpmtts"
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", int(config.get("num_hidden_layers", 20)))
+    w.add_kv(f"{arch}.embedding_length", int(config.get("hidden_size", 768)))
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("intermediate_size", 3072)))
+    w.add_kv(f"{arch}.attention.head_count",
+             int(config.get("num_attention_heads", 12)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    body = _strip(state, "model.")
+    n_layers = int(config.get("num_hidden_layers", 20))
+    put("tts.norm.weight", body["norm.weight"])
+    for i in range(n_layers):
+        src = f"layers.{i}."
+        for suffix in ("self_attn.q_proj.weight", "self_attn.k_proj.weight",
+                       "self_attn.v_proj.weight", "self_attn.o_proj.weight",
+                       "mlp.gate_proj.weight", "mlp.up_proj.weight",
+                       "mlp.down_proj.weight"):
+            put(f"tts.layers.{i}.{suffix}", body[src + suffix], qtype)
+        for suffix in ("input_layernorm.weight",
+                       "post_attention_layernorm.weight"):
+            put(f"tts.layers.{i}.{suffix}", body[src + suffix])
+
+    put("emb_text.weight", state["emb_text.weight"], qtype)
+    put("emb_code.0.weight", state["emb_code.0.weight"])
+    # weight-normed head: merge g * v/||v|| (reference convert_tts.py:76-87)
+    if "head_code.0.parametrizations.weight.original0" in state:
+        g = state["head_code.0.parametrizations.weight.original0"]
+        v = state["head_code.0.parametrizations.weight.original1"]
+        put("head_code.0.weight", merge_weight_norm(g, v))
+    elif "head_code.0.weight_g" in state:
+        put("head_code.0.weight",
+            merge_weight_norm(state["head_code.0.weight_g"],
+                              state["head_code.0.weight_v"]))
+    else:
+        put("head_code.0.weight", state["head_code.0.weight"])
+    for lin in ("linear1", "linear2"):
+        for pt in ("weight", "bias"):
+            for proj in ("projector_semantic", "projector_spk"):
+                key = f"{proj}.{lin}.{pt}"
+                if key in state:
+                    put(f"{proj}.{lin}.{pt}", state[key])
+    w.write()
+    return written
