@@ -53,7 +53,8 @@ def pick_type(name: str, ftype: str, default: GGMLType, n_layers: int) -> GGMLTy
     return default
 
 
-def quantize_file(src: str, dst: str, ftype: str) -> dict:
+def quantize_file(src: str, dst: str, ftype: str,
+                  imatrix: dict | None = None) -> dict:
     default = RECIPES[ftype]
     r = GGUFReader(src)
     arch = r.kv.get("general.architecture", "")
@@ -69,7 +70,12 @@ def quantize_file(src: str, dst: str, ftype: str) -> dict:
         if is_2d_big and not tr.is_quantized:
             t = pick_type(name, ftype, default, n_layers)
             f32 = quants.dequantize(np.asarray(ti.data), ti.ggml_type, ti.shape)
-            blocks = quants.quantize(f32, t)
+            qw = None
+            if imatrix is not None and name in imatrix:
+                # per-input-channel importance, broadcast over output rows
+                qw = np.broadcast_to(
+                    imatrix[name].reshape(1, -1), f32.shape)
+            blocks = quants.quantize(f32, t, qweights=qw)
             w.add_tensor(name, blocks, t, logical_shape=ti.shape)
             stats["n_quantized"] += 1
             stats["bytes_out"] += blocks.size * blocks.dtype.itemsize
@@ -88,9 +94,15 @@ def main(argv=None):
     ap.add_argument("output")
     ap.add_argument("ftype", choices=sorted(RECIPES), default="Q4_K_M",
                     nargs="?")
+    ap.add_argument("--imatrix", help="importance matrix GGUF (omni-imatrix)")
     args = ap.parse_args(argv)
     t0 = time.time()
-    stats = quantize_file(args.input, args.output, args.ftype)
+    imatrix = None
+    if args.imatrix:
+        from .imatrix import load_imatrix
+
+        imatrix = load_imatrix(args.imatrix)
+    stats = quantize_file(args.input, args.output, args.ftype, imatrix=imatrix)
     print(f"quantized {stats['n_quantized']} tensors "
           f"(kept {stats['n_kept']}), "
           f"{stats['bytes_in']/1e6:.1f} MB -> {stats['bytes_out']/1e6:.1f} MB "

@@ -240,24 +240,27 @@ def _deq_q3_k(b: np.ndarray) -> np.ndarray:
 
 
 def _fit_subblock_scale(xs: np.ndarray, q_min: int, q_max: int,
-                        n_iter: int = 3) -> np.ndarray:
+                        n_iter: int = 3, w: np.ndarray | None = None) -> np.ndarray:
     """Per-sub-block signed scale fit: start from the abs-max heuristic and
-    refine with alternating least squares (q fixed -> optimal s = Σxq/Σq²),
-    the same idea as the reference's make_qx_quants (ggml-quants.c)."""
+    refine with alternating least squares (q fixed -> optimal s = Σwxq/Σwq²),
+    the same idea as the reference's make_qx_quants (ggml-quants.c); `w` is
+    the optional per-element importance (imatrix) weighting."""
     amax = np.abs(xs).max(axis=-1)
     s = amax / max(-q_min, q_max)
+    ww = np.float32(1.0) if w is None else w
     for _ in range(n_iter):
         q = _round_half_away(xs * _safe_inv(s)[..., None]).clip(q_min, q_max)
-        num = np.sum(xs * q, axis=-1)
-        den = np.sum(q * q, axis=-1)
+        num = np.sum(ww * xs * q, axis=-1)
+        den = np.sum(ww * q * q, axis=-1)
         s = np.where(den > 0, num / np.maximum(den, 1e-30), s).astype(np.float32)
     return s
 
 
-def _q_q3_k(x: np.ndarray) -> np.ndarray:
+def _q_q3_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     n = x.shape[0]
     xs = x.reshape(n, 16, 16)
-    s_f = _fit_subblock_scale(xs, -4, 3)
+    s_f = _fit_subblock_scale(xs, -4, 3,
+                              w=None if w is None else w.reshape(n, 16, 16))
     d = (np.abs(s_f).max(axis=-1, keepdims=True) / 31).astype(np.float32)
     sc = _round_half_away(s_f * _safe_inv(d)).clip(-32, 31).astype(np.int8)
     d16 = d.astype(np.float16).astype(np.float32)
@@ -302,12 +305,38 @@ def _deq_q4_k(b: np.ndarray) -> np.ndarray:
     return (dl * q - ml).reshape(n, QK_K)
 
 
-def _kquant_scale_min(xs: np.ndarray, q_max: int) -> tuple:
+def _wls_affine_refine(xs: np.ndarray, w: np.ndarray, s0: np.ndarray,
+                       m0: np.ndarray, q_max: int, n_iter: int = 2) -> tuple:
+    """Importance-weighted refinement of the affine sub-block fit: with q
+    fixed, (s, m) minimizing sum w (x - (s q - m))^2 solve a 2x2 system —
+    the role of the reference's weighted make_qkx2_quants search."""
+    s_f, m_f = s0.astype(np.float32), m0.astype(np.float32)
+    for _ in range(n_iter):
+        q = _round_half_away(
+            (xs + m_f[..., None]) * _safe_inv(s_f)[..., None]).clip(0, q_max)
+        sw = np.sum(w, axis=-1)
+        swq = np.sum(w * q, axis=-1)
+        swq2 = np.sum(w * q * q, axis=-1)
+        swx = np.sum(w * xs, axis=-1)
+        swxq = np.sum(w * xs * q, axis=-1)
+        det = swq2 * sw - swq * swq
+        ok = det > 1e-20
+        new_s = np.where(ok, (swxq * sw - swx * swq) / np.where(ok, det, 1), s_f)
+        new_m = np.where(ok, (new_s * swq - swx) * _safe_inv(sw), m_f)
+        s_f = np.maximum(new_s, 0.0).astype(np.float32)
+        m_f = np.maximum(new_m, 0.0).astype(np.float32)
+    return s_f, m_f
+
+
+def _kquant_scale_min(xs: np.ndarray, q_max: int,
+                      w: np.ndarray | None = None) -> tuple:
     """Shared affine sub-block fit for Q4_K/Q5_K/Q2_K-style formats."""
     mn = np.minimum(xs.min(axis=-1), 0.0)
     mx = xs.max(axis=-1)
     sc_f = (mx - mn) / q_max
     m_f = -mn
+    if w is not None:
+        sc_f, m_f = _wls_affine_refine(xs, w, sc_f, m_f, q_max)
     d = (sc_f.max(axis=-1, keepdims=True) / 63).astype(np.float32)
     dmin = (m_f.max(axis=-1, keepdims=True) / 63).astype(np.float32)
     sc6 = _round_half_away(sc_f * _safe_inv(d)).clip(0, 63).astype(np.uint8)
@@ -320,9 +349,11 @@ def _kquant_scale_min(xs: np.ndarray, q_max: int) -> tuple:
     return d, dmin, sc6, m6, q
 
 
-def _q_q4_k(x: np.ndarray) -> np.ndarray:
+def _q_q4_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     n = x.shape[0]
-    d, dmin, sc6, m6, q = _kquant_scale_min(x.reshape(n, 8, 32), 15)
+    d, dmin, sc6, m6, q = _kquant_scale_min(
+        x.reshape(n, 8, 32), 15,
+        w=None if w is None else w.reshape(n, 8, 32))
     qs = _pack_nibbles(q.reshape(n, 8, 32).reshape(n, 4, 64), 32)
     return np.concatenate(
         [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_scale_min_k4(sc6, m6), qs], axis=-1
@@ -341,9 +372,11 @@ def _deq_q5_k(b: np.ndarray) -> np.ndarray:
     return (dl * q - ml).reshape(n, QK_K)
 
 
-def _q_q5_k(x: np.ndarray) -> np.ndarray:
+def _q_q5_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     n = x.shape[0]
-    d, dmin, sc6, m6, q = _kquant_scale_min(x.reshape(n, 8, 32), 31)
+    d, dmin, sc6, m6, q = _kquant_scale_min(
+        x.reshape(n, 8, 32), 31,
+        w=None if w is None else w.reshape(n, 8, 32))
     lo = _pack_nibbles((q & 0xF).reshape(n, 4, 64), 32)
     hb = (q >> 4).reshape(n, 8, 32)
     shb = np.arange(8, dtype=np.uint8).reshape(1, 8, 1)
@@ -365,10 +398,11 @@ def _deq_q6_k(b: np.ndarray) -> np.ndarray:
     return (dl * q.reshape(n, 16, 16)).reshape(n, QK_K)
 
 
-def _q_q6_k(x: np.ndarray) -> np.ndarray:
+def _q_q6_k(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     n = x.shape[0]
     xs = x.reshape(n, 16, 16)
-    s_f = _fit_subblock_scale(xs, -32, 31)
+    s_f = _fit_subblock_scale(xs, -32, 31,
+                              w=None if w is None else w.reshape(n, 16, 16))
     d = (np.abs(s_f).max(axis=-1, keepdims=True) / 127).astype(np.float32)
     sc = _round_half_away(s_f * _safe_inv(d)).clip(-128, 127).astype(np.int8)
     d16 = d.astype(np.float16).astype(np.float32)
@@ -460,10 +494,21 @@ def dequantize(blocks: np.ndarray, ggml_type: GGMLType | int,
     return out.reshape(shape) if shape is not None else out.reshape(-1)
 
 
-def quantize(data: np.ndarray, ggml_type: GGMLType | int) -> np.ndarray:
-    """float array -> block bytes (uint8, shape [n_blocks, type_size])."""
+_WEIGHTED = {GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+
+
+def quantize(data: np.ndarray, ggml_type: GGMLType | int,
+             qweights: np.ndarray | None = None) -> np.ndarray:
+    """float array -> block bytes (uint8, shape [n_blocks, type_size]).
+    `qweights`: optional per-element importance (imatrix), same shape as
+    `data` — steers the K-quant scale fits toward important channels."""
     t = GGMLType(ggml_type)
     x = np.ascontiguousarray(data, dtype=np.float32)
+    if qweights is not None and t in _WEIGHTED:
+        tr = type_traits(t)
+        w = np.broadcast_to(np.asarray(qweights, np.float32), data.shape)
+        return _QUANT[t](x.reshape(-1, tr.block_size),
+                         w.reshape(-1, tr.block_size)).reshape(-1, tr.type_size)
     if t in _QUANT and _native_enabled():
         from .. import native_ext
 
