@@ -85,6 +85,9 @@ class Context:
         self._steps: dict[int, Callable] = {}
         self.n_past: dict[int, int] = {}  # per-seq position high-water mark
         self.buckets = tuple(sorted(buckets))
+        from ..log import PerfCounters
+
+        self.perf = PerfCounters()  # llama_perf_context counterpart
 
     # ---- compiled step ----------------------------------------------------
     def _step_fn(self, t: int) -> Callable:
@@ -121,9 +124,14 @@ class Context:
         seq_p = jnp.asarray(np.pad(np.asarray(seq, np.int32), (0, tb - t)))
         wmask = jnp.asarray(np.arange(tb) < t)
 
+        import time
+
+        t0 = time.perf_counter()
         logits, hidden, self.cache = self._step_fn(tb)(
             self.params, self.cache, x, pos_p, seq_p, wmask
         )
+        logits.block_until_ready()
+        self.perf.record_decode(t, time.perf_counter() - t0)
         for s in np.unique(np.asarray(seq)):
             mx = int(np.max(np.asarray(pos)[np.asarray(seq) == s]))
             self.n_past[int(s)] = max(self.n_past.get(int(s), 0), mx + 1)
