@@ -237,6 +237,68 @@ class Context:
         np.savez(buf, n_past=np_past, **arrs)
         return buf.getvalue()
 
+    # ---- per-sequence state (llama_state_seq_{get,set}_data counterpart) --
+    def seq_state_bytes(self, seq_id: int) -> bytes:
+        """Serialize one sequence's KV cells (position-ordered), for the
+        server's slot save/restore (tools/server tests test_slot_save.py)."""
+        import io
+
+        owned = ((np.asarray(self.cache.seq_mask) >> np.uint32(seq_id)) & 1) != 0
+        idx = np.nonzero(owned)[0]
+        pos = np.asarray(self.cache.pos)[idx]
+        order = np.argsort(pos, kind="stable")
+        idx = idx[order]
+        arrs = {
+            "pos": pos[order],
+            "k": self._to_np(self.cache.k[:, idx]),
+            "v": self._to_np(self.cache.v[:, idx]),
+            "n_past": np.int64(self.n_past.get(seq_id, 0)),
+        }
+        if self.cache.quantized:
+            arrs["k_scale"] = np.asarray(self.cache.k_scale[:, idx])
+            arrs["v_scale"] = np.asarray(self.cache.v_scale[:, idx])
+        buf = io.BytesIO()
+        np.savez(buf, **arrs)
+        return buf.getvalue()
+
+    def load_seq_state_bytes(self, seq_id: int, data: bytes) -> int:
+        """Restore a saved sequence into free cells under `seq_id`; returns
+        the number of cells restored."""
+        import io
+
+        z = np.load(io.BytesIO(data))
+        n = len(z["pos"])
+        if n == 0:
+            return 0
+        self.seq_rm(seq_id, -1, -1)
+        free = np.nonzero(np.asarray(self.cache.seq_mask) == 0)[0]
+        if len(free) < n:
+            raise RuntimeError(f"not enough free KV cells: need {n}, "
+                               f"have {len(free)}")
+        slots = jnp.asarray(free[:n], jnp.int32)
+
+        def from_np(x, dtype):
+            if dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                return jnp.asarray(x.view(ml_dtypes.bfloat16))
+            return jnp.asarray(x, dtype)
+
+        cache = self.cache
+        k = cache.k.at[:, slots].set(from_np(z["k"], cache.k.dtype))
+        v = cache.v.at[:, slots].set(from_np(z["v"], cache.v.dtype))
+        bit = jnp.uint32(1) << jnp.uint32(seq_id)
+        pos = cache.pos.at[slots].set(jnp.asarray(z["pos"], jnp.int32))
+        seq_mask = cache.seq_mask.at[slots].set(bit)
+        kw = {}
+        if cache.quantized:
+            kw["k_scale"] = cache.k_scale.at[:, slots].set(jnp.asarray(z["k_scale"]))
+            kw["v_scale"] = cache.v_scale.at[:, slots].set(jnp.asarray(z["v_scale"]))
+        self.cache = dataclasses.replace(cache, k=k, v=v, pos=pos,
+                                         seq_mask=seq_mask, **kw)
+        self.n_past[seq_id] = int(z["n_past"])
+        return n
+
     def load_state_bytes(self, data: bytes) -> None:
         import io
 

@@ -47,6 +47,7 @@ class Slot:
     out_tokens: list = dataclasses.field(default_factory=list)
     stop_tokens: tuple = ()
     on_token: Callable | None = None  # streaming callback(token_id, text_done)
+    grammar: Any = None  # omni_tpu.grammar.Grammar (constrained decoding)
     t_start: float = 0.0
     t_first_token: float = 0.0
 
@@ -54,18 +55,26 @@ class Slot:
 class SlotScheduler:
     """Drives continuous batching on one Context."""
 
-    def __init__(self, ctx: Context, n_slots: int = 4, n_batch: int = 256):
+    def __init__(self, ctx: Context, n_slots: int = 4, n_batch: int = 256,
+                 vocab_trie=None, token_text: Callable | None = None):
         self.ctx = ctx
         self.n_batch = n_batch
         self.slots = [Slot(id=i) for i in range(n_slots)]
+        # grammar-constrained decoding support (omni_tpu.grammar)
+        self.vocab_trie = vocab_trie
+        self.token_text = token_text
 
     # ------------------------------------------------------------- control
     def launch(self, prompt_tokens, max_new: int = 128,
                sampler: SamplerParams | None = None,
-               stop_tokens: tuple = (), on_token=None) -> Slot | None:
+               stop_tokens: tuple = (), on_token=None,
+               grammar=None) -> Slot | None:
         """Assign a request to a free slot (launch_slot_with_task)."""
         for s in self.slots:
             if s.state == SlotState.IDLE:
+                if self.ctx.n_past.get(s.id):  # stale KV kept from last task
+                    self.ctx.seq_rm(s.id, -1, -1)
+                    self.ctx.n_past.pop(s.id, None)
                 s.state = SlotState.PROCESSING_PROMPT
                 s.prompt = np.asarray(prompt_tokens, np.int32)
                 s.n_prompt_done = 0
@@ -79,13 +88,18 @@ class SlotScheduler:
                 s.out_tokens = []
                 s.stop_tokens = tuple(stop_tokens)
                 s.on_token = on_token
+                s.grammar = grammar.copy() if grammar is not None else None
                 s.t_start = time.time()
                 return s
         return None
 
-    def release(self, slot: Slot) -> None:
-        self.ctx.seq_rm(slot.id, -1, -1)
-        self.ctx.n_past.pop(slot.id, None)
+    def release(self, slot: Slot, free_kv: bool = True) -> None:
+        """free_kv=False keeps the sequence's cells (the reference keeps a
+        released slot's prompt cache for reuse / slot-save until the slot is
+        relaunched)."""
+        if free_kv:
+            self.ctx.seq_rm(slot.id, -1, -1)
+            self.ctx.n_past.pop(slot.id, None)
         slot.state = SlotState.IDLE
         slot.prompt = None
 
@@ -133,13 +147,30 @@ class SlotScheduler:
 
         for s, row in want_logits:
             s.key, sub = jax.random.split(s.key)
-            tok = sample(jnp.asarray(logits[row]), sub, s.sampler, s.prev_tokens)
+            lg = jnp.asarray(logits[row])
+            if s.grammar is not None and self.vocab_trie is not None:
+                from .sampler import apply_allowed_mask
+
+                trie = (self.vocab_trie() if callable(self.vocab_trie)
+                        else self.vocab_trie)
+                allowed = s.grammar.allowed_tokens(trie)
+                if s.grammar.eos_allowed:
+                    allowed = list(allowed) + [t for t in s.stop_tokens]
+                if not allowed:  # parse complete and nothing else legal
+                    allowed = list(s.stop_tokens) or [0]
+                lg = apply_allowed_mask(lg, jnp.asarray(allowed, jnp.int32))
+            tok = sample(lg, sub, s.sampler, s.prev_tokens)
             s.prev_tokens = update_prev_tokens(s.prev_tokens, tok)
             tok = int(tok)
+            if (s.grammar is not None and self.token_text is not None
+                    and tok not in s.stop_tokens):
+                s.grammar.accept(self.token_text(tok))
             if s.n_decoded == 0:
                 s.t_first_token = time.time()
             s.n_decoded += 1
             stopped = tok in s.stop_tokens or s.n_decoded >= s.max_new
+            if s.grammar is not None and s.grammar.exhausted:
+                stopped = True
             if tok not in s.stop_tokens:
                 s.out_tokens.append(tok)
             if s.on_token is not None:

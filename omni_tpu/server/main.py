@@ -41,18 +41,72 @@ def apply_chat_template(messages: list[dict], add_generation_prompt=True) -> str
 
 class ServerState:
     def __init__(self, ctx: Context, tokenizer, n_slots: int = 4,
-                 model_name: str = "omni-tpu"):
+                 model_name: str = "omni-tpu", lora_paths: list | None = None):
         self.ctx = ctx
         self.tok = tokenizer
         self.model_name = model_name
-        self.sched = SlotScheduler(ctx, n_slots=n_slots)
+        self._vocab_trie = None
+        self.sched = SlotScheduler(ctx, n_slots=n_slots,
+                                   vocab_trie=self._trie,
+                                   token_text=lambda t: tokenizer.decode([t]))
         self.sched_lock = threading.Lock()
         self.omni = None  # OmniPipeline, created by /v1/stream/omni_init
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
+        # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
+        self.base_params = ctx.params
+        self.loras = []  # [{"path", "adapter", "scale"}]
+        for p in lora_paths or []:
+            from ..runtime.adapter import LoraAdapter
+
+            self.loras.append({"path": str(p),
+                               "adapter": LoraAdapter.from_gguf(p),
+                               "scale": 1.0})
+        self._reapply_loras()
+
+    def _reapply_loras(self) -> None:
+        from ..runtime.adapter import apply_lora
+
+        params = self.base_params
+        for entry in self.loras:
+            if entry["scale"] != 0.0:
+                params = apply_lora(params, entry["adapter"], entry["scale"])
+        self.ctx.params = params
+        self.ctx._steps.clear()  # recompile with the new weight pytree shape
+
+    # lazy vocab trie (built once, only when a grammar request arrives)
+    def _trie(self):
+        if self._vocab_trie is None:
+            from ..grammar import VocabTrie
+
+            texts = []
+            for tid in range(self.tok.vocab.n_tokens):
+                try:
+                    texts.append((tid, self.tok.decode([tid])))
+                except Exception:  # noqa: BLE001
+                    continue
+            self._vocab_trie = VocabTrie(texts)
+        return self._vocab_trie
+
+    def embed(self, prompt_tokens) -> np.ndarray:
+        """Mean-pooled L2-normalized embedding (server /embedding contract)."""
+        from ..runtime.context import Batch
+
+        seq = 31  # reserved scratch sequence, freed right after
+        with self.sched_lock:
+            _, hidden = self.ctx.decode(Batch(
+                tokens=np.asarray(prompt_tokens, np.int32),
+                pos=np.arange(len(prompt_tokens), dtype=np.int32),
+                seq_id=np.full(len(prompt_tokens), seq, np.int32)),
+                return_hidden=True)
+            self.ctx.seq_rm(seq, -1, -1)
+            self.ctx.n_past.pop(seq, None)
+        v = np.asarray(hidden, np.float32).mean(axis=0)
+        return v / max(np.linalg.norm(v), 1e-12)
 
     # ---- scheduler-backed completion ---------------------------------
-    def complete(self, prompt_tokens, max_new, sampler, stream_cb=None):
+    def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
+                 grammar=None):
         done = threading.Event()
 
         def on_token(tok, finished):
@@ -66,7 +120,7 @@ class ServerState:
             slot = self.sched.launch(prompt_tokens, max_new=max_new,
                                      sampler=sampler,
                                      stop_tokens=self._stop_ids(),
-                                     on_token=on_token)
+                                     on_token=on_token, grammar=grammar)
             if slot is None:
                 return None
         while not done.is_set():
@@ -82,7 +136,8 @@ class ServerState:
             "n_decoded": slot.n_decoded,
         }
         with self.sched_lock:
-            self.sched.release(slot)
+            # keep the KV: enables slot save/restore and prompt-cache reuse
+            self.sched.release(slot, free_kv=False)
         return out, timing
 
     def _stop_ids(self):
@@ -147,6 +202,9 @@ def make_handler(state: ServerState):
                     "n_ctx": state.ctx.n_ctx,
                     "n_slots": len(state.sched.slots),
                 })
+            elif self.path == "/lora-adapters":
+                self._json(200, [{"id": i, "path": e["path"], "scale": e["scale"]}
+                                 for i, e in enumerate(state.loras)])
             elif self.path == "/slots":
                 self._json(200, [
                     {"id": s.id, "state": s.state.name,
@@ -189,6 +247,22 @@ def make_handler(state: ServerState):
                 elif route in ("/detokenize",):
                     self._json(200, {"content": state.tok.decode(
                         body.get("tokens", []))})
+                elif route in ("/embedding", "/embeddings", "/v1/embeddings"):
+                    self._handle_embeddings(body, openai="/v1/" in route)
+                elif route == "/infill":
+                    self._handle_infill(body)
+                elif route == "/apply-template":
+                    self._json(200, {"prompt": apply_chat_template(
+                        body.get("messages", []))})
+                elif route.startswith("/slots/"):
+                    self._handle_slot_action(route, body)
+                elif route == "/lora-adapters":
+                    for upd in body if isinstance(body, list) else [body]:
+                        i = int(upd.get("id", 0))
+                        if 0 <= i < len(state.loras):
+                            state.loras[i]["scale"] = float(upd.get("scale", 1.0))
+                    state._reapply_loras()
+                    self._json(200, {"success": True})
                 elif route.startswith("/v1/stream/"):
                     self._handle_omni(route[len("/v1/stream/"):], body)
                 else:
@@ -213,11 +287,29 @@ def make_handler(state: ServerState):
                 greedy=float(body.get("temperature", 0.8)) <= 0,
             )
 
+        def _grammar_from(self, body):
+            """Constrained decoding: GBNF text (`grammar`) or a JSON schema
+            (`json_schema` / OpenAI response_format)."""
+            from ..grammar import json_schema_to_gbnf, parse_gbnf
+
+            gbnf = body.get("grammar")
+            schema = body.get("json_schema")
+            rf = body.get("response_format") or {}
+            if not gbnf and not schema and isinstance(rf, dict):
+                if rf.get("type") == "json_schema":
+                    schema = rf.get("json_schema", {}).get("schema", True)
+                elif rf.get("type") == "json_object":
+                    schema = True
+            if schema is not None and not gbnf:
+                gbnf = json_schema_to_gbnf(schema if schema is not True else {})
+            return parse_gbnf(gbnf) if gbnf else None
+
         def _handle_completion(self, body):
             prompt = body.get("prompt", "")
             toks = np.asarray(state.tok.encode(prompt), np.int32)
             max_new = int(body.get("n_predict", body.get("max_tokens", 128)))
             sampler = self._sampler_from(body)
+            grammar = self._grammar_from(body)
             if body.get("stream"):
                 self._sse_start()
 
@@ -226,10 +318,12 @@ def make_handler(state: ServerState):
                         "content": state.tok.decode([tok]),
                         "stop": bool(finished)})
 
-                state.complete(toks, max_new, sampler, stream_cb=cb)
+                state.complete(toks, max_new, sampler, stream_cb=cb,
+                               grammar=grammar)
                 self._sse_done()
             else:
-                out, timing = state.complete(toks, max_new, sampler)
+                out, timing = state.complete(toks, max_new, sampler,
+                                             grammar=grammar)
                 self._json(200, {
                     "content": state.tok.decode(out),
                     "tokens_predicted": timing["n_decoded"],
@@ -242,6 +336,7 @@ def make_handler(state: ServerState):
                 state.tok.encode(prompt, parse_special=True), np.int32)
             max_new = int(body.get("max_tokens", 128))
             sampler = self._sampler_from(body)
+            grammar = self._grammar_from(body)
             rid = f"chatcmpl-{int(time.time()*1000)}"
             if body.get("stream"):
                 self._sse_start()
@@ -255,10 +350,12 @@ def make_handler(state: ServerState):
                                      "finish_reason": "stop" if finished else None}],
                     })
 
-                state.complete(toks, max_new, sampler, stream_cb=cb)
+                state.complete(toks, max_new, sampler, stream_cb=cb,
+                               grammar=grammar)
                 self._sse_done()
             else:
-                out, timing = state.complete(toks, max_new, sampler)
+                out, timing = state.complete(toks, max_new, sampler,
+                                             grammar=grammar)
                 self._json(200, {
                     "id": rid, "object": "chat.completion",
                     "model": state.model_name,
@@ -270,6 +367,78 @@ def make_handler(state: ServerState):
                               "completion_tokens": timing["n_decoded"],
                               "total_tokens": len(toks) + timing["n_decoded"]},
                 })
+
+        # ---- embeddings / infill / slot persistence -------------------------
+        def _handle_embeddings(self, body, openai: bool):
+            inputs = body.get("input", body.get("content", ""))
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            vecs = [state.embed(np.asarray(state.tok.encode(s), np.int32))
+                    for s in inputs]
+            if openai:
+                self._json(200, {
+                    "object": "list", "model": state.model_name,
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": v.tolist()}
+                             for i, v in enumerate(vecs)]})
+            else:
+                self._json(200, [{"index": i, "embedding": [v.tolist()]}
+                                 for i, v in enumerate(vecs)])
+
+        def _handle_infill(self, body):
+            """Fill-in-middle (server /infill): FIM special tokens when the
+            vocab has them, else plain prefix+suffix concatenation."""
+            v = state.tok.vocab
+            pre = body.get("input_prefix", "")
+            suf = body.get("input_suffix", "")
+            fim_pre = v.token_to_id.get("<|fim_prefix|>")
+            fim_suf = v.token_to_id.get("<|fim_suffix|>")
+            fim_mid = v.token_to_id.get("<|fim_middle|>")
+            if None not in (fim_pre, fim_suf, fim_mid):
+                toks = ([fim_pre] + state.tok.encode(pre)
+                        + [fim_suf] + state.tok.encode(suf) + [fim_mid])
+            else:
+                toks = state.tok.encode(pre + suf)
+            out, timing = state.complete(
+                np.asarray(toks, np.int32),
+                int(body.get("n_predict", 64)), self._sampler_from(body))
+            self._json(200, {"content": state.tok.decode(out),
+                             "tokens_predicted": timing["n_decoded"]})
+
+        def _handle_slot_action(self, route, body):
+            """POST /slots/{id}?action=save|restore|erase (server.cpp slot
+            persistence, tested by test_slot_save.py in the reference)."""
+            import os
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            sid = int(route.split("/")[2])
+            action = parse_qs(u.query).get("action", [""])[0]
+            if not (0 <= sid < len(state.sched.slots)):
+                self._json(400, {"error": "invalid slot id"})
+                return
+            if action == "save":
+                path = body.get("filename", f"slot_{sid}.bin")
+                blob = state.ctx.seq_state_bytes(sid)
+                with open(path, "wb") as f:
+                    f.write(blob)
+                self._json(200, {"id_slot": sid, "filename": path,
+                                 "n_saved": len(blob)})
+            elif action == "restore":
+                path = body.get("filename", f"slot_{sid}.bin")
+                if not os.path.exists(path):
+                    self._json(400, {"error": f"no such file {path}"})
+                    return
+                n = state.ctx.load_seq_state_bytes(sid, open(path, "rb").read())
+                state.sched.slots[sid].n_past = state.ctx.n_past.get(sid, 0)
+                self._json(200, {"id_slot": sid, "n_restored": n})
+            elif action == "erase":
+                state.ctx.seq_rm(sid, -1, -1)
+                state.ctx.n_past.pop(sid, None)
+                state.sched.slots[sid].n_past = 0
+                self._json(200, {"id_slot": sid, "erased": True})
+            else:
+                self._json(400, {"error": f"unknown action {action!r}"})
 
         # ---- omni streaming endpoints (server.cpp:5548-6080) ---------------
         def _handle_omni(self, action: str, body: dict):
@@ -367,6 +536,9 @@ def main(argv=None):
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("-np", "--parallel", type=int, default=4)
     ap.add_argument("--cache-type-k", default="bf16", choices=["bf16", "q8_0"])
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable; hot-swap scale via "
+                         "POST /lora-adapters)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -378,7 +550,8 @@ def main(argv=None):
     kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
                   n_ctx=args.ctx_size, kv_dtype=kv_dtype)
-    state = ServerState(ctx, tok, n_slots=args.parallel)
+    state = ServerState(ctx, tok, n_slots=args.parallel,
+                        lora_paths=args.lora)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()

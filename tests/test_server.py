@@ -126,3 +126,71 @@ def test_omni_init_and_config(server):
     assert r["success"] is True
     r = _post(server + "/v1/stream/reset", {})
     assert r["success"] is True
+
+
+def test_embeddings(server):
+    out = _post(server + "/v1/embeddings", {"input": ["hello", "world"]})
+    assert out["object"] == "list" and len(out["data"]) == 2
+    v = np.asarray(out["data"][0]["embedding"])
+    assert v.shape == (64,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    # deterministic per input, different across inputs
+    out2 = _post(server + "/v1/embeddings", {"input": "hello"})
+    np.testing.assert_allclose(out2["data"][0]["embedding"],
+                               out["data"][0]["embedding"], atol=1e-5)
+    assert not np.allclose(out["data"][0]["embedding"],
+                           out["data"][1]["embedding"])
+
+
+def test_infill(server):
+    out = _post(server + "/infill", {"input_prefix": "def add(a, b):",
+                                     "input_suffix": "return c",
+                                     "n_predict": 4})
+    assert "content" in out and out["tokens_predicted"] > 0
+
+
+def test_apply_template(server):
+    out = _post(server + "/apply-template",
+                {"messages": [{"role": "user", "content": "hi"}]})
+    assert out["prompt"].startswith("<|im_start|>user\nhi<|im_end|>")
+
+
+def test_slot_save_restore(server, tmp_path):
+    fn = str(tmp_path / "slot0.bin")
+    # generate something into slot 0 (seq 0)
+    _post(server + "/completion", {"prompt": "hello", "n_predict": 4})
+    out = _post(server + "/slots/0?action=save", {"filename": fn})
+    assert out["n_saved"] > 0
+    out = _post(server + "/slots/0?action=erase", {})
+    assert out["erased"]
+    out = _post(server + "/slots/0?action=restore", {"filename": fn})
+    assert out["n_restored"] > 0
+    import urllib.error
+    try:
+        _post(server + "/slots/9?action=save", {})
+        assert False, "invalid slot must 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_grammar_constrained_completion(server):
+    out = _post(server + "/completion",
+                {"prompt": "answer:", "n_predict": 8, "temperature": 1.0,
+                 "grammar": 'root ::= "yes" | "no"'})
+    assert out["content"] in ("yes", "no")
+
+
+def test_json_schema_response_format(server):
+    out = _post(server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "give a bool"}],
+        "max_tokens": 16, "temperature": 1.0,
+        "response_format": {"type": "json_schema", "json_schema": {
+            "schema": {"type": "boolean"}}},
+    })
+    content = out["choices"][0]["message"]["content"]
+    assert content.strip() in ("true", "false")
+
+
+def test_lora_adapters_empty(server):
+    out = json.loads(_get(server + "/lora-adapters"))
+    assert out == []
