@@ -99,6 +99,18 @@ class RoundBoundary:
     end_pos: int
 
 
+@dataclasses.dataclass
+class UnitEntry:
+    """One duplex <unit>...</unit> span in the KV (UnitEntry, omni.h:96-103)."""
+
+    start_pos: int
+    end_pos: int = -1  # -1 = still open
+
+    @property
+    def closed(self) -> bool:
+        return self.end_pos >= 0
+
+
 class OmniPipeline:
     """Session orchestrator. Model contexts are injected, which keeps the
     pipeline testable with tiny models and lets the server own lifetimes."""
@@ -142,6 +154,7 @@ class OmniPipeline:
         self.llama_mtx = threading.Lock()  # serializes LLM ctx (omni.h:287)
         self.n_keep = 0
         self.rounds: list[RoundBoundary] = []
+        self.units: list[UnitEntry] = []  # duplex unit registry (#39)
         self._threads: list[threading.Thread] = []
         self._t2w_buffer: list[int] = [SILENCE_TOKEN] * 3
         self._tts_key = jax.random.PRNGKey(0)
@@ -220,6 +233,7 @@ class OmniPipeline:
                     self.prefill_done.set()
                 continue
             if self.cfg.duplex:
+                self._register_unit_start()
                 self._eval_text("<unit>")
             if "image_embeds" in item:
                 self._eval_text("<image>")
@@ -283,6 +297,7 @@ class OmniPipeline:
                     self._eval_text("<|chunk_eos|>")
                 if "</unit>" in self.special:
                     self._eval_text("</unit>")
+                self._register_unit_end()
                 segment_tokens = 0
 
             if len(chunk_tokens) >= STEP_SIZE:
@@ -297,7 +312,11 @@ class OmniPipeline:
         if not self.cfg.duplex and not ended_with_listen:
             self._eval_text(SIMPLEX_TURN_END)
         self.rounds.append(RoundBoundary(round_start, self.llm.n_past.get(0, 0)))
-        self._slide_window_if_needed()
+        if self.cfg.duplex:
+            self._register_unit_end()
+            self._enforce_unit_window()
+        else:
+            self._slide_window_if_needed()
         self.text_out.put({"content": "", "stop": True,
                            "end_of_turn": not ended_with_listen})
 
@@ -418,6 +437,7 @@ class OmniPipeline:
             self.tts_ctx.clear_kv()
         self.n_keep = 0
         self.rounds.clear()
+        self.units.clear()  # sliding_window_reset (omni.cpp:3107)
 
     def shutdown(self) -> None:
         self.session_stop.set()
@@ -442,5 +462,44 @@ class OmniPipeline:
             for rb in self.rounds:
                 rb.start_pos -= drop
                 rb.end_pos -= drop
+            n_past -= drop
+        self.llm.n_past[0] = n_past
+
+    # ---------------------------------------- unit-granular window (duplex)
+    # Reference #39 (tools/omni/omni.cpp:3107-3405): register <unit>
+    # boundaries, enforce high/low water marks by dropping whole units, keep
+    # the system prompt (n_keep) inviolable, re-base RoPE positions.
+    def _register_unit_start(self) -> None:
+        pos = self.llm.n_past.get(0, 0)
+        if self.units and not self.units[-1].closed:
+            self.units[-1].end_pos = pos  # implicit close at next unit
+        self.units.append(UnitEntry(start_pos=pos))
+
+    def _register_unit_end(self) -> None:
+        if self.units and not self.units[-1].closed:
+            self.units[-1].end_pos = self.llm.n_past.get(0, 0)
+
+    def _enforce_unit_window(self) -> None:
+        n_past = self.llm.n_past.get(0, 0)
+        if n_past <= self.cfg.high_water:
+            return
+        while self.units and n_past > self.cfg.low_water:
+            u = self.units[0]
+            if not u.closed or u.start_pos < self.n_keep:
+                break
+            drop = u.end_pos - u.start_pos
+            if drop <= 0:
+                self.units.pop(0)
+                continue
+            self.llm.seq_rm(0, u.start_pos, u.end_pos)
+            self.llm.seq_add(0, u.end_pos, -1, -drop)
+            self.units.pop(0)
+            for uu in self.units:
+                uu.start_pos -= drop
+                if uu.closed:
+                    uu.end_pos -= drop
+            for rb in self.rounds:
+                rb.start_pos = max(rb.start_pos - drop, self.n_keep)
+                rb.end_pos = max(rb.end_pos - drop, self.n_keep)
             n_past -= drop
         self.llm.n_past[0] = n_past

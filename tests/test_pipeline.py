@@ -187,3 +187,43 @@ def test_stop_speak_drains(pipeline):
     pipe.stop_speak()
     assert pipe.text_out.empty()
     assert pipe.break_event.is_set()
+
+
+def test_unit_granular_sliding_window(pipeline):
+    """Duplex unit window (#39, omni.cpp:3107-3405): drop whole closed units
+    past high-water down to low-water, protect n_keep, re-base positions."""
+    from omni_tpu.omni.pipeline import UnitEntry
+
+    pipe = pipeline
+    pipe.clean_kvcache()  # module-scoped fixture: reset session state
+    pipe.cfg.duplex = True
+    pipe.cfg.high_water = 60
+    pipe.cfg.low_water = 40
+
+    # fake a session: system prompt of 10, then 8 closed units of 10 each
+    import numpy as np
+    toks = np.arange(10, dtype=np.int32) % pipe.llm.cfg.n_vocab
+    from omni_tpu.runtime import Batch
+    pipe.llm.decode(Batch(tokens=toks))
+    pipe.n_keep = pipe.llm.n_past[0]
+    for _ in range(8):
+        pipe._register_unit_start()
+        pipe.llm.decode(Batch(tokens=toks))
+        pipe._register_unit_end()
+    assert pipe.llm.n_past[0] == 90
+
+    pipe._enforce_unit_window()
+    n_past = pipe.llm.n_past[0]
+    assert n_past <= 40
+    # system prompt intact: positions 0..9 still owned by seq 0
+    import numpy as _np
+    pos = _np.asarray(pipe.llm.cache.pos)
+    mask = _np.asarray(pipe.llm.cache.seq_mask) != 0
+    kept = set(pos[mask].tolist())
+    assert set(range(10)) <= kept
+    # positions re-based: contiguous 0..n_past-1
+    assert kept == set(range(n_past))
+    # remaining unit bookkeeping consistent
+    for u in pipe.units:
+        assert u.start_pos >= pipe.n_keep
+        assert u.closed and u.end_pos <= n_past
