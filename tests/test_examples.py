@@ -84,3 +84,10 @@ def test_gguf_split_merge(tmp_path):
         np.testing.assert_array_equal(
             np.ascontiguousarray(m.tensors[name].data).view(np.uint8),
             np.ascontiguousarray(ti.data).view(np.uint8), err_msg=name)
+
+
+def test_finetune_loss_decreases():
+    import finetune
+
+    losses = finetune.main(["--steps", "6"])
+    assert losses[-1] < losses[0]
