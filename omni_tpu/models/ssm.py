@@ -1,0 +1,144 @@
+"""Mamba-style selective state-space mixer (recurrent-memory model family).
+
+Counterpart of the reference's Mamba support (llm_build_mamba in
+src/llama-model.cpp + llama_memory_recurrent): a causal conv1d window plus
+a selective SSM (S6) recurrence h' = exp(dt*A) h + dt*B x, y = C h + D x.
+TPU-first shapes: chunked prefill is ONE lax.scan over time (compiler-
+friendly sequential recurrence), single-token decode updates the
+RecurrentCache state in place. Both paths share the same step function, so
+prefill-then-decode equals all-decode exactly.
+
+Tensor naming follows llama.cpp's Mamba GGUF export (blk.N.ssm_in, ssm_out,
+ssm_x? -> we use: ssm_in [2*d_inner, d], ssm_conv1d [d_inner, d_conv],
+ssm_dt [d_inner, dt_rank], ssm_a [d_inner, d_state], ssm_d [d_inner],
+ssm_x [dt_rank + 2*d_state, d_inner], ssm_out [d, d_inner]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.norms import rms_norm
+from ..runtime.recurrent import RecurrentCache
+
+
+@dataclasses.dataclass(frozen=True)
+class SSMConfig:
+    n_layers: int
+    d_model: int
+    d_inner: int
+    d_conv: int = 4
+    d_state: int = 16
+    dt_rank: int = 8
+    n_vocab: int = 256
+    rms_eps: float = 1e-6
+
+    @staticmethod
+    def from_gguf(kv: dict[str, Any]) -> "SSMConfig":
+        arch = kv.get("general.architecture", "mamba")
+        g = lambda key, default: kv.get(f"{arch}.{key}", default)
+        d = int(g("embedding_length", 256))
+        return SSMConfig(
+            n_layers=int(g("block_count", 2)),
+            d_model=d,
+            d_inner=int(g("ssm.inner_size", 2 * d)),
+            d_conv=int(g("ssm.conv_kernel", 4)),
+            d_state=int(g("ssm.state_size", 16)),
+            dt_rank=int(g("ssm.time_step_rank", max(d // 16, 1))),
+            n_vocab=int(g("vocab_size", 256)),
+            rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        )
+
+
+def _ssm_step(lp: dict, cfg: SSMConfig, x_t: jax.Array,
+              conv_state: jax.Array, ssm_state: jax.Array):
+    """One timestep of one layer. x_t [d_model]; conv_state
+    [d_conv-1, d_inner]; ssm_state [d_inner, d_state]."""
+    xz = lp["ssm_in"] @ x_t  # [2*d_inner]
+    xi, z = jnp.split(xz, 2)
+
+    # causal conv1d over the rolling window
+    window = jnp.concatenate([conv_state, xi[None, :]], axis=0)  # [d_conv, di]
+    conv = jnp.sum(window * lp["ssm_conv1d"].T, axis=0) + lp["ssm_conv1d_b"]
+    xi = jax.nn.silu(conv)
+    new_conv_state = window[1:]
+
+    # input-dependent (selective) dt, B, C
+    dbc = lp["ssm_x"] @ xi  # [dt_rank + 2*d_state]
+    dt = jax.nn.softplus(lp["ssm_dt"] @ dbc[: cfg.dt_rank] + lp["ssm_dt_b"])
+    b = dbc[cfg.dt_rank: cfg.dt_rank + cfg.d_state]
+    c = dbc[cfg.dt_rank + cfg.d_state:]
+
+    a = -jnp.exp(lp["ssm_a"])  # [d_inner, d_state], negative for stability
+    da = jnp.exp(dt[:, None] * a)  # [d_inner, d_state]
+    db = dt[:, None] * b[None, :]  # [d_inner, d_state]
+    new_ssm_state = da * ssm_state + db * xi[:, None]
+    y = new_ssm_state @ c + lp["ssm_d"] * xi  # [d_inner]
+    y = y * jax.nn.silu(z)
+    return lp["ssm_out"] @ y, new_conv_state, new_ssm_state
+
+
+def forward(params: dict, cfg: SSMConfig, tokens: jax.Array,
+            cache: RecurrentCache, seq_id) -> tuple[jax.Array, RecurrentCache]:
+    """Sequential forward over [T] tokens for one sequence: logits [T, V]
+    and the updated cache. T=1 is decode; T>1 is chunked prefill — one
+    lax.scan, same step function."""
+    x = params["token_embd"][tokens].astype(jnp.float32)  # [T, d]
+
+    new_convs, new_ssms = [], []
+    h = x
+    for li, lp in enumerate(params["layers"]):
+        conv0, ssm0 = cache.read(li, seq_id)
+
+        def step(carry, h_t, lp=lp):
+            conv_s, ssm_s = carry
+            y, conv_s, ssm_s = _ssm_step(lp, cfg, h_t, conv_s, ssm_s)
+            return (conv_s, ssm_s), y
+
+        hn = jax.vmap(lambda v: rms_norm(v[None], lp["norm"], cfg.rms_eps)[0])(h)
+        (conv1, ssm1), y = jax.lax.scan(step, (conv0, ssm0), hn)
+        h = h + y
+        new_convs.append(conv1)
+        new_ssms.append(ssm1)
+
+    for li in range(cfg.n_layers):
+        cache = cache.write(li, seq_id, new_convs[li], new_ssms[li])
+    cache = cache.advance(seq_id, tokens.shape[0])
+
+    hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
+    logits = hidden @ params["token_embd"].T.astype(hidden.dtype)
+    return logits, cache
+
+
+def init_params(cfg: SSMConfig, seed: int = 0) -> dict:
+    """Random small-init parameter pytree (for tests/examples; GGUF-loaded
+    Mamba checkpoints use the same tensor names)."""
+    rng = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(rng, 4 + 10 * cfg.n_layers))
+
+    def w(*shape, scale=0.05):
+        return jax.random.normal(next(ks), shape, jnp.float32) * scale
+
+    params = {
+        "token_embd": w(cfg.n_vocab, cfg.d_model, scale=0.02),
+        "output_norm": jnp.ones(cfg.d_model),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "norm": jnp.ones(cfg.d_model),
+            "ssm_in": w(2 * cfg.d_inner, cfg.d_model),
+            "ssm_conv1d": w(cfg.d_inner, cfg.d_conv),
+            "ssm_conv1d_b": jnp.zeros(cfg.d_inner),
+            "ssm_x": w(cfg.dt_rank + 2 * cfg.d_state, cfg.d_inner),
+            "ssm_dt": w(cfg.d_inner, cfg.dt_rank),
+            "ssm_dt_b": jnp.zeros(cfg.d_inner) + 0.5,
+            "ssm_a": w(cfg.d_inner, cfg.d_state, scale=0.1),
+            "ssm_d": jnp.ones(cfg.d_inner),
+            "ssm_out": w(cfg.d_model, cfg.d_inner),
+        })
+    return params

@@ -1,0 +1,96 @@
+"""Recurrent (Mamba-style SSM) memory + model tests
+(reference src/llama-memory-recurrent.cpp + llm_build_mamba coverage)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omni_tpu.models import ssm
+from omni_tpu.runtime.recurrent import RecurrentCache
+
+CFG = ssm.SSMConfig(n_layers=2, d_model=32, d_inner=64, d_conv=4,
+                    d_state=8, dt_rank=4, n_vocab=64)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = ssm.init_params(CFG, seed=0)
+    fwd = jax.jit(ssm.forward, static_argnums=(1,))
+    return params, fwd
+
+
+def _fresh_cache(n_seqs=4):
+    return RecurrentCache.create(CFG.n_layers, n_seqs, CFG.d_conv,
+                                 CFG.d_inner, CFG.d_state)
+
+
+def test_prefill_equals_stepwise_decode(model):
+    """One-scan chunked prefill == token-by-token decode, exactly (the
+    invariant the shared step function guarantees)."""
+    params, fwd = model
+    toks = jnp.asarray([3, 14, 15, 9, 2, 6], jnp.int32)
+
+    cache_a = _fresh_cache()
+    logits_a, cache_a = fwd(params, CFG, toks, cache_a, 0)
+
+    cache_b = _fresh_cache()
+    rows = []
+    for t in np.asarray(toks):
+        lg, cache_b = fwd(params, CFG, jnp.asarray([t], jnp.int32), cache_b, 0)
+        rows.append(np.asarray(lg[0]))
+
+    np.testing.assert_allclose(np.asarray(logits_a), np.stack(rows),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_a.ssm[:, 0]),
+                               np.asarray(cache_b.ssm[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+    assert int(cache_a.pos[0]) == 6
+
+
+def test_sequence_isolation(model):
+    params, fwd = model
+    cache = _fresh_cache()
+    t1 = jnp.asarray([1, 2, 3], jnp.int32)
+    t2 = jnp.asarray([9, 8, 7], jnp.int32)
+    _, cache = fwd(params, CFG, t1, cache, 0)
+    ssm0 = np.asarray(cache.ssm[:, 0]).copy()
+    _, cache = fwd(params, CFG, t2, cache, 1)
+    np.testing.assert_array_equal(np.asarray(cache.ssm[:, 0]), ssm0)
+    assert not np.allclose(np.asarray(cache.ssm[:, 1]), ssm0)
+
+
+def test_seq_cp_forks_state(model):
+    """seq_cp = cheap fork: the copy continues identically to the source."""
+    params, fwd = model
+    cache = _fresh_cache()
+    _, cache = fwd(params, CFG, jnp.asarray([5, 6, 7], jnp.int32), cache, 0)
+    cache = cache.seq_cp(0, 2)
+    cont = jnp.asarray([11], jnp.int32)
+    la, _ = fwd(params, CFG, cont, cache, 0)
+    lb, _ = fwd(params, CFG, cont, cache, 2)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+
+def test_seq_rm_resets(model):
+    params, fwd = model
+    cache = _fresh_cache()
+    _, cache = fwd(params, CFG, jnp.asarray([5, 6], jnp.int32), cache, 0)
+    cache = cache.seq_rm(0)
+    assert int(cache.pos[0]) == -1
+    np.testing.assert_array_equal(np.asarray(cache.ssm[:, 0]), 0.0)
+    fresh = _fresh_cache()
+    la, _ = fwd(params, CFG, jnp.asarray([4], jnp.int32), cache, 0)
+    lb, _ = fwd(params, CFG, jnp.asarray([4], jnp.int32), fresh, 0)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+
+def test_state_is_fixed_size(model):
+    """The recurrent memory never grows with sequence length."""
+    params, fwd = model
+    cache = _fresh_cache()
+    long = jnp.asarray(np.arange(200) % CFG.n_vocab, jnp.int32)
+    _, cache = fwd(params, CFG, long, cache, 0)
+    assert cache.ssm.shape == (CFG.n_layers, 4, CFG.d_inner, CFG.d_state)
+    assert int(cache.pos[0]) == 200
