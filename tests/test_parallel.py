@@ -1,0 +1,77 @@
+"""Tensor-parallel inference tests on the virtual 8-device CPU mesh
+(SURVEY.md §2.8: the row-split capability, TPU-native as GSPMD shardings)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omni_tpu.core import GGMLType, GGUFReader
+from omni_tpu.models import qwen3
+from omni_tpu.parallel import make_mesh
+from omni_tpu.parallel.infer import shard_context
+from omni_tpu.runtime import Batch, Context, SamplerParams
+from omni_tpu.testing import write_tiny_qwen3
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason="needs multi-device mesh")
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tp") / "m.gguf"
+    # heads divisible by tp=4
+    write_tiny_qwen3(path, n_layers=2, d_model=128, n_heads=4, n_kv_heads=4,
+                     head_dim=32, d_ff=256, n_vocab=256, qtype=GGMLType.Q8_0,
+                     tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+
+    def make():
+        return Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                       qwen3.embed, n_ctx=64,
+                       sampler=SamplerParams(greedy=True))
+    return make
+
+
+TOKS = np.array([3, 9, 42, 7, 1], np.int32)
+
+
+def test_tp_decode_matches_single_device(model):
+    ref_logits, _ = model().decode(Batch(tokens=TOKS))
+
+    mesh = make_mesh(n_dp=1, n_tp=4, devices=jax.devices()[:4])
+    ctx = shard_context(model(), mesh)
+    tp_logits, _ = ctx.decode(Batch(tokens=TOKS))
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(tp_logits).argmax(-1),
+                                  np.asarray(ref_logits).argmax(-1))
+
+
+def test_tp_generation_and_seq_ops(model):
+    mesh = make_mesh(n_dp=1, n_tp=4, devices=jax.devices()[:4])
+    ctx = shard_context(model(), mesh)
+    out = ctx.generate(TOKS, max_new=8)
+    assert len(out) == 8
+
+    ref = model().generate(TOKS, max_new=8)
+    assert out == ref
+
+    # KV session ops still work on sharded cache
+    ctx.seq_rm(0, 3, -1)
+    ctx.seq_cp(0, 1)
+    ctx.clear_kv()
+    assert int(ctx.cache.n_used()) == 0
+
+
+def test_dp_tp_mesh_decode(model):
+    """2x4 (dp, tp) mesh: decode under a 2-axis mesh placement."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(n_dp=2, n_tp=4)
+    ctx = shard_context(model(), mesh)
+    logits, _ = ctx.decode(Batch(tokens=TOKS))
+    assert np.isfinite(np.asarray(logits)).all()
