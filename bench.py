@@ -41,7 +41,7 @@ def main():
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
 
     log("building synthetic 8B params...")
-    params = synth_qwen3_params(cfg)
+    params = synth_qwen3_params(cfg, fuse=True)
     jax.block_until_ready(params["layers"][-1]["w_down"].q)
     log("params on device")
     cache = KVCache.create(cfg.n_layers, n_ctx, cfg.n_kv_heads, cfg.head_dim,

@@ -55,6 +55,20 @@ def _make_kernel(t: GGMLType, names: tuple[str, ...], nk: int, out_dtype):
     return kernel
 
 
+def _auto_tiles(m: int, n: int, k: int) -> tuple[int, int]:
+    """Shape-aware (block_n, block_k) for small-M (decode) calls, from an
+    on-chip sweep (see git history): large K tiles amortize per-call
+    overhead; N tiles sized to keep >=4 pipeline steps."""
+    bk = min(k, 4096)
+    if n >= 8192:
+        bn = 1024
+    elif n > 1024:
+        bn = 256 if k <= 4096 else 512
+    else:
+        bn = 256
+    return bn, bk
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret")
 )
@@ -63,8 +77,8 @@ def qmatmul_pallas(
     qt: QTensor,
     *,
     block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 2048,
+    block_n: int | None = None,
+    block_k: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
@@ -72,6 +86,10 @@ def qmatmul_pallas(
     m, k = x.shape
     n, k2 = qt.shape
     assert k == k2, (x.shape, qt.shape)
+    if block_n is None or block_k is None:
+        auto_n, auto_k = _auto_tiles(m, n, k)
+        block_n = block_n or auto_n
+        block_k = block_k or auto_k
     granule = 32 if qt.ggml_type == GGMLType.Q8_0 else 256
     tm = min(block_m, m)
     tn = min(block_n, n)

@@ -211,6 +211,25 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     return dequant_t(qt, dtype).T
 
 
+def concat_qtensors(qts: list[QTensor]) -> QTensor:
+    """Concatenate same-K QTensors along the output-feature axis (plane
+    axis 1) — fuses QKV / gate+up into ONE kernel launch per group, the
+    per-call-overhead killer for single-token decode."""
+    t = qts[0].ggml_type
+    k = qts[0].shape[1]
+    assert all(q.ggml_type == t and q.shape[1] == k for q in qts), qts
+    n_total = sum(q.shape[0] for q in qts)
+
+    def cat(name):
+        arrs = [getattr(q, name) for q in qts]
+        if arrs[0] is None:
+            return None
+        return jnp.concatenate(arrs, axis=1)
+
+    return QTensor(t, (n_total, k), cat("q"), cat("sc"), cat("mn"),
+                   cat("d"), cat("dm"), qh=cat("qh"))
+
+
 def load_quantized(blocks: np.ndarray, ggml_type: GGMLType,
                    shape: tuple[int, ...], keep_quantized: bool = True,
                    dtype=jnp.bfloat16):

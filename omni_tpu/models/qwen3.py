@@ -62,8 +62,29 @@ class Qwen3Config:
         )
 
 
-def load_params(reader: GGUFReader, keep_quantized: bool = True) -> dict:
-    """GGUF tensors -> parameter pytree (QTensor for native quant formats)."""
+def fuse_layer(layer: dict) -> dict:
+    """Fuse QKV and gate+up into single weights (one kernel launch each) —
+    per-call overhead dominates single-token decode; see kernels README."""
+    from ..kernels.qformats import QTensor, concat_qtensors
+
+    def cat(ws):
+        if isinstance(ws[0], QTensor):
+            return concat_qtensors(ws)
+        return jnp.concatenate(ws, axis=0)  # dense [N, K]
+
+    out = dict(layer)
+    out["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
+    out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
+    for k in ("wq", "wk", "wv", "w_gate", "w_up"):
+        del out[k]
+    return out
+
+
+def load_params(reader: GGUFReader, keep_quantized: bool = True,
+                fuse: bool = False) -> dict:
+    """GGUF tensors -> parameter pytree (QTensor for native quant formats).
+    fuse=True merges QKV / gate+up (decode fast path; LoRA application and
+    imatrix capture require fuse=False)."""
     params: dict[str, Any] = {"layers": []}
 
     def get(name: str, required: bool = True, keep_q: bool | None = None):
@@ -99,6 +120,8 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True) -> dict:
             "w_down": get(p + "ffn_down.weight"),
         })
         i += 1
+    if fuse:
+        params["layers"] = [fuse_layer(l) for l in params["layers"]]
     return params
 
 
@@ -129,12 +152,20 @@ def forward(
     cache = cache.commit(slots, pos, seq_id, valid=write_mask)
     mask = cache.attn_mask(pos, seq_id)  # [T, S]
 
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         h_in = h
         hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = matmul(hn, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
-        k = matmul(hn, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        v = matmul(hn, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        if "wqkv" in lp:  # fused decode fast path
+            qkv = matmul(hn, lp["wqkv"])
+            q = qkv[:, :qd].reshape(t, cfg.n_heads, cfg.head_dim)
+            k = qkv[:, qd:qd + kvd].reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            v = qkv[:, qd + kvd:].reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        else:
+            q = matmul(hn, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
+            k = matmul(hn, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            v = matmul(hn, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
         if lp["q_norm"] is not None:
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:
@@ -150,8 +181,12 @@ def forward(
 
         h_in = h
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        gate = matmul(hn, lp["w_gate"])
-        up = matmul(hn, lp["w_up"])
+        if "w_gateup" in lp:
+            gu = matmul(hn, lp["w_gateup"])
+            gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+        else:
+            gate = matmul(hn, lp["w_gate"])
+            up = matmul(hn, lp["w_up"])
         h = h_in + matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
                           lp["w_down"])
         if lp.get("cvec") is not None:  # control-vector steering

@@ -42,6 +42,7 @@ def _layer_rules() -> dict[str, str]:
     return {
         "wq": "col", "wk": "col", "wv": "col", "wo": "row",
         "w_gate": "col", "w_up": "col", "w_down": "row",
+        "wqkv": "col", "w_gateup": "col",  # fused decode layout
         "attn_norm": "rep", "ffn_norm": "rep",
         "q_norm": "rep", "k_norm": "rep",
     }

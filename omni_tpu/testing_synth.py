@@ -50,7 +50,7 @@ def synth_q4k(key, n: int, k: int) -> QTensor:
 
 
 def synth_qwen3_params(cfg: Qwen3Config = QWEN3_8B, seed: int = 0,
-                       tied_head: bool = False) -> dict:
+                       tied_head: bool = False, fuse: bool = False) -> dict:
     d, ff = cfg.d_model, cfg.d_ff
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -82,4 +82,8 @@ def synth_qwen3_params(cfg: Qwen3Config = QWEN3_8B, seed: int = 0,
             "w_up": synth_q4k(next(keys), ff, d),
             "w_down": synth_q4k(next(keys), d, ff),
         })
+    if fuse:
+        from .models.qwen3 import fuse_layer
+
+        params["layers"] = [fuse_layer(l) for l in params["layers"]]
     return params

@@ -131,3 +131,41 @@ def test_generate_greedy_deterministic(ctx_factory):
     out2 = ctx2.generate(np.array([3, 1, 4], np.int32), max_new=8)
     assert out1 == out2
     assert len(out1) == 8
+
+
+def test_fused_qkv_gateup_matches_unfused(tmp_path):
+    """fuse=True (one kernel for QKV, one for gate+up) must reproduce the
+    unfused forward exactly at F32."""
+    from omni_tpu.runtime import Batch, Context, SamplerParams
+
+    path = tmp_path / "fused.gguf"
+    write_tiny_qwen3(path, qtype=GGMLType.F32, d_model=128, d_ff=192,
+                     n_heads=4, n_kv_heads=2, head_dim=32, tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    toks = np.array([5, 17, 99, 3], np.int32)
+
+    def run(fuse):
+        ctx = Context(cfg, qwen3.load_params(reader, fuse=fuse),
+                      qwen3.forward, qwen3.embed, n_ctx=32,
+                      sampler=SamplerParams(greedy=True))
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        return np.asarray(logits)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(b, a, rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(b.argmax(-1), a.argmax(-1))
+
+
+def test_fused_quantized_runs(tmp_path):
+    from omni_tpu.runtime import Batch, Context
+
+    path = tmp_path / "fusedq.gguf"
+    write_tiny_qwen3(path, qtype=GGMLType.Q4_K, d_model=256, d_ff=256,
+                     n_heads=4, n_kv_heads=2, head_dim=64, tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader, fuse=True), qwen3.forward,
+                  qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=np.array([1, 2, 3], np.int32)))
+    assert np.isfinite(np.asarray(logits)).all()
