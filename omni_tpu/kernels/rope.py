@@ -21,10 +21,13 @@ def rope_freqs(head_dim: int, base: float, dtype=jnp.float32) -> jax.Array:
 
 
 def apply_rope(x: jax.Array, pos: jax.Array, base: float = 10000.0,
-               freqs: jax.Array | None = None) -> jax.Array:
+               freqs: jax.Array | None = None,
+               neox: bool = True) -> jax.Array:
     """Rotate x[..., T, H, D] by per-token positions pos[..., T].
 
-    NeoX convention: the first D/2 lanes pair with the last D/2 lanes.
+    neox=True: the first D/2 lanes pair with the last D/2 (NeoX/Qwen,
+    GGML_ROPE_TYPE_NEOX). neox=False: adjacent lanes pair (original
+    rotary, GGML_ROPE_TYPE_NORM — LLaMA/Mistral family).
     """
     d = x.shape[-1]
     if freqs is None:
@@ -32,9 +35,19 @@ def apply_rope(x: jax.Array, pos: jax.Array, base: float = 10000.0,
     angles = pos[..., None].astype(jnp.float32) * freqs  # [..., T, D/2]
     cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., None, :]
-    x1 = x[..., : d // 2].astype(jnp.float32)
-    x2 = x[..., d // 2 :].astype(jnp.float32)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    if neox:
+        x1 = x[..., : d // 2].astype(jnp.float32)
+        x2 = x[..., d // 2 :].astype(jnp.float32)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                              axis=-1)
+        return out.astype(x.dtype)
+    # NORM: even/odd interleaved pairs
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., 0::2]
+    x2 = xf[..., 1::2]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    out = jnp.stack([r1, r2], axis=-1).reshape(x.shape)
     return out.astype(x.dtype)
 
 

@@ -41,6 +41,9 @@ class Qwen3Config:
     n_vocab: int
     rope_base: float = 1000000.0
     rms_eps: float = 1e-6
+    # NeoX (half-split) vs NORM (adjacent-pair) rotary: LLaMA/Mistral/
+    # MiniCPM-family archs use NORM (reference llama_rope_type)
+    rope_neox: bool = True
 
     @staticmethod
     def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
@@ -49,6 +52,7 @@ class Qwen3Config:
         n_heads = int(g("attention.head_count"))
         d_model = int(g("embedding_length"))
         return Qwen3Config(
+            rope_neox=arch not in ("llama", "minicpm", "minicpmtts"),
             n_layers=int(g("block_count")),
             d_model=d_model,
             n_heads=n_heads,
@@ -170,8 +174,8 @@ def forward(
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, pos, cfg.rope_base)
-        k = apply_rope(k, pos, cfg.rope_base)
+        q = apply_rope(q, pos, cfg.rope_base, neox=cfg.rope_neox)
+        k = apply_rope(k, pos, cfg.rope_base, neox=cfg.rope_neox)
         # padding rows write into their (unowned) slots: metadata stays free,
         # so the garbage K/V is never attended to and gets overwritten later
         cache = cache.write(li, slots, k, v)
@@ -224,8 +228,8 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, pos[None, :], cfg.rope_base)
-        k = apply_rope(k, pos[None, :], cfg.rope_base)
+        q = apply_rope(q, pos[None, :], cfg.rope_base, neox=cfg.rope_neox)
+        k = apply_rope(k, pos[None, :], cfg.rope_base, neox=cfg.rope_neox)
         g = cfg.n_heads // cfg.n_kv_heads
         qg = q.reshape(b, t, cfg.n_kv_heads, g, cfg.head_dim)
         scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,

@@ -71,6 +71,7 @@ def config_from_gguf(kv: dict[str, Any]) -> qwen3.Qwen3Config:
         n_vocab=NUM_AUDIO_TOKENS,  # logits come from head_code, not an LM head
         rope_base=float(g("rope.freq_base", 10000.0)),
         rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        rope_neox=False,  # LLaMA-arch decoder (NORM rotary)
     )
 
 

@@ -77,6 +77,7 @@ class Context:
             head_dim or cfg.head_dim,
             dtype=kv_dtype,
             rope_base=cfg.rope_base,
+            rope_neox=getattr(cfg, "rope_neox", True),
         )
         self.sampler = sampler or SamplerParams()
         self.key = jax.random.PRNGKey(self.sampler.seed)

@@ -47,11 +47,13 @@ class KVCache:
     pos: jax.Array  # [S] int32, -1 = unused
     seq_mask: jax.Array  # [S] uint32 bitset of owning sequences
     rope_base: float = dataclasses.field(metadata=dict(static=True), default=10000.0)
+    rope_neox: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     # ---- construction ----------------------------------------------------
     @staticmethod
     def create(n_layers: int, size: int, n_kv_heads: int, head_dim: int,
-               dtype=jnp.bfloat16, rope_base: float = 10000.0) -> "KVCache":
+               dtype=jnp.bfloat16, rope_base: float = 10000.0,
+               rope_neox: bool = True) -> "KVCache":
         quant = dtype == jnp.int8
         shape = (n_layers, size, n_kv_heads, head_dim)
         return KVCache(
@@ -62,6 +64,7 @@ class KVCache:
             pos=jnp.full((size,), -1, jnp.int32),
             seq_mask=jnp.zeros((size,), jnp.uint32),
             rope_base=rope_base,
+            rope_neox=rope_neox,
         )
 
     @property
@@ -181,14 +184,16 @@ class KVCache:
         if self.quantized:
             # rotate in bf16 then re-quantize the affected rows
             kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
-            kf = apply_rope(kf, jnp.broadcast_to(rot[None, :], k.shape[:2]), self.rope_base)
+            kf = apply_rope(kf, jnp.broadcast_to(rot[None, :], k.shape[:2]),
+                            self.rope_base, neox=self.rope_neox)
             scale, kq = _quant_rows(kf)
             return dataclasses.replace(
                 self, k=kq, k_scale=scale,
                 pos=jnp.where(drop, -1, new_pos),
                 seq_mask=jnp.where(drop, 0, self.seq_mask).astype(jnp.uint32),
             )
-        kf = apply_rope(k, jnp.broadcast_to(rot[None, :], k.shape[:2]), self.rope_base)
+        kf = apply_rope(k, jnp.broadcast_to(rot[None, :], k.shape[:2]),
+                        self.rope_base, neox=self.rope_neox)
         return dataclasses.replace(
             self, k=kf.astype(k.dtype),
             pos=jnp.where(drop, -1, new_pos),

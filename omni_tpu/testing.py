@@ -26,6 +26,7 @@ def write_tiny_qwen3(
     qk_norm: bool = True,
     tied_head: bool = True,
     byte_tokenizer: bool = False,
+    arch: str = "qwen3",
 ) -> None:
     """Random Qwen3-architecture GGUF (llama.cpp tensor naming).
 
@@ -34,17 +35,17 @@ def write_tiny_qwen3(
     fixture; n_vocab must be >= 300 in that case."""
     rng = np.random.default_rng(seed)
     w = GGUFWriter(path)
-    w.add_kv("general.architecture", "qwen3")
-    w.add_kv("qwen3.block_count", n_layers)
-    w.add_kv("qwen3.embedding_length", d_model)
-    w.add_kv("qwen3.feed_forward_length", d_ff)
-    w.add_kv("qwen3.attention.head_count", n_heads)
-    w.add_kv("qwen3.attention.head_count_kv", n_kv_heads)
-    w.add_kv("qwen3.attention.key_length", head_dim)
-    w.add_kv("qwen3.attention.value_length", head_dim)
-    w.add_kv("qwen3.attention.layer_norm_rms_epsilon", 1e-6)
-    w.add_kv("qwen3.rope.freq_base", 1000000.0)
-    w.add_kv("qwen3.context_length", 4096)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.context_length", 4096)
     w.add_kv("tokenizer.ggml.model", "gpt2")
     w.add_kv("tokenizer.ggml.pre", "qwen2")
     if byte_tokenizer:

@@ -1,0 +1,90 @@
+"""LLaMA/Mistral-family arch support: NORM rotary + no q/k-norm layers
+(reference llm_build_llama; rope type per llama_model_rope_type)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omni_tpu.core import GGMLType, GGUFReader
+from omni_tpu.kernels.rope import apply_rope
+from omni_tpu.models import qwen3
+from omni_tpu.runtime import Batch, Context, SamplerParams
+from omni_tpu.testing import write_tiny_qwen3
+
+
+def test_rope_norm_matches_manual():
+    """NORM rotary: adjacent lanes (2i, 2i+1) rotate by pos * base^(-2i/d)."""
+    rng = np.random.default_rng(0)
+    d = 8
+    x = rng.standard_normal((1, 1, d)).astype(np.float32)
+    pos = np.array([3], np.int32)
+    base = 10000.0
+    out = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(pos), base,
+                                neox=False))[0, 0]
+    expect = np.empty(d, np.float32)
+    for i in range(d // 2):
+        theta = 3 * base ** (-2 * i / d)
+        c, s = np.cos(theta), np.sin(theta)
+        expect[2 * i] = x[0, 0, 2 * i] * c - x[0, 0, 2 * i + 1] * s
+        expect[2 * i + 1] = x[0, 0, 2 * i] * s + x[0, 0, 2 * i + 1] * c
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_rope_norm_differs_from_neox():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 2, 16)).astype(np.float32))
+    pos = jnp.asarray([1, 5], jnp.int32)
+    a = np.asarray(apply_rope(x, pos, neox=True))
+    b = np.asarray(apply_rope(x, pos, neox=False))
+    assert not np.allclose(a, b)
+
+
+@pytest.fixture(scope="module")
+def llama_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ll") / "llama.gguf"
+    write_tiny_qwen3(path, arch="llama", qk_norm=False, qtype=GGMLType.Q8_0,
+                     d_model=128, d_ff=192, n_heads=4, n_kv_heads=2,
+                     head_dim=32, tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    return reader, cfg
+
+
+def test_llama_config_uses_norm_rope(llama_model):
+    _, cfg = llama_model
+    assert cfg.rope_neox is False
+
+
+def test_llama_arch_decode_and_kv_shift(llama_model):
+    reader, cfg = llama_model
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
+                  n_ctx=64, sampler=SamplerParams(greedy=True), buckets=(8,))
+    out = ctx.generate(np.array([5, 9, 3], np.int32), max_new=6)
+    assert len(out) == 6
+
+    # context-shift consistency under NORM rope: shifting all positions by
+    # -2 then decoding at pos-2 must equal decoding the shifted stream
+    ctx_a = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                    qwen3.embed, n_ctx=64, sampler=SamplerParams(greedy=True),
+                    buckets=(8,))
+    toks = np.array([5, 9, 3, 7], np.int32)
+    ctx_a.decode(Batch(tokens=toks))
+    # context shift (reference order): rm the discarded range, THEN re-base
+    ctx_a.seq_rm(0, 0, 2)
+    ctx_a.seq_add(0, 2, 4, -2)
+    la, _ = ctx_a.decode(Batch(tokens=np.array([1], np.int32),
+                               pos=np.array([2], np.int32),
+                               seq_id=np.array([0], np.int32)))
+
+    ctx_b = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                    qwen3.embed, n_ctx=64, sampler=SamplerParams(greedy=True),
+                    buckets=(8,))
+    ctx_b.decode(Batch(tokens=toks[2:], pos=np.array([0, 1], np.int32),
+                       seq_id=np.zeros(2, np.int32)))
+    lb, _ = ctx_b.decode(Batch(tokens=np.array([1], np.int32),
+                               pos=np.array([2], np.int32),
+                               seq_id=np.array([0], np.int32)))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=7e-2, atol=7e-2)
+    assert np.asarray(la).argmax() == np.asarray(lb).argmax()
