@@ -41,7 +41,8 @@ def apply_chat_template(messages: list[dict], add_generation_prompt=True) -> str
 
 class ServerState:
     def __init__(self, ctx: Context, tokenizer, n_slots: int = 4,
-                 model_name: str = "omni-tpu", lora_paths: list | None = None):
+                 model_name: str = "omni-tpu", lora_paths: list | None = None,
+                 draft_ctx: Context | None = None):
         self.ctx = ctx
         self.tok = tokenizer
         self.model_name = model_name
@@ -51,6 +52,7 @@ class ServerState:
                                    token_text=lambda t: tokenizer.decode([t]))
         self.sched_lock = threading.Lock()
         self.omni = None  # OmniPipeline, created by /v1/stream/omni_init
+        self.draft_ctx = draft_ctx  # speculative decoding (server --draft)
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
         # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
@@ -107,6 +109,31 @@ class ServerState:
     # ---- scheduler-backed completion ---------------------------------
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
                  grammar=None):
+        # speculative fast path (greedy-exact; reference server --draft):
+        # the draft proposes, the target verifies in one batched decode
+        if (self.draft_ctx is not None and grammar is None
+                and (sampler.greedy or sampler.temp <= 0)):
+            from ..runtime.speculative import speculative_generate
+
+            with self.sched_lock:
+                seq = 30  # scratch sequence outside the slot range
+                t0 = time.time()
+                self.ctx.seq_rm(seq, -1, -1)
+                self.ctx.n_past.pop(seq, None)
+                self.draft_ctx.seq_rm(seq, -1, -1)
+                self.draft_ctx.n_past.pop(seq, None)
+                out, stats = speculative_generate(
+                    self.ctx, self.draft_ctx, prompt_tokens,
+                    max_new=max_new, seq_id=seq,
+                    stop_tokens=self._stop_ids())
+            self.metrics["n_tokens_generated"] += len(out)
+            if stream_cb:
+                for i, tok in enumerate(out):
+                    stream_cb(tok, i == len(out) - 1)
+            return out, {"prompt_ms": 0.0,
+                         "predicted_ms": (time.time() - t0) * 1e3,
+                         "n_decoded": len(out),
+                         "draft_accept_rate": stats.accept_rate}
         done = threading.Event()
 
         def on_token(tok, finished):
@@ -539,6 +566,7 @@ def main(argv=None):
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable; hot-swap scale via "
                          "POST /lora-adapters)")
+    ap.add_argument("--draft", help="draft model GGUF for speculative decoding")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -550,8 +578,14 @@ def main(argv=None):
     kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
                   n_ctx=args.ctx_size, kv_dtype=kv_dtype)
+    draft_ctx = None
+    if args.draft:
+        dreader = GGUFReader(args.draft)
+        dcfg = qwen3.Qwen3Config.from_gguf(dreader.kv)
+        draft_ctx = Context(dcfg, qwen3.load_params(dreader), qwen3.forward,
+                            qwen3.embed, n_ctx=args.ctx_size)
     state = ServerState(ctx, tok, n_slots=args.parallel,
-                        lora_paths=args.lora)
+                        lora_paths=args.lora, draft_ctx=draft_ctx)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
