@@ -51,6 +51,67 @@ def perplexity(ctx, tok, text: str, n_ctx: int = 512,
             "n_tokens_scored": count, "n_chunks": n_chunks}
 
 
+def save_logits(ctx, tok, text: str, out_path: str, n_ctx: int = 512,
+                max_chunks: int | None = None) -> int:
+    """Dump per-chunk log-probs of the scored positions for later
+    KL-divergence comparison (reference --kl-divergence-base)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime import Batch
+
+    tokens = np.asarray(tok.encode(text, add_special=False), np.int32)
+    n_chunks = len(tokens) // n_ctx
+    if max_chunks:
+        n_chunks = min(n_chunks, max_chunks)
+    first = max(n_ctx // 2, 1)
+    rows = []
+    for ci in range(n_chunks):
+        chunk = tokens[ci * n_ctx: (ci + 1) * n_ctx]
+        ctx.clear_kv()
+        logits, _ = ctx.decode(Batch(tokens=chunk))
+        logp = jax.nn.log_softmax(jnp.asarray(logits[:-1]), axis=-1)
+        rows.append(np.asarray(logp)[first - 1:].astype(np.float16))
+    np.savez_compressed(out_path, logp=np.concatenate(rows), n_ctx=n_ctx)
+    return n_chunks
+
+
+def kl_divergence(ctx, tok, text: str, base_path: str, n_ctx: int = 512,
+                  max_chunks: int | None = None) -> dict:
+    """Mean KL(base || model) over scored tokens + same-top-token rate
+    (the reference's quantization-quality metric, perplexity.cpp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime import Batch
+
+    base = np.load(base_path)
+    base_logp = base["logp"].astype(np.float32)
+    assert int(base["n_ctx"]) == n_ctx, "base logits used a different n_ctx"
+
+    tokens = np.asarray(tok.encode(text, add_special=False), np.int32)
+    n_chunks = len(tokens) // n_ctx
+    if max_chunks:
+        n_chunks = min(n_chunks, max_chunks)
+    first = max(n_ctx // 2, 1)
+    kls, same_top = [], 0
+    idx = 0
+    for ci in range(n_chunks):
+        chunk = tokens[ci * n_ctx: (ci + 1) * n_ctx]
+        ctx.clear_kv()
+        logits, _ = ctx.decode(Batch(tokens=chunk))
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[:-1]),
+                                             axis=-1))[first - 1:]
+        b = base_logp[idx: idx + len(logp)]
+        idx += len(logp)
+        kls.append(np.sum(np.exp(b) * (b - logp), axis=-1))
+        same_top += int((b.argmax(-1) == logp.argmax(-1)).sum())
+    kl = np.concatenate(kls)
+    return {"kl_mean": float(kl.mean()), "kl_max": float(kl.max()),
+            "kl_p99": float(np.percentile(kl, 99)),
+            "same_top_rate": same_top / len(kl), "n_tokens": len(kl)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("omni-perplexity")
     ap.add_argument("-m", "--model", required=True)
@@ -58,6 +119,10 @@ def main(argv=None):
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=None)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--save-logits", help="write base log-probs for later "
+                                          "--kl-divergence comparison")
+    ap.add_argument("--kl-divergence", dest="kl_base",
+                    help="base logits file -> report KL instead of PPL")
     args = ap.parse_args(argv)
 
     from ..core import GGUFReader
@@ -71,6 +136,18 @@ def main(argv=None):
                   n_ctx=args.ctx_size)
     tok = build_tokenizer(reader.kv)
     text = open(args.file, encoding="utf-8").read()
+    if args.save_logits:
+        n = save_logits(ctx, tok, text, args.save_logits, args.ctx_size,
+                        args.chunks)
+        print(f"saved base logits for {n} chunks -> {args.save_logits}")
+        return
+    if args.kl_base:
+        res = kl_divergence(ctx, tok, text, args.kl_base, args.ctx_size,
+                            args.chunks)
+        print(json.dumps(res) if args.json else
+              f"KL mean {res['kl_mean']:.6f}  p99 {res['kl_p99']:.4f}  "
+              f"same-top {res['same_top_rate']:.3f} over {res['n_tokens']} tokens")
+        return
     res = perplexity(ctx, tok, text, args.ctx_size, args.chunks,
                      log=(lambda *a: None) if args.json else print)
     if args.json:
