@@ -135,7 +135,9 @@ def load_imatrix(path: str) -> dict[str, np.ndarray]:
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("omni-imatrix")
+    from .args import EnvArgumentParser
+
+    ap = EnvArgumentParser("omni-imatrix")
     ap.add_argument("model")
     ap.add_argument("text", help="calibration text file")
     ap.add_argument("-o", "--output", default="imatrix.gguf")

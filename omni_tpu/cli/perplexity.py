@@ -113,7 +113,9 @@ def kl_divergence(ctx, tok, text: str, base_path: str, n_ctx: int = 512,
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("omni-perplexity")
+    from .args import EnvArgumentParser
+
+    ap = EnvArgumentParser("omni-perplexity")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", required=True, help="raw text corpus")
     ap.add_argument("-c", "--ctx-size", type=int, default=512)

@@ -89,7 +89,9 @@ def quantize_file(src: str, dst: str, ftype: str,
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("omni-quantize")
+    from .args import EnvArgumentParser
+
+    ap = EnvArgumentParser("omni-quantize")
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("ftype", choices=sorted(RECIPES), default="Q4_K_M",

@@ -88,3 +88,31 @@ class RecurrentCache:
         return RecurrentCache.create(
             self.conv.shape[0], self.n_seqs, self.conv.shape[2] + 1,
             self.conv.shape[3], self.ssm.shape[3], self.conv.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HybridCache:
+    """Attention + recurrent memory for hybrid models (Jamba/Granite-4
+    style; reference llama_memory_hybrid, src/llama-memory-hybrid.cpp):
+    attention layers use the unified KV pool, mamba layers the recurrent
+    slots. Sequence ops fan out to both."""
+
+    kv: "KVCache"  # type: ignore[name-defined]  # noqa: F821
+    rec: RecurrentCache
+
+    def seq_rm(self, seq_id, p0=-1, p1=-1) -> "HybridCache":
+        # recurrent states only support full erase (reference returns
+        # false on partial); partial rm applies to the KV side only
+        rec = self.rec.seq_rm(seq_id) if (p0 in (-1, 0) and p1 == -1) else self.rec
+        return dataclasses.replace(self, kv=self.kv.seq_rm(seq_id, p0, p1),
+                                   rec=rec)
+
+    def seq_cp(self, seq_src, seq_dst, p0=-1, p1=-1) -> "HybridCache":
+        return dataclasses.replace(
+            self, kv=self.kv.seq_cp(seq_src, seq_dst, p0, p1),
+            rec=self.rec.seq_cp(seq_src, seq_dst))
+
+    def clear(self) -> "HybridCache":
+        return dataclasses.replace(self, kv=self.kv.clear(),
+                                   rec=self.rec.clear())

@@ -276,6 +276,8 @@ def make_handler(state: ServerState):
                         body.get("tokens", []))})
                 elif route in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._handle_embeddings(body, openai="/v1/" in route)
+                elif route in ("/rerank", "/v1/rerank", "/rerank/"):
+                    self._handle_rerank(body)
                 elif route == "/infill":
                     self._handle_infill(body)
                 elif route == "/apply-template":
@@ -411,6 +413,24 @@ def make_handler(state: ServerState):
             else:
                 self._json(200, [{"index": i, "embedding": [v.tolist()]}
                                  for i, v in enumerate(vecs)])
+
+        def _handle_rerank(self, body):
+            """Document reranking (server /v1/rerank contract): score each
+            document against the query. Without a rank-head model the score
+            is embedding cosine similarity — the API shape matches the
+            reference so rank-head models can drop in."""
+            query = body.get("query", "")
+            docs = body.get("documents", [])
+            qv = state.embed(np.asarray(state.tok.encode(query), np.int32))
+            results = []
+            for i, doc in enumerate(docs):
+                dv = state.embed(np.asarray(state.tok.encode(doc), np.int32))
+                results.append({"index": i,
+                                "relevance_score": float(qv @ dv)})
+            results.sort(key=lambda r: -r["relevance_score"])
+            top_n = int(body.get("top_n", len(results)))
+            self._json(200, {"model": state.model_name,
+                             "results": results[:top_n]})
 
         def _handle_infill(self, body):
             """Fill-in-middle (server /infill): FIM special tokens when the
@@ -556,7 +576,9 @@ def serve(state: ServerState, host: str = "127.0.0.1", port: int = 8080):
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("omni-server")
+    from ..cli.args import EnvArgumentParser
+
+    ap = EnvArgumentParser("omni-server")
     ap.add_argument("-m", "--model", required=True, help="LLM GGUF path")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)

@@ -94,3 +94,34 @@ def test_state_is_fixed_size(model):
     _, cache = fwd(params, CFG, long, cache, 0)
     assert cache.ssm.shape == (CFG.n_layers, 4, CFG.d_inner, CFG.d_state)
     assert int(cache.pos[0]) == 200
+
+
+def test_hybrid_cache_seq_ops(model):
+    """HybridCache fans sequence ops to both memories (llama_memory_hybrid)."""
+    import jax.numpy as jnp
+
+    from omni_tpu.runtime.kv_cache import KVCache
+    from omni_tpu.runtime.recurrent import HybridCache
+
+    kv = KVCache.create(2, 16, 2, 8)
+    slots = kv.find_slots(4)
+    kv = kv.commit(slots, jnp.arange(4, dtype=jnp.int32),
+                   jnp.zeros(4, jnp.int32))
+    rec = _fresh_cache()
+    params, fwd = model
+    _, rec = fwd(params, CFG, jnp.asarray([1, 2], jnp.int32), rec, 0)
+
+    h = HybridCache(kv=kv, rec=rec)
+    h2 = h.seq_cp(0, 1)
+    assert int(jnp.sum((h2.kv.seq_mask >> 1) & 1)) == 4
+    assert int(h2.rec.pos[1]) == int(h2.rec.pos[0])
+
+    h3 = h2.seq_rm(0)
+    assert int(jnp.sum(h3.kv.seq_mask & 1)) == 0
+    assert int(h3.rec.pos[0]) == -1
+    # partial rm touches only the KV side
+    h4 = h2.seq_rm(1, 2, 4)
+    assert int(h4.rec.pos[1]) >= 0
+
+    h5 = h2.clear()
+    assert int(jnp.sum(h5.kv.seq_mask)) == 0

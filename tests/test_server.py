@@ -194,3 +194,24 @@ def test_json_schema_response_format(server):
 def test_lora_adapters_empty(server):
     out = json.loads(_get(server + "/lora-adapters"))
     assert out == []
+
+
+def test_rerank(server):
+    out = _post(server + "/v1/rerank", {
+        "query": "hello world",
+        "documents": ["hello world", "completely different text zzz"],
+        "top_n": 2})
+    assert len(out["results"]) == 2
+    scores = {r["index"]: r["relevance_score"] for r in out["results"]}
+    assert scores[0] > scores[1]  # identical text ranks first
+
+
+def test_env_arg_mirrors(monkeypatch):
+    from omni_tpu.cli.args import EnvArgumentParser, env_name
+
+    assert env_name("--ctx-size") == "OMNI_ARG_CTX_SIZE"
+    monkeypatch.setenv("OMNI_ARG_CTX_SIZE", "1234")
+    ap = EnvArgumentParser("t")
+    ap.add_argument("-c", "--ctx-size", type=int, default=512)
+    assert ap.parse_args([]).ctx_size == 1234
+    assert ap.parse_args(["-c", "99"]).ctx_size == 99  # CLI wins
