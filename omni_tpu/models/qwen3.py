@@ -44,6 +44,9 @@ class Qwen3Config:
     # NeoX (half-split) vs NORM (adjacent-pair) rotary: LLaMA/Mistral/
     # MiniCPM-family archs use NORM (reference llama_rope_type)
     rope_neox: bool = True
+    # MoE (qwen3moe/mixtral-style): 0 experts = dense FFN
+    n_experts: int = 0
+    n_experts_used: int = 0
 
     @staticmethod
     def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
@@ -63,6 +66,8 @@ class Qwen3Config:
             else int(g("vocab_size")),
             rope_base=float(g("rope.freq_base", 10000.0)),
             rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+            n_experts=int(g("expert_count", 0)),
+            n_experts_used=int(g("expert_used_count", 0)),
         )
 
 
@@ -78,9 +83,12 @@ def fuse_layer(layer: dict) -> dict:
 
     out = dict(layer)
     out["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
-    out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
-    for k in ("wq", "wk", "wv", "w_gate", "w_up"):
+    for k in ("wq", "wk", "wv"):
         del out[k]
+    if layer.get("w_gate") is not None:  # dense FFN only (MoE keeps experts)
+        out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
+        for k in ("w_gate", "w_up"):
+            del out[k]
     return out
 
 
@@ -119,10 +127,21 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
             "ffn_norm": get(p + "ffn_norm.weight"),
-            "w_gate": get(p + "ffn_gate.weight"),
-            "w_up": get(p + "ffn_up.weight"),
-            "w_down": get(p + "ffn_down.weight"),
         })
+        lp = params["layers"][-1]
+        if f"{p}ffn_gate_inp.weight" in reader.tensors:
+            # MoE FFN (reference blk.N.ffn_{gate_inp,gate_exps,up_exps,
+            # down_exps}): 3-D expert stacks load dense (bf16) — expert
+            # dispatch is an einsum over the expert axis, EP-shardable
+            lp["gate_inp"] = get(p + "ffn_gate_inp.weight", keep_q=False)
+            lp["gate_exps"] = get(p + "ffn_gate_exps.weight", keep_q=False)
+            lp["up_exps"] = get(p + "ffn_up_exps.weight", keep_q=False)
+            lp["down_exps"] = get(p + "ffn_down_exps.weight", keep_q=False)
+            lp["w_gate"] = lp["w_up"] = lp["w_down"] = None
+        else:
+            lp["w_gate"] = get(p + "ffn_gate.weight")
+            lp["w_up"] = get(p + "ffn_up.weight")
+            lp["w_down"] = get(p + "ffn_down.weight")
         i += 1
     if fuse:
         params["layers"] = [fuse_layer(l) for l in params["layers"]]
@@ -185,14 +204,20 @@ def forward(
 
         h_in = h
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        if "w_gateup" in lp:
+        if lp.get("gate_inp") is not None:
+            h = h_in + moe_ffn(lp, cfg, hn)
+        elif "w_gateup" in lp:
             gu = matmul(hn, lp["w_gateup"])
             gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+            h = h_in + matmul(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+                lp["w_down"])
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])
-        h = h_in + matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
-                          lp["w_down"])
+            h = h_in + matmul(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+                lp["w_down"])
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
 
@@ -200,6 +225,36 @@ def forward(
     head = params["output"] if params["output"] is not None else params["token_embd"]
     logits = matmul(hidden, head, out_dtype=jnp.float32)
     return logits, hidden.astype(jnp.float32), cache
+
+
+def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
+    """Top-k routed SwiGLU expert mix (reference llm_build_qwen3moe /
+    build_moe_ffn): softmax router, top-k normalized weights, dense
+    dispatch over the expert axis — one einsum per projection, so EP is
+    just sharding the expert dim of the 3-D stacks over the mesh.
+    hn [T, d] -> [T, d]."""
+    t = hn.shape[0]
+    e = cfg.n_experts
+    k = max(cfg.n_experts_used, 1)
+    router = jnp.einsum("td,ed->te", hn.astype(jnp.float32),
+                        lp["gate_inp"].astype(jnp.float32))
+    probs = jax.nn.softmax(router, axis=-1)  # [T, E]
+    top_w, top_i = jax.lax.top_k(probs, k)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_topk_prob
+    # dense [T, E] dispatch weights (0 outside top-k)
+    disp = jnp.zeros((t, e), jnp.float32)
+    disp = disp.at[jnp.arange(t)[:, None], top_i].set(top_w)
+
+    hb = hn.astype(jnp.bfloat16)
+    gate = jnp.einsum("td,efd->tef", hb, lp["gate_exps"].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    up = jnp.einsum("td,efd->tef", hb, lp["up_exps"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)  # [T, E, F]
+    out = jnp.einsum("tef,edf->ted", act,
+                     lp["down_exps"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [T, E, d]
+    return jnp.einsum("te,ted->td", disp, out).astype(hn.dtype)
 
 
 def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:

@@ -21,16 +21,26 @@ from .mesh import cache_sharding, param_shardings, shard_params
 
 
 def shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    kv_ns = NamedSharding(mesh, cache_sharding(mesh))
+    n_tp = mesh.shape.get("tp", 1)
+    if cache.k.shape[2] % max(n_tp, 1) != 0:
+        # too few KV heads for this tp degree: replicate the cache (e.g.
+        # expert-parallel MoE runs where only experts shard)
+        kv_ns = NamedSharding(mesh, P())
+    else:
+        kv_ns = NamedSharding(mesh, cache_sharding(mesh))
     rep = NamedSharding(mesh, P())
     return dataclasses.replace(
         cache,
         k=jax.device_put(cache.k, kv_ns),
         v=jax.device_put(cache.v, kv_ns),
-        k_scale=jax.device_put(cache.k_scale, NamedSharding(
-            mesh, P(None, None, "tp"))) if cache.k_scale is not None else None,
-        v_scale=jax.device_put(cache.v_scale, NamedSharding(
-            mesh, P(None, None, "tp"))) if cache.v_scale is not None else None,
+        k_scale=jax.device_put(
+            cache.k_scale,
+            NamedSharding(mesh, P(None, None, "tp") if kv_ns.spec else P()))
+        if cache.k_scale is not None else None,
+        v_scale=jax.device_put(
+            cache.v_scale,
+            NamedSharding(mesh, P(None, None, "tp") if kv_ns.spec else P()))
+        if cache.v_scale is not None else None,
         pos=jax.device_put(cache.pos, rep),
         seq_mask=jax.device_put(cache.seq_mask, rep),
     )

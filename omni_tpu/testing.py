@@ -12,6 +12,63 @@ import numpy as np
 from .core import GGMLType, GGUFWriter, quants
 
 
+def write_tiny_qwen3moe(
+    path,
+    n_layers: int = 2,
+    d_model: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    head_dim: int = 16,
+    d_ff: int = 64,
+    n_vocab: int = 256,
+    n_experts: int = 4,
+    n_experts_used: int = 2,
+    seed: int = 0,
+) -> None:
+    """Random qwen3moe-architecture GGUF (reference MoE tensor naming:
+    blk.N.ffn_{gate_inp,gate_exps,up_exps,down_exps})."""
+    rng = np.random.default_rng(seed)
+    arch = "qwen3moe"
+    w = GGUFWriter(path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.expert_count", n_experts)
+    w.add_kv(f"{arch}.expert_used_count", n_experts_used)
+    w.add_kv(f"{arch}.vocab_size", n_vocab)
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+
+    def t(name, shape, scale=0.08):
+        w.add_tensor(name, (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    t("token_embd.weight", (n_vocab, d_model), 0.02)
+    w.add_tensor("output_norm.weight", np.ones(d_model, np.float32))
+    t("output.weight", (n_vocab, d_model), 0.02)
+    qd, kvd = n_heads * head_dim, n_kv_heads * head_dim
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(d_model, np.float32))
+        t(p + "attn_q.weight", (qd, d_model))
+        t(p + "attn_k.weight", (kvd, d_model))
+        t(p + "attn_v.weight", (kvd, d_model))
+        t(p + "attn_output.weight", (d_model, qd))
+        w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(d_model, np.float32))
+        t(p + "ffn_gate_inp.weight", (n_experts, d_model))
+        t(p + "ffn_gate_exps.weight", (n_experts, d_ff, d_model))
+        t(p + "ffn_up_exps.weight", (n_experts, d_ff, d_model))
+        t(p + "ffn_down_exps.weight", (n_experts, d_model, d_ff))
+    w.write()
+
+
 def write_tiny_qwen3(
     path,
     n_layers: int = 2,
