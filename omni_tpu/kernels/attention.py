@@ -17,21 +17,23 @@ NEG_INF = -1e30
 
 def cache_attention(
     q: jax.Array,  # [T, Hq, D]
-    k: jax.Array,  # [S, Hkv, D]
-    v: jax.Array,  # [S, Hkv, D]
+    k: jax.Array,  # [Hkv, S, D] (head-major pool)
+    v: jax.Array,  # [Hkv, S, D]
     mask: jax.Array,  # [T, S] bool
     scale: float | None = None,
     logit_softcap: float = 0.0,
 ) -> jax.Array:
     t, hq, d = q.shape
-    s, hkv, _ = k.shape
+    hkv, s, _ = k.shape
     g = hq // hkv
     if scale is None:
         scale = 1.0 / (d ** 0.5)
 
+    # XLA:CPU lacks bf16 batched dots for this contraction; TPU wants bf16
+    cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     qg = q.reshape(t, hkv, g, d)
     scores = jnp.einsum(
-        "thgd,shd->thgs", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        "thgd,hsd->thgs", qg.astype(cdtype), k.astype(cdtype),
         preferred_element_type=jnp.float32,
     ) * scale
     if logit_softcap > 0.0:
@@ -39,7 +41,7 @@ def cache_attention(
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "thgs,shd->thgd", p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        "thgs,hsd->thgd", p.astype(cdtype), v.astype(cdtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(t, hq, d)

@@ -22,7 +22,7 @@ from .mesh import cache_sharding, param_shardings, shard_params
 
 def shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     n_tp = mesh.shape.get("tp", 1)
-    if cache.k.shape[2] % max(n_tp, 1) != 0:
+    if cache.k.shape[1] % max(n_tp, 1) != 0:
         # too few KV heads for this tp degree: replicate the cache (e.g.
         # expert-parallel MoE runs where only experts shard)
         kv_ns = NamedSharding(mesh, P())
@@ -35,11 +35,11 @@ def shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         v=jax.device_put(cache.v, kv_ns),
         k_scale=jax.device_put(
             cache.k_scale,
-            NamedSharding(mesh, P(None, None, "tp") if kv_ns.spec else P()))
+            NamedSharding(mesh, P(None, "tp", None) if kv_ns.spec else P()))
         if cache.k_scale is not None else None,
         v_scale=jax.device_put(
             cache.v_scale,
-            NamedSharding(mesh, P(None, None, "tp") if kv_ns.spec else P()))
+            NamedSharding(mesh, P(None, "tp", None) if kv_ns.spec else P()))
         if cache.v_scale is not None else None,
         pos=jax.device_put(cache.pos, rep),
         seq_mask=jax.device_put(cache.seq_mask, rep),

@@ -102,5 +102,5 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh) -> P:
-    """KV cache k/v arrays [L, S, Hkv, D]: shard KV heads over tp."""
-    return P(None, None, "tp", None)
+    """KV cache k/v arrays [L, Hkv, S, D]: shard KV heads over tp."""
+    return P(None, "tp", None, None)

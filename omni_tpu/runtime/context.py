@@ -251,13 +251,13 @@ class Context:
         idx = idx[order]
         arrs = {
             "pos": pos[order],
-            "k": self._to_np(self.cache.k[:, idx]),
-            "v": self._to_np(self.cache.v[:, idx]),
+            "k": self._to_np(self.cache.k[:, :, idx]),
+            "v": self._to_np(self.cache.v[:, :, idx]),
             "n_past": np.int64(self.n_past.get(seq_id, 0)),
         }
         if self.cache.quantized:
-            arrs["k_scale"] = np.asarray(self.cache.k_scale[:, idx])
-            arrs["v_scale"] = np.asarray(self.cache.v_scale[:, idx])
+            arrs["k_scale"] = np.asarray(self.cache.k_scale[:, :, idx])
+            arrs["v_scale"] = np.asarray(self.cache.v_scale[:, :, idx])
         buf = io.BytesIO()
         np.savez(buf, **arrs)
         return buf.getvalue()
@@ -286,15 +286,15 @@ class Context:
             return jnp.asarray(x, dtype)
 
         cache = self.cache
-        k = cache.k.at[:, slots].set(from_np(z["k"], cache.k.dtype))
-        v = cache.v.at[:, slots].set(from_np(z["v"], cache.v.dtype))
+        k = cache.k.at[:, :, slots].set(from_np(z["k"], cache.k.dtype))
+        v = cache.v.at[:, :, slots].set(from_np(z["v"], cache.v.dtype))
         bit = jnp.uint32(1) << jnp.uint32(seq_id)
         pos = cache.pos.at[slots].set(jnp.asarray(z["pos"], jnp.int32))
         seq_mask = cache.seq_mask.at[slots].set(bit)
         kw = {}
         if cache.quantized:
-            kw["k_scale"] = cache.k_scale.at[:, slots].set(jnp.asarray(z["k_scale"]))
-            kw["v_scale"] = cache.v_scale.at[:, slots].set(jnp.asarray(z["v_scale"]))
+            kw["k_scale"] = cache.k_scale.at[:, :, slots].set(jnp.asarray(z["k_scale"]))
+            kw["v_scale"] = cache.v_scale.at[:, :, slots].set(jnp.asarray(z["v_scale"]))
         self.cache = dataclasses.replace(cache, k=k, v=v, pos=pos,
                                          seq_mask=seq_mask, **kw)
         self.n_past[seq_id] = int(z["n_past"])

@@ -40,9 +40,10 @@ MAX_SEQS = 32
 class KVCache:
     """Per-model cache state (all layers)."""
 
-    k: jax.Array  # [L, S, Hkv, D] bf16 or int8
-    v: jax.Array  # [L, S, Hkv, D]
-    k_scale: jax.Array | None  # [L, S, Hkv] f32, set when quantized
+    k: jax.Array  # [L, Hkv, S, D] bf16 or int8 (head-major: the flash
+    #   decode kernel tiles (head, cell-range) without a transpose)
+    v: jax.Array  # [L, Hkv, S, D]
+    k_scale: jax.Array | None  # [L, Hkv, S] f32, set when quantized
     v_scale: jax.Array | None
     pos: jax.Array  # [S] int32, -1 = unused
     seq_mask: jax.Array  # [S] uint32 bitset of owning sequences
@@ -55,7 +56,7 @@ class KVCache:
                dtype=jnp.bfloat16, rope_base: float = 10000.0,
                rope_neox: bool = True) -> "KVCache":
         quant = dtype == jnp.int8
-        shape = (n_layers, size, n_kv_heads, head_dim)
+        shape = (n_layers, n_kv_heads, size, head_dim)
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -70,6 +71,10 @@ class KVCache:
     @property
     def size(self) -> int:
         return self.pos.shape[0]
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.k.shape[1]
 
     @property
     def quantized(self) -> bool:
@@ -94,20 +99,22 @@ class KVCache:
     # ---- write -------------------------------------------------------------
     def write(self, layer: int, slots: jax.Array, k: jax.Array, v: jax.Array) -> "KVCache":
         """Store per-token K/V ([T, Hkv, D]) into `slots` of `layer`."""
+        # note: k[layer, :, slots] uses one advanced index behind a slice,
+        # so the update operand keeps the [T, Hkv, D] token-major shape
         if self.quantized:
             ks, k_q = _quant_rows(k)
             vs, v_q = _quant_rows(v)
             return dataclasses.replace(
                 self,
-                k=self.k.at[layer, slots].set(k_q),
-                v=self.v.at[layer, slots].set(v_q),
-                k_scale=self.k_scale.at[layer, slots].set(ks),
-                v_scale=self.v_scale.at[layer, slots].set(vs),
+                k=self.k.at[layer, :, slots].set(k_q),
+                v=self.v.at[layer, :, slots].set(v_q),
+                k_scale=self.k_scale.at[layer, :, slots].set(ks),
+                v_scale=self.v_scale.at[layer, :, slots].set(vs),
             )
         return dataclasses.replace(
             self,
-            k=self.k.at[layer, slots].set(k.astype(self.k.dtype)),
-            v=self.v.at[layer, slots].set(v.astype(self.v.dtype)),
+            k=self.k.at[layer, :, slots].set(k.astype(self.k.dtype)),
+            v=self.v.at[layer, :, slots].set(v.astype(self.v.dtype)),
         )
 
     def commit(self, slots: jax.Array, pos: jax.Array, seq_id: jax.Array,
@@ -125,12 +132,20 @@ class KVCache:
         )
 
     def read_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
-        """Dequantized K/V of one layer: ([S, Hkv, D], [S, Hkv, D])."""
+        """Dequantized K/V of one layer: ([Hkv, S, D], [Hkv, S, D])."""
         if self.quantized:
             k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None].astype(jnp.bfloat16)
             v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None].astype(jnp.bfloat16)
             return k, v
         return self.k[layer], self.v[layer]
+
+    def layer_planes(self, layer: int):
+        """Raw per-layer planes for the flash kernel: (k, v, k_scale,
+        v_scale) with K/V [Hkv, S, D] and scales [Hkv, S] (None if bf16)."""
+        if self.quantized:
+            return (self.k[layer], self.v[layer],
+                    self.k_scale[layer], self.v_scale[layer])
+        return self.k[layer], self.v[layer], None, None
 
     # ---- sequence ops (contract: include/llama.h:707-759 KV API) -----------
     def _owned(self, seq_id: int | jax.Array) -> jax.Array:
@@ -180,22 +195,26 @@ class KVCache:
         return self._apply_pos_change(new_pos, rot, drop=jnp.zeros_like(sel))
 
     def _apply_pos_change(self, new_pos, rot, drop) -> "KVCache":
-        k = self.k
-        if self.quantized:
-            # rotate in bf16 then re-quantize the affected rows
-            kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
-            kf = apply_rope(kf, jnp.broadcast_to(rot[None, :], k.shape[:2]),
+        """Incremental K re-rotation by per-cell deltas. K is head-major
+        [L, H, S, D]; rotate via a cell-major view (cold path: runs only
+        on window slides / self-extend)."""
+        def rotate(kf):  # [L, H, S, D] bf16 -> rotated
+            kc = jnp.swapaxes(kf, 1, 2)  # [L, S, H, D]
+            kc = apply_rope(kc, jnp.broadcast_to(rot[None, :], kc.shape[:2]),
                             self.rope_base, neox=self.rope_neox)
-            scale, kq = _quant_rows(kf)
+            return jnp.swapaxes(kc, 1, 2)
+
+        if self.quantized:
+            kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
+            scale, kq = _quant_rows(rotate(kf))
             return dataclasses.replace(
                 self, k=kq, k_scale=scale,
                 pos=jnp.where(drop, -1, new_pos),
                 seq_mask=jnp.where(drop, 0, self.seq_mask).astype(jnp.uint32),
             )
-        kf = apply_rope(k, jnp.broadcast_to(rot[None, :], k.shape[:2]),
-                        self.rope_base, neox=self.rope_neox)
+        kf = rotate(self.k)
         return dataclasses.replace(
-            self, k=kf.astype(k.dtype),
+            self, k=kf.astype(self.k.dtype),
             pos=jnp.where(drop, -1, new_pos),
             seq_mask=jnp.where(drop, 0, self.seq_mask).astype(jnp.uint32),
         )

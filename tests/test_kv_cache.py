@@ -84,9 +84,10 @@ def test_rope_shift_matches_fresh_rope():
     c = c.write(0, slots, k_rot, k_rot)
     c = c.commit(slots, pos, jnp.zeros(2, jnp.int32))
     c = c.seq_add(0, 0, 100, 5)
-    want = apply_rope(k_raw, pos + 5, 100.0)
-    got = np.asarray(c.k[0, :2])
-    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+    want = apply_rope(k_raw, pos + 5, 100.0)  # [T=2, H=1, D]
+    got = np.asarray(c.k[0, :, :2])  # head-major [H=1, S=2, D]
+    np.testing.assert_allclose(got, np.asarray(want).transpose(1, 0, 2),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_attn_mask_causality_and_isolation():
@@ -105,11 +106,11 @@ def test_quantized_kv_roundtrip():
     k = jnp.asarray(np.random.default_rng(1).standard_normal((3, 1, 8)), jnp.float32)
     slots = c.find_slots(3)
     c = c.write(0, slots, k, k * 2)
-    kd, vd = c.read_layer(0)
-    np.testing.assert_allclose(np.asarray(kd[:3], np.float32), np.asarray(k),
-                               rtol=0.1, atol=0.05)
-    np.testing.assert_allclose(np.asarray(vd[:3], np.float32), np.asarray(k * 2),
-                               rtol=0.1, atol=0.1)
+    kd, vd = c.read_layer(0)  # head-major [Hkv, S, D]
+    np.testing.assert_allclose(np.asarray(kd[0, :3], np.float32),
+                               np.asarray(k[:, 0]), rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(vd[0, :3], np.float32),
+                               np.asarray(k[:, 0] * 2), rtol=0.1, atol=0.1)
 
 
 def test_cache_in_jit_step():
