@@ -3,8 +3,12 @@
 XLA path (this module) is the reference semantics: masked softmax over every
 cell with GQA head grouping — the role of ggml_flash_attn_ext in the
 reference graphs (/root/reference/src/llama-graph.cpp:1342-1347). A fused
-Pallas flash kernel with the same contract lives in `flash_attention.py`
-and is selected on TPU for large pools.
+Pallas flash-decode kernel with the same contract (incl. int8 KV dequant
+in-kernel) lives in `flash_attention.py`; measured on v5e, XLA's fused
+attention is faster for bf16 pools (49 vs 59 us/layer @2k, 89 vs 119
+@8k) so this XLA path is the default — the Pallas kernel wins only for
+int8 KV at long context (112 vs 120 us/layer @8k) and is the base for
+future sharded-KV ring decode. Numbers: docs/PERF.md.
 """
 
 from __future__ import annotations
