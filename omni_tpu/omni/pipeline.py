@@ -80,6 +80,9 @@ class SessionConfig:
     high_water: int = 4000  # duplex unit-window marks (omni.h:81-94)
     low_water: int = 3500
     max_new_tokens: int = 512
+    # out-of-band audio delivery (reference §A.5: wav files + done flag
+    # under {output_dir}/round_XXX/tts_wav/, omni-cli.cpp:370-377)
+    output_dir: str | None = None
 
 
 @dataclasses.dataclass
@@ -157,6 +160,8 @@ class OmniPipeline:
         self.units: list[UnitEntry] = []  # duplex unit registry (#39)
         self._threads: list[threading.Thread] = []
         self._t2w_buffer: list[int] = [SILENCE_TOKEN] * 3
+        self.current_round = 0
+        self._wav_index = 0
         self._tts_key = jax.random.PRNGKey(0)
         self._workers_started = False
 
@@ -254,6 +259,9 @@ class OmniPipeline:
         limit = max_new_tokens or self.cfg.max_new_tokens
         self.prefill_done.wait(timeout=30.0)
         self.break_event.clear()
+        if round_idx >= 0:
+            self.current_round = round_idx
+        self._wav_index = 0
         round_start = self.llm.n_past.get(0, 0)
 
         if not self.cfg.duplex:
@@ -405,11 +413,33 @@ class OmniPipeline:
                     wave = self.t2w.feed_window(np.asarray(window, np.int32),
                                                 is_final=last)
                     self.wav_out.put(wave)
+                    self._write_wav_file(wave, final=last)
                 consume = min(T2W_MAIN, len(self._t2w_buffer))
                 del self._t2w_buffer[:consume]
                 if last:
                     self._t2w_buffer = [SILENCE_TOKEN] * 3
                     break
+
+    def _write_wav_file(self, wave, final: bool) -> None:
+        """Out-of-band audio files (reference t2w thread + omni-cli
+        generation_done.flag contract)."""
+        if not self.cfg.output_dir:
+            return
+        import os
+
+        from .audio import write_wav
+
+        d = os.path.join(self.cfg.output_dir,
+                         f"round_{self.current_round:03d}", "tts_wav")
+        os.makedirs(d, exist_ok=True)
+        write_wav(os.path.join(d, f"wav_{self._wav_index}.wav"),
+                  np.asarray(wave, np.float32), rate=24000)
+        self._wav_index += 1
+        if final:
+            flag = os.path.join(self.cfg.output_dir,
+                                f"round_{self.current_round:03d}",
+                                "generation_done.flag")
+            open(flag, "w").close()
 
     # ----------------------------------------------------------- lifecycle
     def _start_workers(self) -> None:

@@ -227,3 +227,36 @@ def test_unit_granular_sliding_window(pipeline):
     for u in pipe.units:
         assert u.start_pos >= pipe.n_keep
         assert u.closed and u.end_pos <= n_past
+
+
+def test_wav_file_delivery(pipeline, tmp_path):
+    """Out-of-band audio contract (§A.5): wav files under
+    round_XXX/tts_wav/ plus generation_done.flag."""
+    import os
+
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = False
+    pipe.cfg.use_tts = True
+    pipe.cfg.output_dir = str(tmp_path / "out")
+    pipe.current_round = 2
+    pipe._wav_index = 0
+
+    # drive the t2w writer directly with enough codes for one window
+    for code in range(30):
+        pipe.t2w_queue.put(code % 40)
+    pipe.t2w_queue.put(None)  # end of turn
+    import time
+
+    deadline = time.time() + 30
+    flag = tmp_path / "out" / "round_002" / "generation_done.flag"
+    while time.time() < deadline and not flag.exists():
+        time.sleep(0.2)
+    assert flag.exists()
+    wavs = sorted((tmp_path / "out" / "round_002" / "tts_wav").glob("wav_*.wav"))
+    assert len(wavs) >= 1
+    from omni_tpu.omni.audio import load_wav_mono_16k
+
+    # wav files decode (24k -> resampled 16k mono)
+    x = load_wav_mono_16k(str(wavs[0]))
+    assert len(x) > 1000
