@@ -19,6 +19,21 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def pool_attention(q: jax.Array, cache, layer: int,
+                   mask: jax.Array) -> jax.Array:
+    """Attention over one layer of the KV cell pool, picking the best
+    kernel for the storage dtype: int8 KV on TPU goes through the Pallas
+    flash kernel (in-register dequant, half the HBM traffic); bf16 uses
+    XLA's fused attention (faster on v5e — docs/PERF.md)."""
+    if cache.quantized and jax.default_backend() == "tpu":
+        from .flash_attention import flash_decode
+
+        k, v, ks, vs = cache.layer_planes(layer)
+        return flash_decode(q, k, v, mask, k_scale=ks, v_scale=vs)
+    kc, vc = cache.read_layer(layer)
+    return cache_attention(q, kc, vc, mask)
+
+
 def cache_attention(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [Hkv, S, D] (head-major pool)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.gguf import GGUFReader
 from ..kernels import load_quantized
-from ..kernels.attention import cache_attention
+from ..kernels.attention import cache_attention, pool_attention
 from ..kernels.dequant_matmul import matmul
 from ..kernels.norms import rms_norm
 from ..kernels.rope import apply_rope
@@ -198,8 +198,7 @@ def forward(
         # padding rows write into their (unowned) slots: metadata stays free,
         # so the garbage K/V is never attended to and gets overwritten later
         cache = cache.write(li, slots, k, v)
-        kc, vc = cache.read_layer(li)
-        attn = cache_attention(q, kc, vc, mask)
+        attn = pool_attention(q, cache, li, mask)
         h = h_in + matmul(attn.reshape(t, -1), lp["wo"])
 
         h_in = h
