@@ -19,6 +19,44 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def mixed_attention(
+    q: jax.Array,  # [T, Hq, D]
+    k_pool: jax.Array,  # [Hkv, S, D]
+    v_pool: jax.Array,
+    k_cur: jax.Array,  # [T, Hkv, D] current-batch keys (not yet in the pool)
+    v_cur: jax.Array,
+    mask_pool: jax.Array,  # [T, S] (current-batch cells excluded)
+    mask_cur: jax.Array,  # [T, T] causal+same-seq within the batch
+    scale: float | None = None,
+) -> jax.Array:
+    """Attention over pool ∪ current batch with ONE joint softmax — the
+    deferred-write decode path: the pool is read pre-write, the batch's own
+    keys ride along as extra columns, and all layers' K/V hit the pool with
+    a single scatter afterwards."""
+    t, hq, d = q.shape
+    hkv = k_pool.shape[0]
+    g = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    qg = q.reshape(t, hkv, g, d).astype(cdtype)
+    sc_pool = jnp.einsum("thgd,hsd->thgs", qg, k_pool.astype(cdtype),
+                         preferred_element_type=jnp.float32) * scale
+    sc_cur = jnp.einsum("thgd,jhd->thgj", qg, k_cur.astype(cdtype),
+                        preferred_element_type=jnp.float32) * scale
+    sc_pool = jnp.where(mask_pool[:, None, None, :], sc_pool, NEG_INF)
+    sc_cur = jnp.where(mask_cur[:, None, None, :], sc_cur, NEG_INF)
+    sc = jnp.concatenate([sc_pool, sc_cur], axis=-1)
+    p = jax.nn.softmax(sc, axis=-1).astype(cdtype)
+    s = k_pool.shape[1]
+    out = jnp.einsum("thgs,hsd->thgd", p[..., :s], v_pool.astype(cdtype),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("thgj,jhd->thgd", p[..., s:], v_cur.astype(cdtype),
+                           preferred_element_type=jnp.float32)
+    return out.reshape(t, hq, d)
+
+
 def pool_attention(q: jax.Array, cache, layer: int,
                    mask: jax.Array) -> jax.Array:
     """Attention over one layer of the KV cell pool, picking the best

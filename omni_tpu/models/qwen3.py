@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..core.gguf import GGUFReader
 from ..kernels import load_quantized
-from ..kernels.attention import cache_attention, pool_attention
+from ..kernels.attention import (cache_attention, mixed_attention,
+                                 pool_attention)
 from ..kernels.dequant_matmul import matmul
 from ..kernels.norms import rms_norm
 from ..kernels.rope import apply_rope
@@ -169,11 +170,24 @@ def forward(
     t = x.shape[0]
     h = x.astype(jnp.bfloat16)
 
-    # commit cell metadata first so intra-batch causal attention sees it
     if write_mask is None:
         write_mask = jnp.ones((t,), bool)
-    cache = cache.commit(slots, pos, seq_id, valid=write_mask)
-    mask = cache.attn_mask(pos, seq_id)  # [T, S]
+    # Deferred-write path (default): attend over (pool BEFORE this ubatch)
+    # ∪ (current-batch K/V as extra columns), then land all layers' K/V in
+    # the pool with ONE scatter — dynamic-index scatters cost ~30-40 us on
+    # TPU, so 72 per-layer writes/step were ~1.4 ms/token. The quantized
+    # cache keeps write-then-read (its flash kernel reads pool planes).
+    deferred = not cache.quantized
+    if deferred:
+        mask = cache.attn_mask(pos, seq_id)  # pool only: batch cells unowned
+        mask_cur = ((seq_id[None, :] == seq_id[:, None])
+                    & (pos[None, :] <= pos[:, None])
+                    & write_mask[None, :])
+        new_ks, new_vs = [], []
+    else:
+        # commit metadata first so intra-batch causal attention sees it
+        cache = cache.commit(slots, pos, seq_id, valid=write_mask)
+        mask = cache.attn_mask(pos, seq_id)  # [T, S]
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -195,10 +209,16 @@ def forward(
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q = apply_rope(q, pos, cfg.rope_base, neox=cfg.rope_neox)
         k = apply_rope(k, pos, cfg.rope_base, neox=cfg.rope_neox)
-        # padding rows write into their (unowned) slots: metadata stays free,
-        # so the garbage K/V is never attended to and gets overwritten later
-        cache = cache.write(li, slots, k, v)
-        attn = pool_attention(q, cache, li, mask)
+        if deferred:
+            kc, vc = cache.read_layer(li)
+            attn = mixed_attention(q, kc, vc, k, v, mask, mask_cur)
+            new_ks.append(k)
+            new_vs.append(v)
+        else:
+            # padding rows write into their (unowned) slots: metadata stays
+            # free, so garbage K/V is never attended to
+            cache = cache.write(li, slots, k, v)
+            attn = pool_attention(q, cache, li, mask)
         h = h_in + matmul(attn.reshape(t, -1), lp["wo"])
 
         h_in = h
@@ -219,6 +239,10 @@ def forward(
                 lp["w_down"])
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
+
+    if deferred:
+        cache = cache.write_all(slots, jnp.stack(new_ks), jnp.stack(new_vs))
+        cache = cache.commit(slots, pos, seq_id, valid=write_mask)
 
     hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]

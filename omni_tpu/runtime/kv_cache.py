@@ -117,6 +117,30 @@ class KVCache:
             v=self.v.at[layer, :, slots].set(v.astype(self.v.dtype)),
         )
 
+    def write_all(self, slots: jax.Array, k: jax.Array,
+                  v: jax.Array) -> "KVCache":
+        """Store ALL layers' per-token K/V ([L, T, Hkv, D]) into `slots` with
+        ONE scatter per pool. Dynamic-index scatters are expensive on TPU
+        (~30-40 us each); per-layer writes cost 72 of them per step, this
+        costs 2 (the deferred-write decode path)."""
+        kh = jnp.swapaxes(k, 1, 2)  # [L, Hkv, T, D]
+        vh = jnp.swapaxes(v, 1, 2)
+        if self.quantized:
+            ks, k_q = _quant_rows(kh)
+            vs, v_q = _quant_rows(vh)
+            return dataclasses.replace(
+                self,
+                k=self.k.at[:, :, slots].set(k_q),
+                v=self.v.at[:, :, slots].set(v_q),
+                k_scale=self.k_scale.at[:, :, slots].set(ks),
+                v_scale=self.v_scale.at[:, :, slots].set(vs),
+            )
+        return dataclasses.replace(
+            self,
+            k=self.k.at[:, :, slots].set(kh.astype(self.k.dtype)),
+            v=self.v.at[:, :, slots].set(vh.astype(self.v.dtype)),
+        )
+
     def commit(self, slots: jax.Array, pos: jax.Array, seq_id: jax.Array,
                valid: jax.Array | None = None) -> "KVCache":
         """Mark `slots` as owned: cell metadata update (once per ubatch).

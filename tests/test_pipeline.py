@@ -241,6 +241,10 @@ def test_wav_file_delivery(pipeline, tmp_path):
     pipe.cfg.output_dir = str(tmp_path / "out")
     pipe.current_round = 2
     pipe._wav_index = 0
+    from omni_tpu.omni.pipeline import SILENCE_TOKEN
+
+    pipe._t2w_buffer[:] = [SILENCE_TOKEN] * 3  # reset window state
+    pipe._start_workers()  # running regardless of test order
 
     # drive the t2w writer directly with enough codes for one window
     for code in range(30):
@@ -248,7 +252,8 @@ def test_wav_file_delivery(pipeline, tmp_path):
     pipe.t2w_queue.put(None)  # end of turn
     import time
 
-    deadline = time.time() + 30
+    # generous: two fresh feed_window compiles on the 1-core CI host
+    deadline = time.time() + 240
     flag = tmp_path / "out" / "round_002" / "generation_done.flag"
     while time.time() < deadline and not flag.exists():
         time.sleep(0.2)
