@@ -48,10 +48,16 @@ def decode_scan(
     """
     sp = SamplerParams(greedy=greedy, temp=temp, top_k=top_k)
 
-    def step(carry, _):
+    # sequential slot allocation: one find_slots (cumsum + scatter costs
+    # ~140 us of tiny-kernel overhead) BEFORE the scan, then a counter.
+    # Valid because nothing frees cells mid-scan, so the free list is
+    # consumed in ascending order.
+    slot0 = cache.find_slots(1)[0]
+
+    def step(carry, i):
         cache, tok, pos, key = carry
         x = embed(params, tok[None])
-        slots = cache.find_slots(1)
+        slots = (slot0 + i)[None]
         logits, hidden, cache = forward(
             params, cfg, x, pos[None], seq_id[None], cache, slots
         )
@@ -60,6 +66,7 @@ def decode_scan(
         return (cache, nxt, pos + 1, key), (tok, nxt, hidden[0])
 
     (cache, last_tok, _, key), (toks, nxts, hiddens) = jax.lax.scan(
-        step, (cache, first_token, start_pos, key), None, length=n_steps
+        step, (cache, first_token, start_pos, key),
+        jnp.arange(n_steps, dtype=jnp.int32)
     )
     return toks, nxts, hiddens, cache, key
