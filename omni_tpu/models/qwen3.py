@@ -246,7 +246,13 @@ def forward(
 
     hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
-    logits = matmul(hidden, head, out_dtype=jnp.float32)
+    if head is None:
+        # headless decoder (the TTS module: logits come from the external
+        # head_code side weights, tools/omni/omni.cpp:1260); only the
+        # hidden tap is meaningful
+        logits = jnp.zeros((t, 1), jnp.float32)
+    else:
+        logits = matmul(hidden, head, out_dtype=jnp.float32)
     return logits, hidden.astype(jnp.float32), cache
 
 

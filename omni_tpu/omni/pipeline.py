@@ -375,24 +375,20 @@ class OmniPipeline:
         _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(cond)),
                                         return_hidden=True)
         cap = DUPLEX_CHUNK_CAP if self.cfg.duplex else SIMPLEX_AUDIO_CAP
-        prev = jnp.full((16,), -1, jnp.int32)
-        codes: list[int] = []
-        h = jnp.asarray(hidden[-1])
-        for i in range(cap):
-            logits = tts_mod.audio_logits(ex, h)
-            self._tts_key, sub = jax.random.split(self._tts_key)
-            rel = int(tts_mod.sample_audio_token(
-                logits, sub, prev, skip_processors=(i == 0 and first_chunk),
-                force_no_eos=(self.cfg.duplex and not out.is_final)))
-            if rel == tts_mod.AUDIO_EOS_REL:
-                break
-            codes.append(rel)
-            prev = jnp.concatenate([prev[1:], jnp.int32(rel)[None]])
-            emb = tts_mod.code_embedding(ex, jnp.int32(rel))
-            _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(emb)[None]),
-                                            return_hidden=True)
-            h = jnp.asarray(hidden[-1])
-        return codes
+        # fused on-device generation: head_code logits, nucleus sampling
+        # with the repetition ring, decoder step — one lax.scan (~1.7 ms/
+        # audio token at full size vs the reference's 8.5, docs/PERF.md)
+        ctx = self.tts_ctx
+        self._tts_key, sub = jax.random.split(self._tts_key)
+        codes_arr, n_valid, ctx.cache, _ = tts_mod.tts_decode_scan(
+            ctx.params, ctx.cfg, ex, ctx.cache,
+            jnp.asarray(hidden[-1]),
+            jnp.int32(ctx.n_past.get(0, 0)), sub, n_steps=int(cap),
+            first_chunk=first_chunk,
+            force_no_eos=bool(self.cfg.duplex and not out.is_final))
+        n_valid = int(n_valid)
+        ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
+        return np.asarray(codes_arr)[:n_valid].tolist()
 
     # ------------------------------------------------------------------ T2W
     def _t2w_worker(self) -> None:

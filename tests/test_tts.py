@@ -130,3 +130,60 @@ def test_audio_generation_loop(rng, tmp_path):
                                return_hidden=True)
     assert len(codes) == 8
     assert all(0 <= c < 50 for c in codes)
+
+
+def test_tts_decode_scan_on_device():
+    """Fused audio-code generation: one lax.scan, early-eos frozen carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from omni_tpu.core import GGMLType, GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.models.tts import (TTSSamplingParams, build_condition,
+                                     tts_decode_scan)
+    from omni_tpu.runtime.kv_cache import KVCache
+    from omni_tpu.testing import write_tiny_qwen3
+    import tempfile, pathlib
+
+    d = pathlib.Path(tempfile.mkdtemp())
+    write_tiny_qwen3(d / "tts.gguf", n_layers=2, d_model=32, n_heads=2,
+                     n_kv_heads=2, head_dim=16, d_ff=64, n_vocab=64,
+                     qk_norm=False, qtype=GGMLType.F32)
+    reader = GGUFReader(d / "tts.gguf")
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+
+    rng = np.random.default_rng(0)
+    n_codes = 50
+    extras = {
+        "emb_text": jnp.asarray(rng.standard_normal((200, 32)) * 0.1, jnp.float32),
+        "emb_code": jnp.asarray(rng.standard_normal((n_codes, 32)) * 0.1, jnp.float32),
+        "head_code": jnp.asarray(rng.standard_normal((n_codes, 32)) * 0.1, jnp.float32),
+        "proj_sem_w1": jnp.asarray(rng.standard_normal((32, 48)) * 0.1, jnp.float32),
+        "proj_sem_b1": jnp.zeros(32, jnp.float32),
+        "proj_sem_w2": jnp.asarray(rng.standard_normal((32, 32)) * 0.1, jnp.float32),
+        "proj_sem_b2": jnp.zeros(32, jnp.float32),
+    }
+
+    cache = KVCache.create(cfg.n_layers, 128, cfg.n_kv_heads, cfg.head_dim,
+                           rope_base=cfg.rope_base, rope_neox=cfg.rope_neox)
+    # prefill a fake condition of 5 frames
+    cond = np.asarray(rng.standard_normal((5, 32)) * 0.1, np.float32)
+    slots = cache.find_slots(5)
+    import jax.numpy as jnp2
+
+    logits, hidden, cache = qwen3.forward(
+        params, cfg, jnp.asarray(cond), jnp.arange(5, dtype=jnp.int32),
+        jnp.zeros(5, jnp.int32), cache, slots)
+
+    sp = TTSSamplingParams(win_size=8)
+    codes, n_valid, cache, _ = tts_decode_scan(
+        params, cfg, extras, cache, hidden[-1], jnp.int32(5),
+        jax.random.PRNGKey(0), n_steps=20, sp=sp)
+    codes = np.asarray(codes)
+    n_valid = int(n_valid)
+    assert codes.shape == (20,)
+    # valid prefix then -1 padding after eos (if any)
+    if n_valid < 20:
+        assert (codes[n_valid:] == -1).all()
+    assert ((codes[:n_valid] >= 0) & (codes[:n_valid] < n_codes)).all()
