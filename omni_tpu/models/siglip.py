@@ -20,6 +20,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -158,6 +160,7 @@ def _lin(x, w, b=None):
     return out + b if b is not None else out
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
 def encode_image(
     params: dict, cfg: SigLipConfig, pixels: jax.Array,
     pos_ids: jax.Array, k_pos_embed: jax.Array,

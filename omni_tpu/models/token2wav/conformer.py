@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -156,6 +158,7 @@ def _encoder_stack(x, layers, cfg, k_hist, v_hist, n_hist, offset):
     return x, jnp.stack(new_k), jnp.stack(new_v)
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'last_chunk'))
 def encode_chunk(
     params: dict, cfg: ConformerConfig,
     xs: jax.Array,  # [T, 512] token embeddings for this chunk

@@ -25,6 +25,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,6 +236,7 @@ def _noise(c: int, t_len: int, start_frame, temperature: float) -> jax.Array:
     return (jax.vmap(one)(jnp.arange(t_len)) * temperature)[None]
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_timesteps'))
 def cfm_solve_chunk(
     params: dict, cfg: DiTConfig,
     mu: jax.Array,  # [T, 80] encoder output for this chunk

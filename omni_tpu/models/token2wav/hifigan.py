@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -192,6 +194,8 @@ def decode(p: dict, mel: jax.Array, source: jax.Array) -> jax.Array:
     return jnp.clip(wave, -AUDIO_LIMIT, AUDIO_LIMIT)
 
 
+# NOTE: not jitted — the param pytree carries conv dilation/padding ints
+# that must stay Python (refactor to static config before jitting)
 def vocode(p: dict, mel: jax.Array, cached_source: jax.Array | None = None
            ) -> tuple[jax.Array, jax.Array]:
     """Full vocoder pass. cached_source (prefix samples) overwrites the

@@ -21,6 +21,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -143,6 +145,7 @@ def _lin(x, w, b=None):
     return out + b if b is not None else out
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
 def encode_chunk(
     params: dict, cfg: WhisperConfig, mel: jax.Array, state: WhisperState
 ) -> tuple[jax.Array, WhisperState]:
