@@ -154,8 +154,12 @@ def _resblock(p: dict, idx: str, x: jax.Array) -> jax.Array:
     a1 = p[f"rb{idx}_a1"]
     a2 = p[f"rb{idx}_a2"]
     for i in range(len(convs1)):
-        w1, b1, d1 = convs1[i]
-        w2, b2, d2 = convs2[i]
+        w1, b1 = convs1[i]
+        w2, b2 = convs2[i]
+        # HiFiGAN dilation convention: convs1 use 1,3,5 by position (when
+        # k>1), convs2 always 1 — static, so the whole vocoder can jit
+        d1 = (1, 3, 5)[i] if w1.shape[-1] > 1 else 1
+        d2 = 1
         xt = _snake(x, a1[i])
         xt = _conv1d(xt, w1, b1, pad=(w1.shape[-1] - 1) // 2 * d1, dilation=d1)
         xt = _snake(xt, a2[i])
@@ -194,8 +198,7 @@ def decode(p: dict, mel: jax.Array, source: jax.Array) -> jax.Array:
     return jnp.clip(wave, -AUDIO_LIMIT, AUDIO_LIMIT)
 
 
-# NOTE: not jitted — the param pytree carries conv dilation/padding ints
-# that must stay Python (refactor to static config before jitting)
+@functools.partial(jax.jit)
 def vocode(p: dict, mel: jax.Array, cached_source: jax.Array | None = None
            ) -> tuple[jax.Array, jax.Array]:
     """Full vocoder pass. cached_source (prefix samples) overwrites the
@@ -266,10 +269,10 @@ def _load_resblock(p, key, prefix, reader, get, names):
         w = get(f"{prefix}.convs1.{i}.weight")
         b = get(f"{prefix}.convs1.{i}.bias")
         # dilation is recoverable from the checkpoint convention 1,3,5
-        c1.append((w, b, (1, 3, 5)[i] if w.shape[-1] > 1 else 1))
+        c1.append((w, b))
         w2 = get(f"{prefix}.convs2.{i}.weight")
         b2 = get(f"{prefix}.convs2.{i}.bias")
-        c2.append((w2, b2, 1))
+        c2.append((w2, b2))
         a1.append(get(f"{prefix}.activations1.{i}.alpha",
                       ) if f"{prefix}.activations1.{i}.alpha" in names
                   else get(f"{prefix}.activations.{2*i}.alpha"))

@@ -106,8 +106,8 @@ def tiny_hifigan(rng, mel=16):
 
 
 def _mk_resblock(p, rng, key, c, n):
-    p[f"rb{key}_c1"] = [(r(rng, c, c, 3), r(rng, c), (1, 3, 5)[i]) for i in range(n)]
-    p[f"rb{key}_c2"] = [(r(rng, c, c, 3), r(rng, c), 1) for i in range(n)]
+    p[f"rb{key}_c1"] = [(r(rng, c, c, 3), r(rng, c)) for i in range(n)]
+    p[f"rb{key}_c2"] = [(r(rng, c, c, 3), r(rng, c)) for i in range(n)]
     p[f"rb{key}_a1"] = [jnp.ones(c) for _ in range(n)]
     p[f"rb{key}_a2"] = [jnp.ones(c) for _ in range(n)]
 
