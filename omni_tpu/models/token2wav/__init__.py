@@ -97,10 +97,36 @@ class Token2Wav:
             spk = np.zeros(SPK_DIM, np.float32)
         t2w = cls(enc_p, enc_cfg, extra, dit_p, dit_cfg, voc_p, spk,
                   n_timesteps, temperature)
-        # NOTE: priming caches from prompt_cache.gguf (conformer/estimator
-        # K/V of the reference voice) requires the packed-layout import;
-        # tracked as follow-up — sessions start cold without it.
+        # reference-voice priming: prompt_cache.gguf may carry the prompt
+        # TOKENS (prime by replay, init_from_prompt_bundle semantics);
+        # importing the reference's pre-packed cache tensors directly needs
+        # its ggml layout + a real cache file to validate, so replay is the
+        # supported path.
+        if prompt_cache_gguf:
+            pc = GGUFReader(prompt_cache_gguf)
+            for name in ("prompt_cache.prompt_tokens", "prompt_tokens"):
+                if name in pc.tensors:
+                    ti = pc.tensors[name]
+                    t2w.prime_with_prompt(np.asarray(ti.data).reshape(-1))
+                    break
         return t2w
+
+    def prime_with_prompt(self, prompt_tokens) -> None:
+        """Warm the streaming caches with the reference voice's prompt
+        tokens (Token2Wav::start_stream_with_prompt / prompt-bundle init):
+        the conformer attention history and CFM estimator caches then
+        condition every later window on the reference voice. Audio output
+        of the prompt is discarded (it precedes the stream)."""
+        toks = np.asarray(prompt_tokens, np.int32).reshape(-1)
+        for i in range(0, len(toks), CHUNK_MAIN):
+            win = toks[i: i + DT]
+            chunk = np.full(DT, PAD_TOKEN, np.int32)
+            chunk[: len(win)] = win
+            self._token2mel(chunk, last=False)
+        # waveform-side caches stay empty: no audible prompt in the stream
+        self.mel_cache = np.zeros((0, self.dit_cfg.out_channels), np.float32)
+        self.source_cache = np.zeros((0,), np.float32)
+        self.speech_cache = np.zeros((0,), np.float32)
 
     # -- one chunk -----------------------------------------------------------
     def _token2mel(self, tokens: np.ndarray, last: bool) -> np.ndarray:

@@ -120,3 +120,45 @@ def test_token2wav_session_window_protocol(rng0):
     sess.reset()
     w = sess.feed_tokens(np.arange(30) % 100, is_final=True)
     assert len(w) > 0
+
+
+def test_prime_with_prompt_conditions_later_windows():
+    """Reference-voice priming (start_stream_with_prompt): caches fill with
+    the prompt, later windows see it; waveform caches stay empty."""
+    rng0 = np.random.default_rng(5)
+    conf_p, conf_cfg = tiny_conformer(rng0)
+    dit_p, dit_cfg = tiny_dit(rng0)
+    voc_p = tiny_hifigan(rng0)
+    from omni_tpu.models.token2wav import DT, Token2Wav
+
+    def mk():
+        t2w = Token2Wav.__new__(Token2Wav)
+        t2w.enc_p, t2w.enc_cfg = conf_p, conf_cfg
+        t2w.dit_p, t2w.dit_cfg = dit_p, dit_cfg
+        t2w.voc_p = voc_p
+        t2w.extra = {
+            "input_embedding": r(rng0, 50, conf_cfg.d_model),
+            "encoder_proj_w": r(rng0, dit_cfg.out_channels, conf_cfg.d_model),
+            "encoder_proj_b": r(rng0, dit_cfg.out_channels),
+        }
+        t2w.spk80 = r(rng0, dit_cfg.out_channels)
+        t2w.n_timesteps = 2
+        t2w.temperature = 1.0
+        t2w.reset()
+        return t2w
+
+    prompt = np.arange(30, dtype=np.int32) % 40
+
+    a = mk()
+    a.prime_with_prompt(prompt)
+    assert int(a.enc_state.n1) > 0  # encoder history filled
+    assert len(a.speech_cache) == 0  # no audible prompt
+
+    window = (np.arange(28) % 40).astype(np.int32)
+    wav_primed = a.feed_window(window)
+
+    b = mk()
+    wav_cold = b.feed_window(window)
+    assert wav_primed.shape == wav_cold.shape
+    # the prompt context must actually change the generation
+    assert not np.allclose(wav_primed, wav_cold, atol=1e-4)
