@@ -259,3 +259,54 @@ def test_convert_tts_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(extras["emb_text"]),
                                   s["emb_text.weight"])
+
+
+def test_convert_tts_runs_decode(tmp_path):
+    """Converted TTS GGUF drives an actual headless decode + audio head."""
+    import jax
+    import jax.numpy as jnp
+
+    from omni_tpu.models import tts as tts_mod
+    from omni_tpu.runtime import Batch, Context
+
+    n_layers, d, ff = 2, 32, 48
+    s = {"model.norm.weight": np.ones(d, np.float32),
+         "emb_text.weight": _w(128, d),
+         "emb_code.0.weight": _w(96, d),
+         "head_code.0.weight": _w(96, d),
+         "projector_semantic.linear1.weight": _w(d, 64),
+         "projector_semantic.linear1.bias": _w(d),
+         "projector_semantic.linear2.weight": _w(d, d),
+         "projector_semantic.linear2.bias": _w(d)}
+    for i in range(n_layers):
+        p = f"model.layers.{i}."
+        for k, shape in (("self_attn.q_proj.weight", (d, d)),
+                         ("self_attn.k_proj.weight", (d, d)),
+                         ("self_attn.v_proj.weight", (d, d)),
+                         ("self_attn.o_proj.weight", (d, d)),
+                         ("mlp.gate_proj.weight", (ff, d)),
+                         ("mlp.up_proj.weight", (ff, d)),
+                         ("mlp.down_proj.weight", (d, ff))):
+            s[p + k] = _w(*shape)
+        s[p + "input_layernorm.weight"] = np.ones(d, np.float32)
+        s[p + "post_attention_layernorm.weight"] = np.ones(d, np.float32)
+
+    out = tmp_path / "tts_run.gguf"
+    convert_tts(s, dict(num_hidden_layers=n_layers, hidden_size=d,
+                        intermediate_size=ff, num_attention_heads=4),
+                str(out), qtype=GGMLType.F32)
+
+    r = GGUFReader(out)
+    cfg = tts_mod.config_from_gguf(r.kv)
+    assert cfg.rope_neox is False  # LLaMA-arch decoder
+    params, extras = tts_mod.load_params(r)
+    from omni_tpu.models import qwen3
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=64)
+    cond = tts_mod.build_condition(
+        extras, jnp.asarray([5, 9], jnp.int32),
+        jnp.asarray(np.zeros((2, 64), np.float32)), end_of_turn=False)
+    _, hidden = ctx.decode(Batch(embeds=np.asarray(cond)), return_hidden=True)
+    logits = tts_mod.audio_logits(extras, jnp.asarray(hidden[-1]))
+    assert logits.shape == (96,)
+    assert np.isfinite(np.asarray(logits)).all()
