@@ -529,3 +529,38 @@ class OmniPipeline:
                 rb.end_pos = max(rb.end_pos - drop, self.n_keep)
             n_past -= drop
         self.llm.n_past[0] = n_past
+
+    # ------------------------------------------------------------ checkpoint
+    def session_state_bytes(self) -> bytes:
+        """Serialize the whole omni session: LLM KV + positions + window
+        registries (the reference's session IS its KV cache, SURVEY §5
+        checkpoint/resume; this adds the persistence it lacks)."""
+        import io
+        import pickle
+
+        meta = {
+            "n_keep": self.n_keep,
+            "rounds": [(r.start_pos, r.end_pos) for r in self.rounds],
+            "units": [(u.start_pos, u.end_pos) for u in self.units],
+            "current_round": self.current_round,
+            "cfg": dataclasses.asdict(self.cfg),
+        }
+        buf = io.BytesIO()
+        pickle.dump({"meta": meta, "llm": self.llm.state_bytes()}, buf)
+        return buf.getvalue()
+
+    def load_session_state_bytes(self, data: bytes) -> None:
+        import io
+        import pickle
+
+        blob = pickle.load(io.BytesIO(data))
+        self.llm.load_state_bytes(blob["llm"])
+        meta = blob["meta"]
+        self.n_keep = meta["n_keep"]
+        self.rounds = [RoundBoundary(a, b) for a, b in meta["rounds"]]
+        self.units = [UnitEntry(a, b) for a, b in meta["units"]]
+        self.current_round = meta["current_round"]
+        for k, v in meta["cfg"].items():
+            setattr(self.cfg, k, v)
+        if self.tts_ctx is not None:
+            self.tts_ctx.clear_kv()  # TTS KV is per-chunk, restarts clean

