@@ -359,8 +359,58 @@ def make_handler(state: ServerState):
                     "timings": timing,
                 })
 
+        def _tools_schema(self, tools, tool_choice):
+            """JSON schema constraining output to a tool call (the
+            reference's tool-call grammar, common/chat.cpp)."""
+            fns = [t["function"] for t in tools if t.get("type") == "function"]
+            if isinstance(tool_choice, dict):
+                want = tool_choice.get("function", {}).get("name")
+                fns = [f for f in fns if f["name"] == want]
+            calls = [{
+                "type": "object",
+                "properties": {
+                    "name": {"const": f["name"]},
+                    "arguments": f.get("parameters", {"type": "object"}),
+                },
+                "required": ["name", "arguments"],
+                "additionalProperties": False,
+            } for f in fns]
+            return calls[0] if len(calls) == 1 else {"anyOf": calls}
+
+        def _parse_tool_call(self, text):
+            try:
+                obj = json.loads(text)
+                return [{"id": f"call_{int(time.time()*1000)}",
+                         "type": "function",
+                         "function": {"name": obj["name"],
+                                      "arguments": json.dumps(obj["arguments"])}}]
+            except Exception:  # noqa: BLE001
+                return None
+
         def _handle_chat(self, body):
-            prompt = apply_chat_template(body.get("messages", []))
+            messages = list(body.get("messages", []))
+            tools = body.get("tools") or []
+            tool_choice = body.get("tool_choice", "auto" if tools else "none")
+            force_tool = tools and tool_choice != "none" and (
+                tool_choice == "required" or isinstance(tool_choice, dict))
+            if tools:
+                # advertise the tools in the system prompt (minja-template
+                # role of the reference); constrained JSON does the rest
+                tool_desc = "\n".join(
+                    f"- {t['function']['name']}: "
+                    f"{t['function'].get('description', '')} "
+                    f"parameters: {json.dumps(t['function'].get('parameters', {}))}"
+                    for t in tools if t.get("type") == "function")
+                messages.insert(0, {
+                    "role": "system",
+                    "content": "You can call these tools by replying with "
+                               'JSON {"name": ..., "arguments": {...}}:\n'
+                               + tool_desc})
+            if force_tool:
+                body = dict(body)
+                body["json_schema"] = self._tools_schema(tools, tool_choice)
+                body.pop("response_format", None)
+            prompt = apply_chat_template(messages)
             toks = np.asarray(
                 state.tok.encode(prompt, parse_special=True), np.int32)
             max_new = int(body.get("max_tokens", 128))
@@ -385,13 +435,20 @@ def make_handler(state: ServerState):
             else:
                 out, timing = state.complete(toks, max_new, sampler,
                                              grammar=grammar)
+                content = state.tok.decode(out, skip_special=True)
+                message = {"role": "assistant", "content": content}
+                finish = "stop"
+                if force_tool:
+                    calls = self._parse_tool_call(content)
+                    if calls:
+                        message = {"role": "assistant", "content": None,
+                                   "tool_calls": calls}
+                        finish = "tool_calls"
                 self._json(200, {
                     "id": rid, "object": "chat.completion",
                     "model": state.model_name,
-                    "choices": [{"index": 0, "message": {
-                        "role": "assistant",
-                        "content": state.tok.decode(out, skip_special=True)},
-                        "finish_reason": "stop"}],
+                    "choices": [{"index": 0, "message": message,
+                                 "finish_reason": finish}],
                     "usage": {"prompt_tokens": len(toks),
                               "completion_tokens": timing["n_decoded"],
                               "total_tokens": len(toks) + timing["n_decoded"]},

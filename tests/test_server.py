@@ -215,3 +215,26 @@ def test_env_arg_mirrors(monkeypatch):
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     assert ap.parse_args([]).ctx_size == 1234
     assert ap.parse_args(["-c", "99"]).ctx_size == 99  # CLI wins
+
+
+def test_tool_calling(server):
+    """OpenAI tool calling: forced tool choice yields a grammar-constrained
+    JSON call with valid arguments (common/chat tool-call capability)."""
+    out = _post(server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "what is the weather"}],
+        "max_tokens": 64, "temperature": 1.0,
+        "tools": [{"type": "function", "function": {
+            "name": "get_weather",
+            "description": "Get the weather",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"type": "string"}},
+                           "required": ["city"],
+                           "additionalProperties": False}}}],
+        "tool_choice": "required",
+    })
+    choice = out["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    call = choice["message"]["tool_calls"][0]
+    assert call["function"]["name"] == "get_weather"
+    args = json.loads(call["function"]["arguments"])
+    assert isinstance(args["city"], str)
