@@ -48,6 +48,8 @@ class Slot:
     stop_tokens: tuple = ()
     on_token: Callable | None = None  # streaming callback(token_id, text_done)
     grammar: Any = None  # omni_tpu.grammar.Grammar (constrained decoding)
+    n_probs: int = 0  # top-n token logprobs per step (server n_probs)
+    probs_out: list = dataclasses.field(default_factory=list)
     t_start: float = 0.0
     t_first_token: float = 0.0
 
@@ -68,7 +70,7 @@ class SlotScheduler:
     def launch(self, prompt_tokens, max_new: int = 128,
                sampler: SamplerParams | None = None,
                stop_tokens: tuple = (), on_token=None,
-               grammar=None) -> Slot | None:
+               grammar=None, n_probs: int = 0) -> Slot | None:
         """Assign a request to a free slot (launch_slot_with_task)."""
         for s in self.slots:
             if s.state == SlotState.IDLE:
@@ -89,6 +91,8 @@ class SlotScheduler:
                 s.stop_tokens = tuple(stop_tokens)
                 s.on_token = on_token
                 s.grammar = grammar.copy() if grammar is not None else None
+                s.n_probs = n_probs
+                s.probs_out = []
                 s.t_start = time.time()
                 return s
         return None
@@ -162,6 +166,12 @@ class SlotScheduler:
             tok = sample(lg, sub, s.sampler, s.prev_tokens)
             s.prev_tokens = update_prev_tokens(s.prev_tokens, tok)
             tok = int(tok)
+            if s.n_probs > 0:  # top-n logprobs (llama-server n_probs)
+                logp = jax.nn.log_softmax(lg)
+                top_v, top_i = jax.lax.top_k(logp, s.n_probs)
+                s.probs_out.append(
+                    [(int(i), float(v))
+                     for i, v in zip(np.asarray(top_i), np.asarray(top_v))])
             if (s.grammar is not None and self.token_text is not None
                     and tok not in s.stop_tokens):
                 s.grammar.accept(self.token_text(tok))

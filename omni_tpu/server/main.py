@@ -108,7 +108,7 @@ class ServerState:
 
     # ---- scheduler-backed completion ---------------------------------
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
-                 grammar=None):
+                 grammar=None, n_probs=0):
         # speculative fast path (greedy-exact; reference server --draft):
         # the draft proposes, the target verifies in one batched decode
         if (self.draft_ctx is not None and grammar is None
@@ -147,7 +147,8 @@ class ServerState:
             slot = self.sched.launch(prompt_tokens, max_new=max_new,
                                      sampler=sampler,
                                      stop_tokens=self._stop_ids(),
-                                     on_token=on_token, grammar=grammar)
+                                     on_token=on_token, grammar=grammar,
+                                     n_probs=n_probs)
             if slot is None:
                 return None
         while not done.is_set():
@@ -162,6 +163,8 @@ class ServerState:
             "predicted_ms": (time.time() - slot.t_first_token) * 1e3,
             "n_decoded": slot.n_decoded,
         }
+        if n_probs:
+            timing["probs"] = list(slot.probs_out)
         with self.sched_lock:
             # keep the KV: enables slot save/restore and prompt-cache reuse
             self.sched.release(slot, free_kv=False)
@@ -351,13 +354,25 @@ def make_handler(state: ServerState):
                                grammar=grammar)
                 self._sse_done()
             else:
+                n_probs = int(body.get("n_probs", 0))
                 out, timing = state.complete(toks, max_new, sampler,
-                                             grammar=grammar)
-                self._json(200, {
+                                             grammar=grammar, n_probs=n_probs)
+                resp = {
                     "content": state.tok.decode(out),
                     "tokens_predicted": timing["n_decoded"],
-                    "timings": timing,
-                })
+                    "timings": {k: v for k, v in timing.items()
+                                if k != "probs"},
+                }
+                if n_probs:
+                    # llama-server completion_probabilities contract
+                    resp["completion_probabilities"] = [
+                        {"id": tok,
+                         "token": state.tok.decode([tok]),
+                         "top_logprobs": [
+                             {"id": i, "token": state.tok.decode([i]),
+                              "logprob": lp} for i, lp in top]}
+                        for tok, top in zip(out, timing.get("probs", []))]
+                self._json(200, resp)
 
         def _tools_schema(self, tools, tool_choice):
             """JSON schema constraining output to a tool call (the

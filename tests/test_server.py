@@ -238,3 +238,15 @@ def test_tool_calling(server):
     assert call["function"]["name"] == "get_weather"
     args = json.loads(call["function"]["arguments"])
     assert isinstance(args["city"], str)
+
+
+def test_n_probs_logprobs(server):
+    out = _post(server + "/completion",
+                {"prompt": "hi", "n_predict": 3, "n_probs": 4})
+    probs = out["completion_probabilities"]
+    assert len(probs) == len(out["content"]) or len(probs) >= 1
+    first = probs[0]
+    assert len(first["top_logprobs"]) == 4
+    lps = [t["logprob"] for t in first["top_logprobs"]]
+    assert all(lps[i] >= lps[i + 1] for i in range(3))  # sorted desc
+    assert all(lp <= 0.0 for lp in lps)
