@@ -307,7 +307,8 @@ def tts_decode_scan(
     from ..models import qwen3
 
     prev0 = jnp.full((sp.win_size,), -1, jnp.int32)
-    slot0 = cache.find_slots(1)[0]
+    # fragmentation-safe slot list: ONE find_slots(n_steps), indexed per step
+    all_slots = cache.find_slots(n_steps)
     seq0 = jnp.zeros((1,), jnp.int32)
     emb_code_bf = extras["emb_code"].astype(jnp.bfloat16)
 
@@ -325,7 +326,7 @@ def tts_decode_scan(
 
         emb = emb_code_bf[jnp.maximum(rel, 0)][None]
         logits_u, hidden, cache = qwen3.forward(
-            params, cfg, emb, pos[None], seq0, cache, (slot0 + i)[None],
+            params, cfg, emb, pos[None], seq0, cache, all_slots[i][None],
             write_mask=(~done_next)[None])
         h_next = jnp.where(done_next, h, hidden.astype(h.dtype))
         prev_next = jnp.where(

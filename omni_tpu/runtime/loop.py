@@ -48,16 +48,17 @@ def decode_scan(
     """
     sp = SamplerParams(greedy=greedy, temp=temp, top_k=top_k)
 
-    # sequential slot allocation: one find_slots (cumsum + scatter costs
-    # ~140 us of tiny-kernel overhead) BEFORE the scan, then a counter.
-    # Valid because nothing frees cells mid-scan, so the free list is
-    # consumed in ascending order.
-    slot0 = cache.find_slots(1)[0]
+    # slot allocation: ONE find_slots(n_steps) before the scan (cumsum +
+    # scatter costs ~140 us of tiny-kernel overhead), indexed per step.
+    # Valid because nothing frees cells mid-scan. Unlike slot0+i counting
+    # this is fragmentation-safe: with free cells interleaved below
+    # occupied ones the precomputed list still lands on free cells only.
+    all_slots = cache.find_slots(n_steps)
 
     def step(carry, i):
         cache, tok, pos, key = carry
         x = embed(params, tok[None])
-        slots = (slot0 + i)[None]
+        slots = all_slots[i][None]
         logits, hidden, cache = forward(
             params, cfg, x, pos[None], seq_id[None], cache, slots
         )

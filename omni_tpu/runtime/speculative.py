@@ -74,6 +74,9 @@ def _rollback(ctx: Context, seq_id: int, keep_upto_pos: int) -> None:
         ctx.n_past[seq_id] = keep_upto_pos
 
 
+import contextlib
+
+
 def speculative_generate(
     target: Context,
     draft: Context,
@@ -82,27 +85,39 @@ def speculative_generate(
     seq_id: int = 0,
     stop_tokens: tuple[int, ...] = (),
     params: SpecParams = SpecParams(),
+    on_tokens=None,  # callback(list[int]) per accepted block (streaming)
+    lock=None,  # optional mutex held only per device round, released between
 ) -> tuple[list[int], SpecStats]:
-    """Greedy speculative generation; returns (tokens, stats)."""
+    """Greedy speculative generation; returns (tokens, stats).
+
+    `lock` (when given) is acquired around each device-touching round and
+    released between rounds, so a co-scheduled SlotScheduler keeps decoding
+    its own slots while a speculative request runs (the reference server
+    interleaves speculative slots the same way)."""
     stats = SpecStats()
+    guard = lock if lock is not None else contextlib.nullcontext()
     prompt = [int(t) for t in np.asarray(prompt_tokens, np.int32)]
-    last_target = target.prefill(np.asarray(prompt, np.int32), seq_id)
-    tok = int(jnp.argmax(jnp.asarray(last_target)))
+    with guard:
+        last_target = target.prefill(np.asarray(prompt, np.int32), seq_id)
+        tok = int(jnp.argmax(jnp.asarray(last_target)))
 
     out: list[int] = []
     while len(out) < max_new and tok not in stop_tokens:
         out.append(tok)
+        if on_tokens:
+            on_tokens([tok])
         if len(out) >= max_new:
             break
         stats.n_rounds += 1
         committed = prompt + out  # history incl. `tok` (not yet in target KV)
 
-        drafts = _draft_tokens(draft, committed, seq_id, params)
-        stats.n_drafted += len(drafts)
+        with guard:
+            drafts = _draft_tokens(draft, committed, seq_id, params)
+            stats.n_drafted += len(drafts)
 
-        # one batched target decode over [tok, d1..dK]
-        logits = _decode_tokens(target, [tok] + drafts, seq_id)
-        choices = np.asarray(jnp.argmax(logits, axis=-1))
+            # one batched target decode over [tok, d1..dK]
+            logits = _decode_tokens(target, [tok] + drafts, seq_id)
+            choices = np.asarray(jnp.argmax(logits, axis=-1))
 
         # longest accepted prefix: drafts[i] must equal the target's greedy
         # choice after block[:i+1]
@@ -118,17 +133,22 @@ def speculative_generate(
         nxt = int(choices[n_accept])  # the target's token after the prefix
 
         stopped = False
+        emitted: list[int] = []
         for t in accepted:
             # match generate(): the stop token itself is not emitted
             if len(out) >= max_new or t in stop_tokens:
                 stopped = True
                 break
             out.append(t)
+            emitted.append(t)
+        if emitted and on_tokens:
+            on_tokens(emitted)
 
         # keep committed history only: positions [0, len(prompt+out))
         base = len(prompt) + len(out)
-        _rollback(target, seq_id, base)
-        _rollback(draft, seq_id, base)
+        with guard:
+            _rollback(target, seq_id, base)
+            _rollback(draft, seq_id, base)
         if stopped:
             return out, stats
         tok = nxt

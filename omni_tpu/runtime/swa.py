@@ -54,12 +54,25 @@ class SWAKVCache:
         return base & in_window
 
     def prune_swa(self, q_seq, q_pos) -> "SWAKVCache":
-        """Reclaim SWA cells that fell out of every live window (the
-        reference prunes after each ubatch). Metadata-only update."""
-        max_pos = jnp.max(jnp.where(q_pos >= 0, q_pos, -1))
-        cutoff = max_pos - self.n_swa
-        stale = (self.swa.pos >= 0) & (self.swa.pos <= cutoff)
-        new_mask = jnp.where(stale, 0, self.swa.seq_mask).astype(jnp.uint32)
+        """Reclaim SWA cells that fell out of their OWN sequence's window
+        (the reference's llama_kv_cache_iswa prunes per sequence after each
+        ubatch). Per-sequence cutoffs: a long sequence in a mixed batch must
+        not evict another sequence's still-in-window cells. Metadata-only."""
+        from .kv_cache import MAX_SEQS
+
+        # per-sequence max query position (-1 for sequences not in the batch)
+        seq_max = jnp.full((MAX_SEQS,), -1, jnp.int32).at[
+            q_seq.astype(jnp.int32)].max(q_pos.astype(jnp.int32), mode="drop")
+        cutoff = seq_max - self.n_swa  # [MAX_SEQS]
+        # bit s of a cell clears iff the cell's pos fell out of seq s's window
+        pos = self.swa.pos  # [S]
+        stale = ((pos[None, :] >= 0) & (seq_max[:, None] >= 0)
+                 & (pos[None, :] <= cutoff[:, None]))  # [MAX_SEQS, S]
+        bits = (jnp.uint32(1) << jnp.arange(MAX_SEQS, dtype=jnp.uint32))
+        stale_bits = jnp.sum(
+            jnp.where(stale, bits[:, None], jnp.uint32(0)), axis=0,
+            dtype=jnp.uint32)  # distinct bits: sum == bitwise-or
+        new_mask = (self.swa.seq_mask & ~stale_bits).astype(jnp.uint32)
         return dataclasses.replace(
             self,
             swa=dataclasses.replace(

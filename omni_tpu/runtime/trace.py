@@ -70,9 +70,11 @@ def trace_qwen3(params: dict, cfg, tokens: np.ndarray,
             v = matmul(hn, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
             if lp["q_norm"] is not None:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            if lp["k_norm"] is not None:
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-            q = apply_rope(q, pos, cfg.rope_base)
-            k = tap(p + "k_rope", apply_rope(k, pos, cfg.rope_base))
+            neox = getattr(cfg, "rope_neox", True)
+            q = apply_rope(q, pos, cfg.rope_base, neox=neox)
+            k = tap(p + "k_rope", apply_rope(k, pos, cfg.rope_base, neox=neox))
             g = cfg.n_heads // cfg.n_kv_heads
             qg = q.reshape(t, cfg.n_kv_heads, g, cfg.head_dim)
             scores = jnp.einsum("thgd,shd->hgts", qg, k,

@@ -42,7 +42,8 @@ def apply_chat_template(messages: list[dict], add_generation_prompt=True) -> str
 class ServerState:
     def __init__(self, ctx: Context, tokenizer, n_slots: int = 4,
                  model_name: str = "omni-tpu", lora_paths: list | None = None,
-                 draft_ctx: Context | None = None):
+                 draft_ctx: Context | None = None,
+                 slot_save_path: str | None = None):
         self.ctx = ctx
         self.tok = tokenizer
         self.model_name = model_name
@@ -53,6 +54,10 @@ class ServerState:
         self.sched_lock = threading.Lock()
         self.omni = None  # OmniPipeline, created by /v1/stream/omni_init
         self.draft_ctx = draft_ctx  # speculative decoding (server --draft)
+        # slot persistence is OFF unless --slot-save-path names a directory
+        # (the reference gates it identically: tools/server --slot-save-path;
+        # filenames are confined to that directory)
+        self.slot_save_path = slot_save_path
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
         # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
@@ -115,21 +120,35 @@ class ServerState:
                 and (sampler.greedy or sampler.temp <= 0)):
             from ..runtime.speculative import speculative_generate
 
+            seq = 30  # scratch sequence outside the slot range
+            t0 = time.time()
             with self.sched_lock:
-                seq = 30  # scratch sequence outside the slot range
-                t0 = time.time()
                 self.ctx.seq_rm(seq, -1, -1)
                 self.ctx.n_past.pop(seq, None)
                 self.draft_ctx.seq_rm(seq, -1, -1)
                 self.draft_ctx.n_past.pop(seq, None)
-                out, stats = speculative_generate(
-                    self.ctx, self.draft_ctx, prompt_tokens,
-                    max_new=max_new, seq_id=seq,
-                    stop_tokens=self._stop_ids())
+
+            # incremental streaming, delayed by one token so the final one
+            # can carry finished=True
+            pending: list[int] = []
+
+            def on_tokens(block):
+                if stream_cb:
+                    for tok in block:
+                        if pending:
+                            stream_cb(pending.pop(), False)
+                        pending.append(tok)
+
+            # lock is held per speculative ROUND only (scratch seq 30 is
+            # private; other slots keep decoding between rounds)
+            out, stats = speculative_generate(
+                self.ctx, self.draft_ctx, prompt_tokens,
+                max_new=max_new, seq_id=seq,
+                stop_tokens=self._stop_ids(),
+                on_tokens=on_tokens, lock=self.sched_lock)
             self.metrics["n_tokens_generated"] += len(out)
-            if stream_cb:
-                for i, tok in enumerate(out):
-                    stream_cb(tok, i == len(out) - 1)
+            if stream_cb and pending:
+                stream_cb(pending.pop(), True)
             return out, {"prompt_ms": 0.0,
                          "predicted_ms": (time.time() - t0) * 1e3,
                          "n_decoded": len(out),
@@ -536,17 +555,40 @@ def make_handler(state: ServerState):
             if not (0 <= sid < len(state.sched.slots)):
                 self._json(400, {"error": "invalid slot id"})
                 return
+            if action in ("save", "restore") and not state.slot_save_path:
+                # same gate as the reference server: persistence requires
+                # an explicit --slot-save-path directory
+                self._json(400, {"error": "slot save/restore disabled "
+                                          "(start with --slot-save-path)"})
+                return
+
+            def safe_path(name: str) -> str | None:
+                """Confine client filenames to the configured directory:
+                no separators, no parent traversal."""
+                if (not name or "/" in name or "\\" in name or ".." in name
+                        or name.startswith(".")):
+                    return None
+                return os.path.join(state.slot_save_path, name)
+
             if action == "save":
-                path = body.get("filename", f"slot_{sid}.bin")
+                path = safe_path(body.get("filename", f"slot_{sid}.bin"))
+                if path is None:
+                    self._json(400, {"error": "invalid filename"})
+                    return
                 blob = state.ctx.seq_state_bytes(sid)
+                os.makedirs(state.slot_save_path, exist_ok=True)
                 with open(path, "wb") as f:
                     f.write(blob)
-                self._json(200, {"id_slot": sid, "filename": path,
+                self._json(200, {"id_slot": sid,
+                                 "filename": os.path.basename(path),
                                  "n_saved": len(blob)})
             elif action == "restore":
-                path = body.get("filename", f"slot_{sid}.bin")
+                path = safe_path(body.get("filename", f"slot_{sid}.bin"))
+                if path is None:
+                    self._json(400, {"error": "invalid filename"})
+                    return
                 if not os.path.exists(path):
-                    self._json(400, {"error": f"no such file {path}"})
+                    self._json(400, {"error": "no such slot file"})
                     return
                 n = state.ctx.load_seq_state_bytes(sid, open(path, "rb").read())
                 state.sched.slots[sid].n_past = state.ctx.n_past.get(sid, 0)
@@ -661,6 +703,9 @@ def main(argv=None):
                     help="LoRA adapter GGUF (repeatable; hot-swap scale via "
                          "POST /lora-adapters)")
     ap.add_argument("--draft", help="draft model GGUF for speculative decoding")
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for slot save/restore files (persistence "
+                         "is disabled unless set)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -679,7 +724,8 @@ def main(argv=None):
         draft_ctx = Context(dcfg, qwen3.load_params(dreader), qwen3.forward,
                             qwen3.embed, n_ctx=args.ctx_size)
     state = ServerState(ctx, tok, n_slots=args.parallel,
-                        lora_paths=args.lora, draft_ctx=draft_ctx)
+                        lora_paths=args.lora, draft_ctx=draft_ctx,
+                        slot_save_path=args.slot_save_path)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -27,7 +27,8 @@ def server(tmp_path_factory):
     ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
                   n_ctx=256)
     tok = build_tokenizer(reader.kv)
-    state = ServerState(ctx, tok, n_slots=2)
+    state = ServerState(ctx, tok, n_slots=2,
+                        slot_save_path=str(tmp_path_factory.mktemp("slots")))
     httpd = serve(state, "127.0.0.1", 0)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -156,7 +157,7 @@ def test_apply_template(server):
 
 
 def test_slot_save_restore(server, tmp_path):
-    fn = str(tmp_path / "slot0.bin")
+    fn = "slot0.bin"  # bare name, confined to the server's --slot-save-path
     # generate something into slot 0 (seq 0)
     _post(server + "/completion", {"prompt": "hello", "n_predict": 4})
     out = _post(server + "/slots/0?action=save", {"filename": fn})
@@ -171,6 +172,14 @@ def test_slot_save_restore(server, tmp_path):
         assert False, "invalid slot must 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # path traversal / absolute paths must be rejected (security contract:
+    # the reference confines slot files to --slot-save-path)
+    for bad in ("../evil.bin", "/tmp/evil.bin", "a/b.bin", ".hidden"):
+        try:
+            _post(server + "/slots/0?action=save", {"filename": bad})
+            assert False, f"filename {bad!r} must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
 
 
 def test_grammar_constrained_completion(server):

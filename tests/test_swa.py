@@ -51,6 +51,30 @@ def test_swa_prune_reclaims_cells():
     assert int(jnp.sum(cache.full.seq_mask != 0)) == 30
 
 
+def test_swa_prune_is_per_sequence():
+    """A long sequence in a mixed batch must not evict another sequence's
+    cells that are still inside that sequence's own window (per-sequence
+    pruning of llama_kv_cache_iswa)."""
+    cache = SWAKVCache.create(1, 1, size=64, n_swa=8, n_kv_heads=2, head_dim=4)
+    cache = _write_tokens(cache, range(30), seq=0)  # long sequence
+    cache = _write_tokens(cache, range(5), seq=1)   # short sequence
+    cache = cache.prune_swa(jnp.asarray([0, 1], jnp.int32),
+                            jnp.asarray([29, 4], jnp.int32))
+    pos = np.asarray(cache.swa.pos)
+    mask = np.asarray(cache.swa.seq_mask)
+    owned0 = (mask & 1) != 0
+    owned1 = ((mask >> 1) & 1) != 0
+    # seq 0: only its window survives
+    assert set(pos[owned0].tolist()) == set(range(22, 30))
+    # seq 1: ALL its cells survive (its own window covers 0..4)
+    assert set(pos[owned1].tolist()) == set(range(5))
+    # a seq not in the batch is never pruned
+    cache2 = cache.prune_swa(jnp.asarray([0], jnp.int32),
+                             jnp.asarray([29], jnp.int32))
+    owned1b = ((np.asarray(cache2.swa.seq_mask) >> 1) & 1) != 0
+    assert owned1b.sum() == 5
+
+
 def test_swa_pool_is_smaller():
     cache = SWAKVCache.create(2, 2, size=4096, n_swa=256, n_kv_heads=2,
                               head_dim=4)
