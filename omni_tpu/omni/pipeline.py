@@ -388,6 +388,7 @@ class OmniPipeline:
             force_no_eos=bool(self.cfg.duplex and not out.is_final))
         n_valid = int(n_valid)
         ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
+        ctx.cells_used += n_valid  # scan-side KV writes bypass Context.decode
         return np.asarray(codes_arr)[:n_valid].tolist()
 
     # ------------------------------------------------------------------ T2W

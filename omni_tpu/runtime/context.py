@@ -49,6 +49,13 @@ class Batch:
         return len(self.tokens) if self.tokens is not None else len(self.embeds)
 
 
+class KVCacheFull(RuntimeError):
+    """Raised when a decode would exceed the KV cell pool. The reference
+    either context-shifts (server, tools/server/server.cpp:2872) or fails
+    the batch (llama_decode returns 1 on no-slot); silent cell aliasing is
+    never acceptable."""
+
+
 class Context:
     """One model instance + its KV cache + compiled step functions."""
 
@@ -85,6 +92,11 @@ class Context:
         self.mu = mirostat_init(self.sampler) if self.sampler.mirostat else None
         self._steps: dict[int, Callable] = {}
         self.n_past: dict[int, int] = {}  # per-seq position high-water mark
+        # host-side shadow of occupied-cell count: lets the hot decode path
+        # guard against pool overflow with ZERO device syncs (find_slots
+        # would silently alias cells past capacity otherwise). Cold-path
+        # seq ops re-sync it from the device.
+        self.cells_used = 0
         self.buckets = tuple(sorted(buckets))
         from ..log import PerfCounters
 
@@ -111,6 +123,15 @@ class Context:
         """Run one ubatch. Returns (logits [T, vocab] np, hidden or None)."""
         t = len(batch)
         tb = _bucket(t, self.buckets)
+        # overflow guard: the step allocates tb cells (bucket-padded; the
+        # padding rows stay free but must land on real free cells — an
+        # over-committed find_slots aliases cell size-1 and corrupts it)
+        free = self.cache.size - self.cells_used
+        if tb > free:
+            raise KVCacheFull(
+                f"KV pool exhausted: batch of {t} (padded to {tb}) needs "
+                f"{tb} free cells, have {free} of {self.cache.size}; "
+                f"shift or seq_rm first")
         pos = batch.pos if batch.pos is not None else self._auto_pos(batch)
         seq = batch.seq_id if batch.seq_id is not None else np.zeros(t, np.int32)
 
@@ -133,6 +154,7 @@ class Context:
         )
         logits.block_until_ready()
         self.perf.record_decode(t, time.perf_counter() - t0)
+        self.cells_used += t  # valid rows only; padding cells stay free
         for s in np.unique(np.asarray(seq)):
             mx = int(np.max(np.asarray(pos)[np.asarray(seq) == s]))
             self.n_past[int(s)] = max(self.n_past.get(int(s), 0), mx + 1)
@@ -195,8 +217,15 @@ class Context:
         return out
 
     # ---- KV session ops (llama_memory_* counterparts) ----------------------
+    def sync_cells_used(self) -> int:
+        """Re-sync the host-side occupied-cell shadow from the device (one
+        scalar transfer; cold paths only)."""
+        self.cells_used = int(jax.device_get(self.cache.n_used()))
+        return self.cells_used
+
     def seq_rm(self, seq_id, p0=-1, p1=-1):
         self.cache = jax.jit(KVCache.seq_rm)(self.cache, seq_id, p0, p1)
+        self.sync_cells_used()
 
     def seq_cp(self, seq_src, seq_dst, p0=-1, p1=-1):
         self.cache = jax.jit(KVCache.seq_cp)(self.cache, seq_src, seq_dst, p0, p1)
@@ -205,6 +234,8 @@ class Context:
         self.cache = jax.jit(KVCache.seq_add)(self.cache, seq_id, p0, p1, delta)
         if seq_id in self.n_past:
             self.n_past[seq_id] = max(0, self.n_past[seq_id] + int(delta))
+        if int(delta) < 0:  # negative shifts can drop cells (new_pos < 0)
+            self.sync_cells_used()
 
     def seq_div(self, seq_id, p0, p1, d):
         self.cache = jax.jit(KVCache.seq_div)(self.cache, seq_id, p0, p1, d)
@@ -214,6 +245,7 @@ class Context:
     def clear_kv(self):
         self.cache = self.cache.clear()
         self.n_past.clear()
+        self.cells_used = 0
 
     # ---- state save/load (llama_state_{get,set}_data counterpart) ---------
     @staticmethod
@@ -298,6 +330,7 @@ class Context:
         self.cache = dataclasses.replace(cache, k=k, v=v, pos=pos,
                                          seq_mask=seq_mask, **kw)
         self.n_past[seq_id] = int(z["n_past"])
+        self.sync_cells_used()
         return n
 
     def load_state_bytes(self, data: bytes) -> None:
@@ -322,3 +355,4 @@ class Context:
             v_scale=jnp.asarray(z["v_scale"]) if "v_scale" in z.files else None,
         )
         self.n_past = {int(a): int(b) for a, b in z["n_past"]}
+        self.sync_cells_used()

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .context import Batch, Context
+from .context import Batch, Context, KVCacheFull
 from .sampler import SamplerParams, sample, update_prev_tokens
 
 
@@ -50,6 +50,8 @@ class Slot:
     grammar: Any = None  # omni_tpu.grammar.Grammar (constrained decoding)
     n_probs: int = 0  # top-n token logprobs per step (server n_probs)
     probs_out: list = dataclasses.field(default_factory=list)
+    n_keep: int = 0  # positions protected from context shift
+    n_shifted: int = 0  # total positions discarded by context shifts
     t_start: float = 0.0
     t_first_token: float = 0.0
 
@@ -58,13 +60,19 @@ class SlotScheduler:
     """Drives continuous batching on one Context."""
 
     def __init__(self, ctx: Context, n_slots: int = 4, n_batch: int = 256,
-                 vocab_trie=None, token_text: Callable | None = None):
+                 vocab_trie=None, token_text: Callable | None = None,
+                 ctx_shift: bool = True):
         self.ctx = ctx
         self.n_batch = n_batch
         self.slots = [Slot(id=i) for i in range(n_slots)]
         # grammar-constrained decoding support (omni_tpu.grammar)
         self.vocab_trie = vocab_trie
         self.token_text = token_text
+        # per-slot position budget (reference: n_ctx / n_parallel,
+        # tools/server/server.cpp:2508-2548) and shift-on-full policy
+        # (server.cpp:2872, :3580-3590 n_discard)
+        self.n_ctx_slot = max(ctx.n_ctx // max(n_slots, 1), 8)
+        self.ctx_shift = ctx_shift
 
     # ------------------------------------------------------------- control
     def launch(self, prompt_tokens, max_new: int = 128,
@@ -72,6 +80,10 @@ class SlotScheduler:
                stop_tokens: tuple = (), on_token=None,
                grammar=None, n_probs: int = 0) -> Slot | None:
         """Assign a request to a free slot (launch_slot_with_task)."""
+        if len(prompt_tokens) >= self.n_ctx_slot:
+            raise ValueError(
+                f"prompt of {len(prompt_tokens)} tokens exceeds the per-slot "
+                f"context budget {self.n_ctx_slot} (n_ctx/n_slots)")
         for s in self.slots:
             if s.state == SlotState.IDLE:
                 if self.ctx.n_past.get(s.id):  # stale KV kept from last task
@@ -133,6 +145,16 @@ class SlotScheduler:
                     want_logits.append((s, len(tokens) - 1))
                     gen_slots.append(s)
             elif s.state == SlotState.GENERATING and s.out_tokens:
+                if s.n_past + 1 > self.n_ctx_slot:
+                    # slot hit its context budget: shift (discard the oldest
+                    # half past n_keep, re-base positions) or stop — never
+                    # overflow silently (server.cpp:2872, :3580-3590)
+                    if not self.ctx_shift:
+                        s.state = SlotState.DONE
+                        if s.on_token is not None:
+                            s.on_token(s.out_tokens[-1], True)
+                        continue
+                    self._context_shift(s)
                 tokens.append(s.out_tokens[-1])
                 pos.append(s.n_past)
                 seq.append(s.id)
@@ -143,11 +165,22 @@ class SlotScheduler:
         if not tokens:
             return
 
-        logits, _ = self.ctx.decode(Batch(
-            tokens=np.asarray(tokens, np.int32),
-            pos=np.asarray(pos, np.int32),
-            seq_id=np.asarray(seq, np.int32),
-        ))
+        try:
+            logits, _ = self.ctx.decode(Batch(
+                tokens=np.asarray(tokens, np.int32),
+                pos=np.asarray(pos, np.int32),
+                seq_id=np.asarray(seq, np.int32),
+            ))
+        except KVCacheFull:
+            # the POOL is full even though slots are inside their budgets —
+            # reclaim KV kept by idle slots (prompt-cache reuse), retry once
+            if self.reclaim_idle_kv() == 0:
+                raise
+            logits, _ = self.ctx.decode(Batch(
+                tokens=np.asarray(tokens, np.int32),
+                pos=np.asarray(pos, np.int32),
+                seq_id=np.asarray(seq, np.int32),
+            ))
 
         for s, row in want_logits:
             s.key, sub = jax.random.split(s.key)
@@ -187,6 +220,28 @@ class SlotScheduler:
                 s.on_token(tok, stopped)
             if stopped:
                 s.state = SlotState.DONE
+
+    def _context_shift(self, s: Slot) -> None:
+        """Discard the oldest (n_past - n_keep)/2 positions of the slot's
+        sequence and re-base the rest (n_discard semantics of the reference
+        server; seq_add applies the K re-rotation)."""
+        n_keep = min(max(s.n_keep, 0), s.n_past)
+        n_discard = max((s.n_past - n_keep) // 2, 1)
+        self.ctx.seq_rm(s.id, n_keep, n_keep + n_discard)
+        self.ctx.seq_add(s.id, n_keep + n_discard, s.n_past, -n_discard)
+        s.n_past -= n_discard
+        s.n_shifted += n_discard
+
+    def reclaim_idle_kv(self) -> int:
+        """Free KV cells kept by IDLE slots (released with free_kv=False for
+        prompt-cache reuse); returns the number of slots reclaimed."""
+        n = 0
+        for s in self.slots:
+            if s.state == SlotState.IDLE and self.ctx.n_past.get(s.id):
+                self.ctx.seq_rm(s.id, -1, -1)
+                self.ctx.n_past.pop(s.id, None)
+                n += 1
+        return n
 
     def run_until_done(self, max_iters: int = 100000) -> None:
         for _ in range(max_iters):

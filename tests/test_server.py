@@ -24,8 +24,10 @@ def server(tmp_path_factory):
                      byte_tokenizer=True)
     reader = GGUFReader(path)
     cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    # n_ctx 1024 = 512/slot: byte-tokenized tool/system prompts must fit the
+    # per-slot budget now that SlotScheduler enforces it strictly
     ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
-                  n_ctx=256)
+                  n_ctx=1024)
     tok = build_tokenizer(reader.kv)
     state = ServerState(ctx, tok, n_slots=2,
                         slot_save_path=str(tmp_path_factory.mktemp("slots")))
@@ -58,7 +60,7 @@ def test_models_props_slots(server):
     models = json.loads(_get(server + "/v1/models"))
     assert models["data"][0]["id"] == "omni-tpu"
     props = json.loads(_get(server + "/props"))
-    assert props["n_ctx"] == 256 and props["n_slots"] == 2
+    assert props["n_ctx"] == 1024 and props["n_slots"] == 2
     slots = json.loads(_get(server + "/slots"))
     assert len(slots) == 2 and slots[0]["state"] == "IDLE"
 

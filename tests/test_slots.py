@@ -78,6 +78,50 @@ def test_no_free_slot_returns_none(ctx_factory):
     assert sched.launch(np.array([2], np.int32)) is None
 
 
+def test_context_overflow_raises(ctx_factory):
+    """Raw Context must hard-error on pool overflow, never alias cells
+    (reference: llama_decode fails when find_slot cannot place the batch)."""
+    from omni_tpu.runtime import Batch, KVCacheFull
+
+    ctx = ctx_factory(n_ctx=16)
+    with pytest.raises(KVCacheFull):
+        for i in range(40):
+            ctx.decode(Batch(tokens=np.array([i % 7], np.int32)))
+
+
+def test_slot_context_shift(ctx_factory):
+    """A generation exceeding the slot budget context-shifts (n_discard
+    semantics, server.cpp:2872/:3580-3590) and keeps generating."""
+    ctx = ctx_factory(n_ctx=64)
+    sched = SlotScheduler(ctx, n_slots=2)  # budget = 32 positions/slot
+    s = sched.launch(np.array([1, 2, 3], np.int32), max_new=60,
+                     sampler=SamplerParams(greedy=True))
+    sched.run_until_done()
+    assert len(s.out_tokens) == 60  # generation completed past the budget
+    assert s.n_shifted > 0  # at least one shift happened
+    assert s.n_past <= sched.n_ctx_slot  # never exceeded the budget
+    # pool never overflowed (KVCacheFull would have raised) and the cell
+    # count matches the post-shift position count
+    assert ctx.cells_used <= ctx.n_ctx
+
+
+def test_slot_no_ctx_shift_stops(ctx_factory):
+    ctx = ctx_factory(n_ctx=64)
+    sched = SlotScheduler(ctx, n_slots=2, ctx_shift=False)
+    s = sched.launch(np.array([1, 2, 3], np.int32), max_new=60,
+                     sampler=SamplerParams(greedy=True))
+    sched.run_until_done()
+    assert s.state == SlotState.DONE
+    assert len(s.out_tokens) < 60  # stopped at the budget instead
+
+
+def test_prompt_exceeding_budget_rejected(ctx_factory):
+    ctx = ctx_factory(n_ctx=32)
+    sched = SlotScheduler(ctx, n_slots=2)  # budget 16
+    with pytest.raises(ValueError):
+        sched.launch(np.arange(20, dtype=np.int32) % 7)
+
+
 def test_streaming_callback(ctx_factory):
     ctx = ctx_factory()
     sched = SlotScheduler(ctx, n_slots=1)
