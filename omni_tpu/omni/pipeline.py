@@ -154,6 +154,12 @@ class OmniPipeline:
         self.break_event = threading.Event()
         self.session_stop = threading.Event()
         self.prefill_done = threading.Event()
+        # outstanding-prefill counter closes the enqueue/`queue.Empty` race:
+        # prefill_done only sets when every enqueued chunk has been fully
+        # evaluated (the reference's cv-guarded prefill_done,
+        # omni.cpp:8649-8658). Guarded by _prefill_mtx.
+        self._prefill_pending = 0
+        self._prefill_mtx = threading.Lock()
         self.llama_mtx = threading.Lock()  # serializes LLM ctx (omni.h:287)
         self.n_keep = 0
         self.rounds: list[RoundBoundary] = []
@@ -224,7 +230,9 @@ class OmniPipeline:
             item["audio_embeds"] = self.audio_encoder(audio)
         if image is not None and self.vision_encoder is not None:
             item["image_embeds"] = self.vision_encoder(image)
-        self.prefill_done.clear()
+        with self._prefill_mtx:
+            self._prefill_pending += 1
+            self.prefill_done.clear()
         self.embed_queue.put(item)
 
     def _llm_prefill_worker(self) -> None:
@@ -234,22 +242,27 @@ class OmniPipeline:
             try:
                 item = self.embed_queue.get(timeout=0.05)
             except queue.Empty:
-                if self.embed_queue.empty():
-                    self.prefill_done.set()
                 continue
-            if self.cfg.duplex:
-                self._register_unit_start()
-                self._eval_text("<unit>")
-            if "image_embeds" in item:
-                self._eval_text("<image>")
-                self._eval_embeds(item["image_embeds"])
-                self._eval_text("</image>")
-            if "audio_embeds" in item:
-                self._eval_text("<|audio_start|>")
-                self._eval_embeds(item["audio_embeds"])
-                self._eval_text("<|audio_end|>")
-            if self.embed_queue.empty():
-                self.prefill_done.set()
+            try:
+                if self.cfg.duplex:
+                    self._register_unit_start()
+                    self._eval_text("<unit>")
+                if "image_embeds" in item:
+                    self._eval_text("<image>")
+                    self._eval_embeds(item["image_embeds"])
+                    self._eval_text("</image>")
+                if "audio_embeds" in item:
+                    self._eval_text("<|audio_start|>")
+                    self._eval_embeds(item["audio_embeds"])
+                    self._eval_text("<|audio_end|>")
+            finally:
+                # signal only when EVERY enqueued chunk is fully in the KV —
+                # decrementing after the evals closes the window where a
+                # fresh put lands between an empty() check and set()
+                with self._prefill_mtx:
+                    self._prefill_pending -= 1
+                    if self._prefill_pending == 0:
+                        self.prefill_done.set()
 
     # -------------------------------------------------------------- decode
     def stream_decode(self, round_idx: int = 0,
@@ -300,13 +313,19 @@ class OmniPipeline:
             if self.is_end_token(tok):
                 break
             if self.cfg.duplex and segment_tokens >= DUPLEX_CHUNK_CAP:
-                # force <|chunk_eos|> + </unit> (omni.cpp:9317-9344)
-                if "<|chunk_eos|>" in self.special:
-                    self._eval_text("<|chunk_eos|>")
-                if "</unit>" in self.special:
-                    self._eval_text("</unit>")
+                # cap hit: the sampled token is force-REPLACED by
+                # <|chunk_eos|> + engine-appended </unit> — it must never
+                # enter the KV (omni.cpp:9317-9344); the next sample comes
+                # from the post-</unit> logits
+                forced = "".join(s for s in ("<|chunk_eos|>", "</unit>")
+                                 if s in self.special)
+                if forced:
+                    lg = self._eval_text(forced)
+                    if lg is not None:
+                        last_logits = lg
                 self._register_unit_end()
                 segment_tokens = 0
+                tok = None  # discard the cap-breaching sampled token
 
             if len(chunk_tokens) >= STEP_SIZE:
                 self._emit_chunk(chunk_tokens, chunk_hiddens, False)

@@ -267,6 +267,74 @@ def test_wav_file_delivery(pipeline, tmp_path):
     assert len(x) > 1000
 
 
+def test_duplex_cap_force_replaces_sampled_token(pipeline):
+    """Chunk-cap semantics (omni.cpp:9317-9344): the sampled token that
+    breaches the 26-token cap is force-REPLACED by <|chunk_eos|></unit> —
+    it must never enter the KV; the next sample comes from the
+    post-</unit> logits."""
+    from omni_tpu.omni.pipeline import DUPLEX_CHUNK_CAP
+
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = True
+    pipe.cfg.use_tts = False
+    pipe.cfg.high_water = 10_000  # no window interference
+    pipe.prefill_done.set()
+
+    base_tok = 42  # plain text token, never special
+    orig_sample = pipe.llm.sample_token
+    fed: list[int] = []
+    orig_decode = pipe.llm.decode
+
+    def spy_decode(batch, **kw):
+        if batch.tokens is not None:
+            fed.extend(int(t) for t in np.asarray(batch.tokens))
+        return orig_decode(batch, **kw)
+
+    pipe.llm.sample_token = lambda lg: base_tok
+    pipe.llm.decode = spy_decode
+    try:
+        limit = DUPLEX_CHUNK_CAP + 4
+        pipe.stream_decode(round_idx=0, max_new_tokens=limit)
+    finally:
+        pipe.llm.sample_token = orig_sample
+        pipe.llm.decode = orig_decode
+        pipe.cfg.duplex = False
+        pipe.cfg.use_tts = True
+        pipe.cfg.high_water = 4000
+    while not pipe.text_out.empty():
+        pipe.text_out.get_nowait()
+
+    eos_id = pipe.special["<|chunk_eos|>"]
+    unit_end_id = pipe.special["</unit>"]
+    assert eos_id in fed and unit_end_id in fed
+    i_eos = fed.index(eos_id)
+    # exactly cap-1 sampled tokens fed before the forced chunk_eos (the
+    # cap-th sampled token was discarded, not fed)
+    assert fed[:i_eos].count(base_tok) == DUPLEX_CHUNK_CAP - 1
+    assert fed[i_eos + 1] == unit_end_id
+    # total sampled-token feeds: limit samples, one discarded at the cap,
+    # and the final sample is never fed (loop exits) => limit - 2
+    assert fed.count(base_tok) == limit - 2
+
+
+def test_prefill_done_counts_outstanding_chunks(pipeline):
+    """prefill_done must only signal when EVERY enqueued chunk is fully in
+    the KV (cv-guarded prefill_done of the reference, omni.cpp:8649-8658)."""
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = False
+    pipe.stream_prefill(index=0, system_prompt="sys",
+                        ref_audio=np.zeros(1600, np.float32))
+    n0 = pipe.llm.n_past[0]
+    for i in range(1, 4):  # three 10-token audio chunks, enqueued rapidly
+        pipe.stream_prefill(audio=np.zeros(1600, np.float32), index=i)
+    assert pipe.prefill_done.wait(timeout=120)
+    assert pipe._prefill_pending == 0
+    # each chunk = <|audio_start|>(1) + 10 embeds + <|audio_end|>(1)
+    assert pipe.llm.n_past[0] == n0 + 3 * 12
+
+
 def test_session_checkpoint_resume(pipeline):
     """Omni session save -> fresh-state restore reproduces the KV session."""
     import numpy as np
