@@ -87,11 +87,17 @@ def build_pipeline(paths: dict, args):
         mean = list(vreader.kv.get("clip.vision.image_mean", [0.5] * 3))
         std = list(vreader.kv.get("clip.vision.image_std", [0.5] * 3))
 
-        def vision_encoder(img):
+        def vision_encoder(img, max_slice_nums=None):
+            # runtime override (-1/None = load-time default): high_image
+            # mode plumbs max_slice_nums=2 through SessionConfig
+            msn = args.max_slice_nums
+            if max_slice_nums is not None and max_slice_nums >= 0:
+                msn = max_slice_nums
             parts = image_pre.preprocess_uhd(img, mean, std,
-                                             max_slice_nums=args.max_slice_nums)
-            outs = [siglip.encode_image_np(vparams, vcfg, p) for p in parts]
-            return np.concatenate(outs, axis=0)
+                                             max_slice_nums=msn)
+            # per-part list [overview, slice1, ...]: the pipeline wraps each
+            # in <image>/<slice> markers (omni.cpp:4329-4341)
+            return [siglip.encode_image_np(vparams, vcfg, p) for p in parts]
 
     tts_ctx, tts_extras, t2w = None, None, None
     if paths.get("tts") and not args.no_tts:

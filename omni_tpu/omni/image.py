@@ -113,6 +113,26 @@ def normalize(img: np.ndarray, mean, std) -> np.ndarray:
     return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def stack_frames(frames: list[np.ndarray]) -> np.ndarray:
+    """High-refresh mode helper: merge the trailing video frames of one
+    second into a single grid image (the reference flags high_refresh and
+    delegates stacking to its Python server layer, omni.h:258-263; 5 fps ⇒
+    frame 0 is the main image and the remaining 4 stack 2×2 here). Frames
+    are resized to the first frame's size; an odd count pads with black."""
+    if not frames:
+        raise ValueError("stack_frames needs at least one frame")
+    h, w = frames[0].shape[:2]
+    cols = 2 if len(frames) > 1 else 1
+    rows = -(-len(frames) // cols)
+    resized = [f if f.shape[:2] == (h, w) else _resize(f, w, h, "bilinear")
+               for f in frames]
+    while len(resized) < rows * cols:
+        resized.append(np.zeros((h, w, 3), frames[0].dtype))
+    rows_img = [np.concatenate(resized[r * cols:(r + 1) * cols], axis=1)
+                for r in range(rows)]
+    return np.concatenate(rows_img, axis=0)
+
+
 def load_image(path: str) -> np.ndarray:
     from PIL import Image
 

@@ -60,6 +60,7 @@ SPECIALS = [
     "<|turn_eos|>", "<|tts_eos|>", "</s>", "<|tts_bos|>", "</unit>",
     "<unit>", "<|tts_pad|>", "<|im_end|>", "<|im_start|>",
     "<|audio_start|>", "<|audio_end|>", "<think>", "</think>",
+    "<image>", "</image>", "<slice>", "</slice>",
 ]
 
 SIMPLEX_ASSISTANT_PROMPT = (
@@ -75,7 +76,12 @@ class SessionConfig:
     duplex: bool = False
     use_tts: bool = True
     media_type: int = 1  # 1=audio, 2=omni(audio+vision)
-    max_slice_nums: int = -1  # vision high-res override
+    max_slice_nums: int = -1  # vision slice override (-1 = model default)
+    # high-res mode: max_slice_nums forced to 2 (reference omni.h:258-263,
+    # server.cpp:6062-6070); high-refresh: 5 fps frame stacking — frame 0 is
+    # the main image, the following frames merge into one stacked image
+    high_image: bool = False
+    high_refresh: bool = False
     max_preserved_context: int = 3072  # round-window watermark
     high_water: int = 4000  # duplex unit-window marks (omni.h:81-94)
     low_water: int = 3500
@@ -199,13 +205,40 @@ class OmniPipeline:
         return tid < 150000 and tid not in self._filter_ids
 
     # ------------------------------------------------------------- prefill
+    def effective_max_slice_nums(self) -> int:
+        """Runtime slice override: high_image forces 2, else the session's
+        max_slice_nums (-1 = model/encoder default). Reference
+        vision.cpp:182-183 + server.cpp:6070."""
+        if self.cfg.high_image:
+            return 2
+        return self.cfg.max_slice_nums
+
+    def _encode_image_parts(self, image: np.ndarray) -> list[np.ndarray]:
+        """Encoder call returning per-part embeds [overview, slice1, ...].
+        Supports both the new list-returning encoder contract and a legacy
+        single-array encoder (treated as one part)."""
+        try:
+            parts = self.vision_encoder(
+                image, max_slice_nums=self.effective_max_slice_nums())
+        except TypeError:  # legacy encoder without the override kwarg
+            parts = self.vision_encoder(image)
+        if isinstance(parts, np.ndarray):
+            parts = [parts]
+        return [np.asarray(p, np.float32) for p in parts]
+
     def stream_prefill(self, audio: np.ndarray | None = None,
                        image: np.ndarray | None = None,
                        index: int = 0,
                        system_prompt: str = "",
-                       ref_audio: np.ndarray | None = None) -> None:
+                       ref_audio: np.ndarray | None = None,
+                       frames: list | None = None) -> None:
         """Per-1s-chunk ingestion (omni.cpp:8637). index==0 = session init:
-        system prompt + reference-voice audio; workers are spawned."""
+        system prompt + reference-voice audio; workers are spawned.
+        `frames` (high-refresh mode): a list of video frames for this
+        second — frame 0 becomes the main image, the rest merge into one
+        stacked image (the reference flags high_refresh and leaves the
+        stacking to the Python caller, omni.h:258-263; here it is part of
+        the pipeline)."""
         if index == 0:
             if self.cfg.duplex:
                 pre = "<|im_start|>system\nStreaming Duplex Conversation!" + \
@@ -228,8 +261,19 @@ class OmniPipeline:
         item: dict[str, Any] = {"index": index}
         if audio is not None and self.audio_encoder is not None:
             item["audio_embeds"] = self.audio_encoder(audio)
-        if image is not None and self.vision_encoder is not None:
-            item["image_embeds"] = self.vision_encoder(image)
+        images: list[np.ndarray] = []
+        if frames:  # high-refresh: main frame + one stacked image
+            from .image import stack_frames
+
+            images.append(np.asarray(frames[0]))
+            if len(frames) > 1 and self.cfg.high_refresh:
+                images.append(stack_frames([np.asarray(f) for f in frames[1:]]))
+        elif image is not None:
+            images.append(image)
+        if images and self.vision_encoder is not None:
+            # per-image list of per-part embeds [overview, slice1, ...]
+            item["image_parts"] = [self._encode_image_parts(im)
+                                   for im in images]
         with self._prefill_mtx:
             self._prefill_pending += 1
             self.prefill_done.clear()
@@ -244,17 +288,43 @@ class OmniPipeline:
             except queue.Empty:
                 continue
             try:
+                # marker layout per reference llm_thread_func
+                # (omni.cpp:4317-4383):
+                #   duplex+vision : <unit><image>(ov)</image>
+                #                   [<slice>(si)</slice>]*\n  + raw audio
+                #   simplex+vision: <image>(ov)</image>[<slice>..]*\n
+                #                   + <|audio_start|>audio<|audio_end|>
+                #   duplex audio  : <unit> + raw audio embeds (no markers)
+                #   simplex audio : <|audio_start|>audio<|audio_end|>
                 if self.cfg.duplex:
                     self._register_unit_start()
-                    self._eval_text("<unit>")
-                if "image_embeds" in item:
-                    self._eval_text("<image>")
-                    self._eval_embeds(item["image_embeds"])
+                image_parts = item.get("image_parts") or []
+                if "image_embeds" in item:  # legacy single-block callers
+                    image_parts = image_parts + [[item["image_embeds"]]]
+                first = True
+                for parts in image_parts:
+                    if first and self.cfg.duplex:
+                        self._eval_text("<unit><image>")
+                    else:
+                        self._eval_text("<image>")
+                    first = False
+                    self._eval_embeds(parts[0])  # overview
                     self._eval_text("</image>")
+                    if len(parts) > 1:  # V2.6 slice schema
+                        for sl in parts[1:]:
+                            self._eval_text("<slice>")
+                            self._eval_embeds(sl)
+                            self._eval_text("</slice>")
+                        self._eval_text("\n")
+                if self.cfg.duplex and not image_parts:
+                    self._eval_text("<unit>")
                 if "audio_embeds" in item:
-                    self._eval_text("<|audio_start|>")
-                    self._eval_embeds(item["audio_embeds"])
-                    self._eval_text("<|audio_end|>")
+                    if self.cfg.duplex:
+                        self._eval_embeds(item["audio_embeds"])
+                    else:
+                        self._eval_text("<|audio_start|>")
+                        self._eval_embeds(item["audio_embeds"])
+                        self._eval_text("<|audio_end|>")
             finally:
                 # signal only when EVERY enqueued chunk is fully in the KV —
                 # decrementing after the evals closes the window where a

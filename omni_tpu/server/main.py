@@ -657,12 +657,28 @@ def make_handler(state: ServerState):
                 state.omni.clean_kvcache()
                 self._json(200, {"success": True})
             elif action == "update_session_config":
+                # hot-swap without reloading weights
+                # (server.cpp:5990-6080; highImage forces max_slice_nums=2
+                # at encode time via effective_max_slice_nums)
                 cfg = state.omni.cfg
                 for k in ("duplex", "media_type", "max_slice_nums",
-                          "max_preserved_context", "use_tts"):
+                          "max_preserved_context", "use_tts", "high_image",
+                          "high_refresh", "high_water", "low_water",
+                          "max_new_tokens", "output_dir"):
                     if k in body:
                         setattr(cfg, k, body[k])
-                self._json(200, {"success": True})
+                # reference uses camelCase keys (server.cpp:6062, :6079)
+                if "highImage" in body:
+                    cfg.high_image = bool(body["highImage"])
+                if "highRefresh" in body:
+                    cfg.high_refresh = bool(body["highRefresh"])
+                self._json(200, {
+                    "success": True,
+                    "highImage": cfg.high_image,
+                    "highRefresh": cfg.high_refresh,
+                    "duplex": cfg.duplex,
+                    "media_type": cfg.media_type,
+                })
             else:
                 self._json(404, {"error": f"unknown stream action {action}"})
 

@@ -27,7 +27,8 @@ class ToyTokenizer:
     SPECIALS = ["<|speak|>", "<|listen|>", "<|chunk_eos|>", "<|turn_eos|>",
                 "<|tts_eos|>", "</s>", "<|tts_bos|>", "</unit>", "<unit>",
                 "<|im_end|>", "<|im_start|>", "<|audio_start|>",
-                "<|audio_end|>", "<think>", "</think>"]
+                "<|audio_end|>", "<think>", "</think>",
+                "<image>", "</image>", "<slice>", "</slice>"]
 
     def __init__(self, n_base=180):
         self.n_base = n_base
@@ -333,6 +334,92 @@ def test_prefill_done_counts_outstanding_chunks(pipeline):
     assert pipe._prefill_pending == 0
     # each chunk = <|audio_start|>(1) + 10 embeds + <|audio_end|>(1)
     assert pipe.llm.n_past[0] == n0 + 3 * 12
+
+
+def _spy_feeds(pipe):
+    """Record the exact (token-or-embed) sequence entering the LLM KV."""
+    feeds = []
+    orig_decode = pipe.llm.decode
+
+    def spy(batch, **kw):
+        if batch.tokens is not None:
+            feeds.extend(("tok", int(t)) for t in np.asarray(batch.tokens))
+        else:
+            feeds.append(("emb", len(batch.embeds)))
+        return orig_decode(batch, **kw)
+
+    pipe.llm.decode = spy
+    return feeds, orig_decode
+
+
+def test_vision_slice_marker_protocol(pipeline):
+    """Exact slice schema (omni.cpp:4317-4345):
+    simplex: <image>(ov)</image><slice>(s1)</slice><slice>(s2)</slice>\\n
+             + <|audio_start|>audio<|audio_end|>
+    duplex : <unit><image>... + raw audio embeds (no audio markers)."""
+    pipe = pipeline
+    d = pipe.llm.cfg.d_model
+    rng = np.random.default_rng(0)
+    # fake 2-slice encoder: overview + 2 slices, 4 tokens each
+    pipe.vision_encoder = lambda img, max_slice_nums=None: [
+        rng.standard_normal((4, d)).astype(np.float32) * 0.1 for _ in range(3)]
+    sp = pipe.special
+    nl = pipe.tok.encode("\n")[0]
+
+    for duplex in (False, True):
+        pipe.clean_kvcache()
+        pipe.cfg.duplex = duplex
+        pipe.cfg.use_tts = False
+        feeds, orig = _spy_feeds(pipe)
+        try:
+            pipe.stream_prefill(index=0, system_prompt="s")
+            feeds.clear()
+            pipe.stream_prefill(audio=np.zeros(1600, np.float32),
+                                image=np.zeros((8, 8, 3), np.uint8), index=1)
+            assert pipe.prefill_done.wait(timeout=60)
+        finally:
+            pipe.llm.decode = orig
+            pipe.vision_encoder = None if duplex else pipe.vision_encoder
+        img_part = [("tok", sp["<image>"]), ("emb", 4), ("tok", sp["</image>"]),
+                    ("tok", sp["<slice>"]), ("emb", 4), ("tok", sp["</slice>"]),
+                    ("tok", sp["<slice>"]), ("emb", 4), ("tok", sp["</slice>"]),
+                    ("tok", nl)]
+        if duplex:
+            want = [("tok", sp["<unit>"])] + img_part + [("emb", 10)]
+        else:
+            want = img_part + [("tok", sp["<|audio_start|>"]), ("emb", 10),
+                               ("tok", sp["<|audio_end|>"])]
+        assert feeds == want, f"duplex={duplex}: {feeds} != {want}"
+    pipe.cfg.duplex = False
+    pipe.cfg.use_tts = True
+
+
+def test_high_image_forces_two_slices(pipeline):
+    pipe = pipeline
+    seen = {}
+
+    def enc(img, max_slice_nums=None):
+        seen["msn"] = max_slice_nums
+        return [np.zeros((4, pipe.llm.cfg.d_model), np.float32)]
+
+    pipe.vision_encoder = enc
+    pipe.cfg.high_image = True
+    try:
+        parts = pipe._encode_image_parts(np.zeros((8, 8, 3), np.uint8))
+    finally:
+        pipe.cfg.high_image = False
+        pipe.vision_encoder = None
+    assert seen["msn"] == 2 and len(parts) == 1
+
+
+def test_high_refresh_frame_stacking():
+    from omni_tpu.omni.image import stack_frames
+
+    frames = [np.full((6, 8, 3), i, np.uint8) for i in range(4)]
+    stacked = stack_frames(frames)
+    assert stacked.shape == (12, 16, 3)  # 2x2 grid of 6x8 frames
+    assert (stacked[:6, :8] == 0).all() and (stacked[:6, 8:] == 1).all()
+    assert (stacked[6:, :8] == 2).all() and (stacked[6:, 8:] == 3).all()
 
 
 def test_session_checkpoint_resume(pipeline):
