@@ -155,16 +155,43 @@ def projector_semantic(extras: dict, hidden: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32) + extras["proj_sem_b2"]
 
 
+def projector_spk(extras: dict, hidden: jax.Array) -> jax.Array:
+    """Speaker projector (same ReLU-MLP shape as projector_semantic;
+    model.txt:78-125 projector_spk): LLM hidden [T, 4096] -> [T, 768]."""
+    h = jnp.einsum("td,nd->tn", hidden, extras["proj_spk_w1"],
+                   preferred_element_type=jnp.float32) + extras["proj_spk_b1"]
+    h = jax.nn.relu(h)
+    return jnp.einsum("td,nd->tn", h, extras["proj_spk_w2"],
+                      preferred_element_type=jnp.float32) + extras["proj_spk_b2"]
+
+
+def speaker_embed(extras: dict, ref_hidden=None) -> jax.Array:
+    """The speaker embedding prepended at TTS chunk 0 (voice cloning;
+    reference omni.cpp:5041 'idx==0: clear KV and concatenate spk_emb',
+    aligned to the Python TTSStreamingGenerator):
+    - with a reference-voice sample: projector_spk over the mean-pooled LLM
+      hidden states of the reference audio span;
+    - otherwise the default voice: emb_text[spk_emb id 21143]
+      (omni.cpp:6176). Returns [768]."""
+    if ref_hidden is not None and extras.get("proj_spk_w1") is not None:
+        pooled = jnp.mean(jnp.asarray(ref_hidden, jnp.float32), axis=0,
+                          keepdims=True)
+        return projector_spk(extras, pooled)[0]
+    return extras["emb_text"][SPK_EMB_ID]
+
+
 def build_condition(
     extras: dict,
     llm_tokens: jax.Array,  # [T] LLM token ids of the text chunk
     llm_hidden: jax.Array,  # [T, 4096] hidden taps for those tokens
     end_of_turn: bool = False,
+    spk_embed: jax.Array | None = None,  # [768]; prepended (chunk 0 only)
 ) -> jax.Array:
-    """Per-chunk TTS condition (omni.cpp:5812-5847): emb_text + proj(hidden),
-    + text_eos embed iff end of turn, + audio_bos embed."""
+    """Per-chunk TTS condition (omni.cpp:5812-5847): [spk_embed at chunk 0]
+    + emb_text + proj(hidden), + text_eos embed iff end of turn, + audio_bos
+    embed."""
     cond = extras["emb_text"][llm_tokens] + projector_semantic(extras, llm_hidden)
-    parts = [cond]
+    parts = [cond] if spk_embed is None else [spk_embed[None], cond]
     if end_of_turn:
         parts.append(extras["emb_text"][jnp.array([TEXT_EOS_ID])])
     parts.append(extras["emb_code"][jnp.array([0])])  # audio_bos = code 0

@@ -170,6 +170,14 @@ class OmniPipeline:
         self.n_keep = 0
         self.rounds: list[RoundBoundary] = []
         self.units: list[UnitEntry] = []  # duplex unit registry (#39)
+        # voice cloning: speaker embedding prepended at TTS chunk 0
+        # (default voice until a reference audio sets it at index-0 prefill)
+        self.spk_embed: np.ndarray | None = None
+        if tts_extras is not None:
+            self.spk_embed = np.asarray(tts_mod.speaker_embed(tts_extras))
+        # saved chunk-0 condition (spk + cond + bos): the reference
+        # re-forwards it for the first audio token (omni.cpp:2504-2518)
+        self._tts_condition: np.ndarray | None = None
         self._threads: list[threading.Thread] = []
         self._t2w_buffer: list[int] = [SILENCE_TOKEN] * 3
         self.current_round = 0
@@ -189,9 +197,12 @@ class OmniPipeline:
             return logits[-1]
         return None
 
-    def _eval_embeds(self, emb: np.ndarray) -> None:
+    def _eval_embeds(self, emb: np.ndarray, return_hidden: bool = False):
         with self.llama_mtx:
-            self.llm.decode(Batch(embeds=np.asarray(emb, np.float32)))
+            _, hidden = self.llm.decode(
+                Batch(embeds=np.asarray(emb, np.float32)),
+                return_hidden=return_hidden)
+        return hidden
 
     def is_end_token(self, tid: int) -> bool:
         names = ("<|turn_eos|>", "<|tts_eos|>", "</s>") if not self.cfg.duplex \
@@ -250,7 +261,14 @@ class OmniPipeline:
                 suf = "<|audio_end|><|im_end|>\n<|im_start|>user\n"
             self._eval_text(pre)
             if ref_audio is not None and self.audio_encoder is not None:
-                self._eval_embeds(self.audio_encoder(ref_audio))
+                # the reference-voice span conditions BOTH the LLM (voice-
+                # clone system prompt) and the TTS speaker embedding
+                # (projector_spk over its hidden states, chunk-0 prepend)
+                hid = self._eval_embeds(self.audio_encoder(ref_audio),
+                                        return_hidden=True)
+                if self.tts_extras is not None:
+                    self.spk_embed = np.asarray(
+                        tts_mod.speaker_embed(self.tts_extras, hid))
             self._eval_text(suf)
             self.n_keep = self.llm.n_past.get(0, 0)
             self._start_workers()
@@ -458,9 +476,19 @@ class OmniPipeline:
             if out.token_ids else jnp.zeros((0,), jnp.int32),
             jnp.asarray(out.hidden_states, jnp.float32),
             end_of_turn=out.end_of_turn,
+            # chunk 0: speaker embedding prepended (voice clone,
+            # omni.cpp:5041 / Python TTSStreamingGenerator)
+            spk_embed=jnp.asarray(self.spk_embed)
+            if (first_chunk and self.spk_embed is not None) else None,
         )
         if first_chunk:
+            # clear KV and save the condition; the saved layout
+            # [spk, cond..., (text_eos), audio_bos] is what the reference
+            # re-forwards for the first audio token (omni.cpp:2504-2518) —
+            # prefilling it into the fresh KV once IS that re-forward
+            # (the reference's double-prefill rebuilds the identical KV)
             self.tts_ctx.clear_kv()
+            self._tts_condition = np.asarray(cond)
         _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(cond)),
                                         return_hidden=True)
         cap = DUPLEX_CHUNK_CAP if self.cfg.duplex else SIMPLEX_AUDIO_CAP
@@ -554,6 +582,7 @@ class OmniPipeline:
         self.n_keep = 0
         self.rounds.clear()
         self.units.clear()  # sliding_window_reset (omni.cpp:3107)
+        self._tts_condition = None  # tts_condition_saved=false on reset
 
     def shutdown(self) -> None:
         self.session_stop.set()

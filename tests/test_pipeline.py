@@ -422,6 +422,37 @@ def test_high_refresh_frame_stacking():
     assert (stacked[6:, :8] == 2).all() and (stacked[6:, 8:] == 3).all()
 
 
+def test_tts_chunk0_speaker_conditioning(pipeline):
+    """Chunk-0 TTS KV layout (voice clone, omni.cpp:5041/2504-2518):
+    [spk_embed, cond x n, audio_bos] prefilled into a FRESH KV, condition
+    saved for the first-token re-forward contract."""
+    from omni_tpu.omni.pipeline import LLMOut
+
+    pipe = pipeline
+    pipe.clean_kvcache()
+    rng = np.random.default_rng(5)
+    spk = rng.standard_normal(32).astype(np.float32)
+    pipe.spk_embed = spk
+    n = 4
+    out = LLMOut(text="abcd",
+                 token_ids=[10, 11, 12, 13],
+                 hidden_states=rng.standard_normal((n, 64)).astype(np.float32),
+                 end_of_turn=False, is_final=False)
+    codes = pipe._tts_generate(out, first_chunk=True)
+    # saved condition layout: spk + n cond + audio_bos
+    assert pipe._tts_condition is not None
+    assert pipe._tts_condition.shape[0] == 1 + n + 1
+    np.testing.assert_allclose(pipe._tts_condition[0], spk, rtol=1e-5,
+                               atol=1e-5)
+    # KV holds exactly the condition + generated codes (fresh at chunk 0)
+    assert pipe.tts_ctx.n_past[0] == (1 + n + 1) + len(codes)
+    # chunk 1: NO spk prepend, KV continues
+    n_past1 = pipe.tts_ctx.n_past[0]
+    codes2 = pipe._tts_generate(out, first_chunk=False)
+    assert pipe.tts_ctx.n_past[0] == n_past1 + (n + 1) + len(codes2)
+    pipe.spk_embed = None
+
+
 def test_session_checkpoint_resume(pipeline):
     """Omni session save -> fresh-state restore reproduces the KV session."""
     import numpy as np

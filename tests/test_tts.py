@@ -47,6 +47,56 @@ def test_condition_shape_and_semantics(rng):
         tts_mod.TEXT_EOS_ID = old
 
 
+def test_speaker_embed_and_chunk0_prepend(rng):
+    """Voice-clone conditioning (omni.cpp:5041, 2504-2518, 6176): chunk-0
+    condition = [spk_embed, cond..., text_eos?, audio_bos]; spk_embed =
+    projector_spk(mean ref hidden) for a cloned voice, emb_text[21143]
+    default."""
+    d_llm, d_tts = 64, 32
+    ex = tiny_extras(rng)
+    ex.update({
+        "proj_spk_w1": jnp.asarray(rng.standard_normal((d_tts, d_llm)).astype(np.float32) * 0.2),
+        "proj_spk_b1": jnp.asarray(rng.standard_normal(d_tts).astype(np.float32) * 0.2),
+        "proj_spk_w2": jnp.asarray(rng.standard_normal((d_tts, d_tts)).astype(np.float32) * 0.2),
+        "proj_spk_b2": jnp.asarray(rng.standard_normal(d_tts).astype(np.float32) * 0.2),
+    })
+    ref_hidden = rng.standard_normal((7, d_llm)).astype(np.float32)
+    spk = tts.speaker_embed(ex, ref_hidden)
+    assert spk.shape == (d_tts,)
+    # manual: ReLU MLP over the mean-pooled hidden
+    pooled = ref_hidden.mean(axis=0)
+    h = np.maximum(pooled @ np.asarray(ex["proj_spk_w1"]).T
+                   + np.asarray(ex["proj_spk_b1"]), 0)
+    manual = h @ np.asarray(ex["proj_spk_w2"]).T + np.asarray(ex["proj_spk_b2"])
+    np.testing.assert_allclose(np.asarray(spk), manual, rtol=1e-4, atol=1e-4)
+
+    # default voice falls back to emb_text[spk_emb id]
+    import omni_tpu.models.tts as tts_mod
+
+    old = tts_mod.SPK_EMB_ID
+    tts_mod.SPK_EMB_ID = 9
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(tts.speaker_embed(ex)), np.asarray(ex["emb_text"][9]))
+        # no projector weights -> fallback even with ref hidden
+        ex2 = {k: v for k, v in ex.items() if not k.startswith("proj_spk")}
+        np.testing.assert_array_equal(
+            np.asarray(tts.speaker_embed(ex2, ref_hidden)),
+            np.asarray(ex["emb_text"][9]))
+    finally:
+        tts_mod.SPK_EMB_ID = old
+
+    # chunk-0 KV layout: spk + 3 cond + audio_bos
+    toks = jnp.array([3, 7, 11])
+    hid = jnp.asarray(rng.standard_normal((3, d_llm)).astype(np.float32))
+    cond = tts.build_condition(ex, toks, hid, spk_embed=spk)
+    assert cond.shape == (5, d_tts)
+    np.testing.assert_allclose(np.asarray(cond[0]), np.asarray(spk),
+                               rtol=1e-6, atol=1e-6)
+    # without spk (chunk > 0): no prepend
+    assert tts.build_condition(ex, toks, hid).shape == (4, d_tts)
+
+
 def test_repetition_penalty_matches_reference_semantics(rng):
     logits = jnp.asarray([1.0, -1.0, 2.0, 0.5])
     prev = jnp.asarray([0, 0, 1, -1], jnp.int32)  # token0 x2, token1 x1
