@@ -58,6 +58,7 @@ class SigLipConfig:
             patch_size=int(g("patch_size", 14)),
             image_size=int(g("image_size", 980)),
             n_queries=int(kv.get("clip.minicpmv_query_num", 64)),
+            d_out=int(g("projection_dim", 4096)),
         )
 
 
@@ -208,8 +209,8 @@ def encode_image(
     v = layer_norm(v, params["rs_ln_kv_w"], params["rs_ln_kv_b"], cfg.eps)
     k = v + k_pos_embed
 
-    d_head = 128
-    n_head = cfg.d_out // d_head
+    d_head = min(128, cfg.d_out)  # 128 at full size (d_out 4096, 32 heads)
+    n_head = max(cfg.d_out // d_head, 1)
     Q = _lin(q, params["rs_q_w"], params["rs_q_b"]).reshape(cfg.n_queries, n_head, d_head)
     K = _lin(k, params["rs_k_w"], params["rs_k_b"]).reshape(n_patches, n_head, d_head)
     V = _lin(v, params["rs_v_w"], params["rs_v_b"]).reshape(n_patches, n_head, d_head)

@@ -260,5 +260,7 @@ def load_conformer_params(reader) -> tuple[dict, ConformerConfig]:
     load_layers("up_encoders", p["up_encoders"])
     d = int(p["embed_w"].shape[0])
     cfg = ConformerConfig(d_model=d, n_blocks=len(p["encoders"]),
-                          n_up_blocks=len(p["up_encoders"]))
+                          n_up_blocks=len(p["up_encoders"]),
+                          n_heads=int(p["encoders"][0]["pos_bias_u"].shape[0]),
+                          d_ff=int(p["encoders"][0]["ff1_w"].shape[0]))
     return p, cfg

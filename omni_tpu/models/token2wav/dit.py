@@ -343,6 +343,11 @@ def load_dit_params(reader) -> tuple[dict, DiTConfig]:
     hidden = int(params["in_proj_w"].shape[0])
     in_ch = int(params["in_proj_w"].shape[1])
     out_ch = int(params["final_w"].shape[0])
+    # heads/head_dim recoverable from the per-head q_norm weight shape;
+    # freq_embed from the t-embedder input width
+    head_dim = int(params["blocks"][0]["qn_w"].shape[0])
     cfg = DiTConfig(in_channels=in_ch, out_channels=out_ch, depth=i,
-                    hidden=hidden, conv_kernel=k)
+                    hidden=hidden, conv_kernel=k,
+                    num_heads=max(hidden // head_dim, 1), head_dim=head_dim,
+                    freq_embed=int(params["t_mlp1_w"].shape[1]))
     return params, cfg

@@ -53,6 +53,8 @@ class WhisperConfig:
             d_model=int(kv.get("d_model", 1024)),
             n_heads=int(kv.get("encoder_attention_heads", 16)),
             n_mels=int(kv.get("n_mel", 80)),
+            n_audio_ctx=int(kv.get("n_audio_ctx", 1500)),
+            d_out=int(kv.get("audio_projection_dim", 4096)),
         )
 
 

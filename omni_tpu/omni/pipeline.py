@@ -224,13 +224,15 @@ class OmniPipeline:
             return 2
         return self.cfg.max_slice_nums
 
-    def _encode_image_parts(self, image: np.ndarray) -> list[np.ndarray]:
+    def _encode_image_parts(self, image: np.ndarray,
+                            max_slice_nums: int | None = None) -> list[np.ndarray]:
         """Encoder call returning per-part embeds [overview, slice1, ...].
         Supports both the new list-returning encoder contract and a legacy
         single-array encoder (treated as one part)."""
+        msn = (max_slice_nums if max_slice_nums is not None
+               and max_slice_nums >= 0 else self.effective_max_slice_nums())
         try:
-            parts = self.vision_encoder(
-                image, max_slice_nums=self.effective_max_slice_nums())
+            parts = self.vision_encoder(image, max_slice_nums=msn)
         except TypeError:  # legacy encoder without the override kwarg
             parts = self.vision_encoder(image)
         if isinstance(parts, np.ndarray):
@@ -242,7 +244,8 @@ class OmniPipeline:
                        index: int = 0,
                        system_prompt: str = "",
                        ref_audio: np.ndarray | None = None,
-                       frames: list | None = None) -> None:
+                       frames: list | None = None,
+                       max_slice_nums: int = -1) -> None:
         """Per-1s-chunk ingestion (omni.cpp:8637). index==0 = session init:
         system prompt + reference-voice audio; workers are spawned.
         `frames` (high-refresh mode): a list of video frames for this
@@ -251,6 +254,10 @@ class OmniPipeline:
         stacking to the Python caller, omni.h:258-263; here it is part of
         the pipeline)."""
         if index == 0:
+            if ref_audio is None and audio is not None:
+                # server contract: prefill cnt=0 passes the reference voice
+                # as the chunk audio (omni.cpp:8724-8803, server.cpp:5824)
+                ref_audio = audio
             if self.cfg.duplex:
                 pre = "<|im_start|>system\nStreaming Duplex Conversation!" + \
                     (system_prompt or "") + "<|audio_start|>"
@@ -289,9 +296,12 @@ class OmniPipeline:
         elif image is not None:
             images.append(image)
         if images and self.vision_encoder is not None:
-            # per-image list of per-part embeds [overview, slice1, ...]
-            item["image_parts"] = [self._encode_image_parts(im)
-                                   for im in images]
+            # per-image list of per-part embeds [overview, slice1, ...];
+            # max_slice_nums >= 0 overrides the session setting for this
+            # request only (server prefill contract, server.cpp:5585)
+            item["image_parts"] = [
+                self._encode_image_parts(im, max_slice_nums=max_slice_nums)
+                for im in images]
         with self._prefill_mtx:
             self._prefill_pending += 1
             self.prefill_done.clear()

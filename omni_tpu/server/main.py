@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import queue
 import threading
 import time
@@ -611,15 +612,16 @@ def make_handler(state: ServerState):
             elif state.omni is None:
                 self._json(400, {"error": "omni session not initialized"})
             elif action == "prefill":
+                # body contract (server.cpp:5556-5619): audio_path_prefix /
+                # img_path_prefix are FULL file paths on the server host,
+                # cnt is the chunk index, max_slice_nums=-1 means session
+                # default
                 idx = int(body.get("cnt", body.get("index", 0)))
                 audio = None
                 if body.get("audio_path_prefix"):
                     from ..omni.audio import load_wav_mono_16k
 
-                    path = body["audio_path_prefix"]
-                    if idx > 0:
-                        path = f"{path}{idx}.wav" if path.endswith("_") else path
-                    audio = load_wav_mono_16k(path)
+                    audio = load_wav_mono_16k(body["audio_path_prefix"])
                 image = None
                 if body.get("img_path_prefix"):
                     from ..omni.image import load_image
@@ -627,8 +629,9 @@ def make_handler(state: ServerState):
                     image = load_image(body["img_path_prefix"])
                 state.omni.stream_prefill(
                     audio=audio, image=image, index=idx,
-                    system_prompt=body.get("system_prompt", ""))
-                self._json(200, {"success": True})
+                    system_prompt=body.get("system_prompt", ""),
+                    max_slice_nums=int(body.get("max_slice_nums", -1)))
+                self._json(200, {"success": True, "cnt": idx})
             elif action == "decode":
                 t = threading.Thread(
                     target=state.omni.stream_decode,
@@ -683,18 +686,56 @@ def make_handler(state: ServerState):
                 self._json(404, {"error": f"unknown stream action {action}"})
 
         def _omni_init(self, body: dict) -> bool:
+            """Full omni session init (server.cpp:5746-5846): loads the
+            5-module set from model_dir, wires use_tts/duplex/output_dir,
+            and prefills the voice-clone reference audio when given."""
+            import glob as _glob
             from ..omni.pipeline import OmniPipeline, SessionConfig
 
-            cfgp = SessionConfig(
-                duplex=bool(body.get("duplex", False)),
-                use_tts=bool(body.get("use_tts", False)),
-                media_type=int(body.get("media_type",
-                                        body.get("msg_type", 1))),
-            )
-            # text-only omni session over the already-loaded LLM; full
-            # model-dir loading (APM/VPM/TTS/T2W GGUFs) via omni-cli path
-            state.omni = OmniPipeline(
-                llm=state.ctx, tokenizer=state.tok, config=cfgp)
+            duplex = bool(body.get("duplex", False))
+            use_tts = bool(body.get("use_tts", False))
+            media_type = int(body.get("media_type", body.get("msg_type", 1)))
+            model_dir = body.get("model_dir")
+            if state.omni is not None:
+                state.omni.shutdown()
+                state.omni = None
+            if model_dir:
+                import argparse
+                from ..cli.omni_cli import build_pipeline, resolve_model_paths
+
+                hits = sorted(_glob.glob(os.path.join(model_dir, "*.gguf")))
+                if not hits:
+                    return False
+                paths = resolve_model_paths(hits[0])
+                ns = argparse.Namespace(
+                    ctx_size=int(body.get("ctx_size", state.ctx.n_ctx)),
+                    temp=float(body.get("temperature", 0.7)),
+                    omni=media_type == 2,
+                    duplex=duplex,
+                    no_tts=not use_tts,
+                    no_audio=False,
+                    max_slice_nums=int(body.get("max_slice_nums", 9)),
+                )
+                state.omni = build_pipeline(paths, ns)
+                state.omni.cfg.media_type = media_type
+            else:
+                # text-only session over the already-loaded LLM
+                state.omni = OmniPipeline(
+                    llm=state.ctx, tokenizer=state.tok,
+                    config=SessionConfig(duplex=duplex, use_tts=False,
+                                         media_type=media_type))
+            if body.get("output_dir"):
+                state.omni.cfg.output_dir = str(body["output_dir"])
+            # voice-clone reference audio: index-0 prefill with it
+            # (server.cpp:5821-5830)
+            voice_audio = body.get("voice_audio") or ""
+            if voice_audio:
+                from ..omni.audio import load_wav_mono_16k
+
+                state.omni.stream_prefill(
+                    index=0,
+                    system_prompt=body.get("system_prompt", ""),
+                    ref_audio=load_wav_mono_16k(voice_audio))
             return True
 
     return Handler

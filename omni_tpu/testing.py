@@ -84,6 +84,7 @@ def write_tiny_qwen3(
     tied_head: bool = True,
     byte_tokenizer: bool = False,
     arch: str = "qwen3",
+    extra_tensors: dict | None = None,
 ) -> None:
     """Random Qwen3-architecture GGUF (llama.cpp tensor naming).
 
@@ -113,7 +114,9 @@ def write_tiny_qwen3(
         specials = ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
                     "<|tts_bos|>", "<|tts_eos|>", "<|speak|>", "<|listen|>",
                     "<|chunk_eos|>", "<|turn_eos|>", "</s>", "<unit>",
-                    "</unit>", "<|audio_start|>", "<|audio_end|>"]
+                    "</unit>", "<|audio_start|>", "<|audio_end|>",
+                    "<image>", "</image>", "<slice>", "</slice>",
+                    "<think>", "</think>", "<|tts_pad|>"]
         toks = alphabet + specials
         assert n_vocab >= len(toks), (n_vocab, len(toks))
         toks += [f"<pad{i}>" for i in range(n_vocab - len(toks))]
@@ -157,4 +160,6 @@ def write_tiny_qwen3(
         t(p + "ffn_gate.weight", (d_ff, d_model))
         t(p + "ffn_up.weight", (d_ff, d_model))
         t(p + "ffn_down.weight", (d_model, d_ff))
+    for name, arr in (extra_tensors or {}).items():
+        w.add_tensor(name, np.asarray(arr, np.float32))
     w.write()
