@@ -1,19 +1,26 @@
-"""Headline benchmark: Qwen3-8B Q4_K decode latency on one TPU chip.
+"""Headline benchmark: SERVED Qwen3-8B Q4_K decode latency on one TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published LLM decode latency on RTX 4090 F16,
 ~38 ms/token (/root/reference/README.md:72; BASELINE.md). vs_baseline is
 the speedup factor (baseline_ms / our_ms; >1 = faster than the reference).
 
-Methodology: full 8B-shaped model (36 layers, GQA 32/8, ffn 12288, vocab
-151748) with Q4_K weights in the fused-kernel layout, KV cache 2048 cells;
-64-token prompt prefill, then 128 greedy decode steps as ONE on-device
-lax.scan (no host round-trips, matching production decode). Wall time of
-the scan / 128 = ms/token. Synthetic weights: throughput of dense decode is
-content-independent.
+Methodology (round 2 — the PRODUCTION path, not an isolated scan): full
+8B-shaped model (36 layers, GQA 32/8, ffn 12288, vocab 151748) with Q4_K
+weights in the fused-kernel layout behind a real runtime.Context, driven by
+OmniPipeline.stream_decode — the same fused omni hot loop the server and
+omni-cli run (runtime.loop.omni_decode_scan: 10-token on-device scans with
+in-graph sampling, special-token classification and hidden taps, mirroring
+reference hot loop #1 tools/omni/omni.cpp:9138-9469). Wall time of a whole
+served turn / tokens generated = ms/token, INCLUDING host chunk handling,
+tokenizer decode, and queue emission. Synthetic weights: dense-decode
+throughput is content-independent. Warm prefill latency is logged to
+stderr as a secondary stat.
 """
 
 import json
+import queue
+import sys
 import time
 
 import numpy as np
@@ -21,13 +28,38 @@ import numpy as np
 BASELINE_MS_PER_TOKEN = 38.0  # reference README.md:72 (RTX 4090, F16)
 
 
+class _BenchTokenizer:
+    """Minimal tokenizer: byte ids, no special/EOG tokens (the synthetic
+    model must never hit an end token, so turns run to max_new_tokens)."""
+
+    class _V:
+        token_to_id: dict = {}
+        eos_id = None
+
+        @staticmethod
+        def is_eog(tid):
+            return False
+
+    vocab = _V()
+
+    def encode(self, text, add_special=False, parse_special=True):
+        return [b % 1000 for b in text.encode()]
+
+    def decode(self, ids):
+        return "".join(chr(97 + int(i) % 26) for i in ids)
+
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from omni_tpu.models import qwen3
-    from omni_tpu.runtime.kv_cache import KVCache
-    from omni_tpu.runtime.loop import decode_scan
+    from omni_tpu.omni.pipeline import OmniPipeline, SessionConfig
+    from omni_tpu.runtime import Context, SamplerParams
     from omni_tpu.testing_synth import QWEN3_8B, synth_qwen3_params
 
     cfg = QWEN3_8B
@@ -35,62 +67,63 @@ def main():
     n_prefill = 64
     n_decode = 128
 
-    import sys
-
-    def log(msg):
-        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
-
     log("building synthetic 8B params...")
     params = synth_qwen3_params(cfg, fuse=True)
     jax.block_until_ready(params["layers"][-1]["w_down"].q)
     log("params on device")
-    cache = KVCache.create(cfg.n_layers, n_ctx, cfg.n_kv_heads, cfg.head_dim,
-                           dtype=jnp.bfloat16, rope_base=cfg.rope_base)
 
-    # ---- prefill (one jitted call) ----
-    @jax.jit
-    def prefill(params, cache, tokens):
-        x = qwen3.embed(params, tokens)
-        pos = jnp.arange(tokens.shape[0], dtype=jnp.int32)
-        seq = jnp.zeros_like(pos)
-        slots = cache.find_slots(tokens.shape[0])
-        logits, _, cache = qwen3.forward(params, cfg, x, pos, seq, cache, slots)
-        return jnp.argmax(logits[-1]).astype(jnp.int32), cache
+    llm = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=n_ctx,
+                  sampler=SamplerParams(greedy=True))
+    pipe = OmniPipeline(
+        llm=llm, tokenizer=_BenchTokenizer(),
+        config=SessionConfig(duplex=False, use_tts=False,
+                             max_preserved_context=n_ctx))
 
     rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(0, 1000, n_prefill), jnp.int32)
+    prompt = "".join(chr(65 + int(c) % 26) for c in rng.integers(0, 26, n_prefill))
 
+    # session init + prompt (includes Context bucket compiles)
     t0 = time.perf_counter()
-    first, cache = prefill(params, cache, prompt)
-    first.block_until_ready()
-    prefill_ms = (time.perf_counter() - t0) * 1e3  # includes compile
-    log(f"prefill (incl. compile): {prefill_ms:.0f} ms")
+    pipe.stream_prefill(index=0, system_prompt=prompt)
+    log(f"prefill incl. compile: {(time.perf_counter() - t0) * 1e3:.0f} ms")
 
-    args = dict(
-        forward=qwen3.forward, embed=qwen3.embed, cfg=cfg,
-        n_steps=n_decode, greedy=True,
-    )
-    key = jax.random.PRNGKey(0)
+    def drain():
+        n = 0
+        while True:
+            try:
+                ev = pipe.text_out.get_nowait()
+            except queue.Empty:
+                break
+            n += len(ev.get("content", ""))
+        return n
 
-    # compile + warm run
-    toks, _, _, cache, key = decode_scan(
-        params=params, cache=cache, first_token=first,
-        start_pos=jnp.int32(n_prefill), seq_id=jnp.int32(0), key=key, **args)
-    np.asarray(toks)
-    log("decode scan compiled + warm")
-
-    # timed run (cache was donated; continue from returned state)
+    # warm turn: compiles the fused omni_decode_scan + assistant-prompt
+    # bucket
     t0 = time.perf_counter()
-    toks, _, _, cache, key = decode_scan(
-        params=params, cache=cache, first_token=jnp.int32(1),
-        start_pos=jnp.int32(n_prefill + n_decode), seq_id=jnp.int32(0),
-        key=key, **args)
-    np.asarray(toks)  # host fetch forces completion
+    pipe.stream_decode(round_idx=0, max_new_tokens=32)
+    drain()
+    log(f"warm turn (incl. scan compile): {(time.perf_counter() - t0):.1f} s")
+
+    # warm prefill measurement (the assistant prompt re-evals are tiny;
+    # measure a realistic 64-token continuation through Context.decode)
+    cont = np.asarray(rng.integers(0, 1000, n_prefill), np.int32)
+    from omni_tpu.runtime import Batch
+
+    llm.decode(Batch(tokens=cont))  # bucket warm
+    t0 = time.perf_counter()
+    llm.decode(Batch(tokens=cont))
+    log(f"warm prefill {n_prefill} tok: {(time.perf_counter() - t0) * 1e3:.0f} ms")
+
+    # timed SERVED turn: one full stream_decode through the pipeline
+    t0 = time.perf_counter()
+    pipe.stream_decode(round_idx=1, max_new_tokens=n_decode)
     dt = time.perf_counter() - t0
+    drain()
+    # stream_decode samples n_decode tokens (feeds n_decode-1; host parity)
     ms_per_token = dt * 1e3 / n_decode
 
     print(json.dumps({
-        "metric": "llm_decode_ms_per_token_8b_q4k",
+        "metric": "llm_served_decode_ms_per_token_8b_q4k",
         "value": round(ms_per_token, 3),
         "unit": "ms/token",
         "vs_baseline": round(BASELINE_MS_PER_TOKEN / ms_per_token, 3),

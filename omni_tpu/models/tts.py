@@ -324,16 +324,25 @@ def tts_decode_scan(
     sp: TTSSamplingParams = TTSSamplingParams(),
     first_chunk: bool = False,
     force_no_eos: bool = False,
+    prev0: jax.Array | None = None,  # [win_size] repetition ring carry-in
 ):
     """Generate up to n_steps audio codes fully on device — hot loop #2 of
     the reference (~8.5 ms/audio-token on a 4090, tts_thread_func) as ONE
     lax.scan: head_code logits, RAS/nucleus sampling with the repetition
     ring, embed, TTS decoder step. Early audio_eos freezes the carry (codes
-    after eos come back as -1). Returns (codes [n_steps] rel ids or -1,
-    n_valid, cache, key)."""
+    after eos come back as -1).
+
+    Continuation: pass the returned (hidden, prev) back in (with the
+    updated start_pos) to generate the next n_steps codes in a later
+    dispatch — the pipeline streams 25-code windows to Token2Wav between
+    scans instead of sitting on one long scan (T2W cadence, §A.3).
+
+    Returns (codes [n_steps] rel ids or -1, n_valid, cache, key,
+    last_hidden [768], prev [win_size])."""
     from ..models import qwen3
 
-    prev0 = jnp.full((sp.win_size,), -1, jnp.int32)
+    if prev0 is None:
+        prev0 = jnp.full((sp.win_size,), -1, jnp.int32)
     # fragmentation-safe slot list: ONE find_slots(n_steps), indexed per step
     all_slots = cache.find_slots(n_steps)
     seq0 = jnp.zeros((1,), jnp.int32)
@@ -362,10 +371,10 @@ def tts_decode_scan(
         pos_next = pos + jnp.where(done_next, 0, 1).astype(pos.dtype)
         return (cache, h_next, pos_next, prev_next, done_next, key), emit
 
-    (cache, _, _, _, _, key), codes = jax.lax.scan(
+    (cache, h_last, _, prev, _, key), codes = jax.lax.scan(
         step,
         (cache, first_hidden[None].astype(jnp.bfloat16), start_pos, prev0,
          jnp.bool_(False), key),
         jnp.arange(n_steps, dtype=jnp.int32))
     n_valid = jnp.sum(codes >= 0)
-    return codes, n_valid, cache, key
+    return codes, n_valid, cache, key, h_last[0], prev

@@ -82,6 +82,10 @@ class SessionConfig:
     # the main image, the following frames merge into one stacked image
     high_image: bool = False
     high_refresh: bool = False
+    # fused decode: drive the LLM hot loop as on-device scans of STEP_SIZE
+    # tokens per host dispatch (~2 ms tunnel cost each) instead of one
+    # dispatch per token; disabled automatically for mirostat sampling
+    fused_decode: bool = True
     max_preserved_context: int = 3072  # round-window watermark
     high_water: int = 4000  # duplex unit-window marks (omni.h:81-94)
     low_water: int = 3500
@@ -214,6 +218,27 @@ class OmniPipeline:
         """TTS-conditioning filter (omni.cpp:4432-4476): no special ids,
         nothing ≥150000."""
         return tid < 150000 and tid not in self._filter_ids
+
+    def _end_ids(self) -> tuple[int, ...]:
+        """Concrete end-token id set for the on-device classifier: the
+        protocol end names (is_end_token) plus every EOG id in the vocab."""
+        cache = getattr(self, "_end_ids_cache", None)
+        if cache is None:
+            cache = self._end_ids_cache = {}
+        if self.cfg.duplex not in cache:
+            names = (("<|turn_eos|>", "<|tts_eos|>", "</s>")
+                     if not self.cfg.duplex else ("<|turn_eos|>", "</s>"))
+            ids = {self.special[n] for n in names if n in self.special}
+            v = self.tok.vocab if self.tok else None
+            if v is not None:
+                eos = getattr(v, "eos_id", None)
+                if eos is not None:
+                    ids.add(int(eos))
+                for _, tid in getattr(v, "token_to_id", {}).items():
+                    if v.is_eog(tid):
+                        ids.add(int(tid))
+            cache[self.cfg.duplex] = tuple(sorted(ids))
+        return cache[self.cfg.duplex]
 
     # ------------------------------------------------------------- prefill
     def effective_max_slice_nums(self) -> int:
@@ -387,6 +412,37 @@ class OmniPipeline:
         segment_tokens = 0
         ended_with_listen = False
 
+        use_fused = (self.cfg.fused_decode
+                     and self.llm.sampler.mirostat == 0)
+        if use_fused:
+            n_new, ended_with_listen = self._decode_loop_fused(
+                last_logits, limit, chunk_tokens, chunk_hiddens)
+        else:
+            n_new, ended_with_listen = self._decode_loop_host(
+                last_logits, limit, chunk_tokens, chunk_hiddens)
+
+        if chunk_tokens:
+            self._emit_chunk(chunk_tokens, chunk_hiddens, True)
+        else:
+            self._emit_chunk([], [], True)
+
+        if not self.cfg.duplex and not ended_with_listen:
+            self._eval_text(SIMPLEX_TURN_END)
+        self.rounds.append(RoundBoundary(round_start, self.llm.n_past.get(0, 0)))
+        if self.cfg.duplex:
+            self._register_unit_end()
+            self._enforce_unit_window()
+        else:
+            self._slide_window_if_needed()
+        self.text_out.put({"content": "", "stop": True,
+                           "end_of_turn": not ended_with_listen})
+
+    def _decode_loop_host(self, last_logits, limit, chunk_tokens,
+                          chunk_hiddens) -> tuple[int, bool]:
+        """One-dispatch-per-token loop (kept for mirostat sampling, which
+        carries host-side mu state). Same protocol as the fused loop."""
+        n_new = 0
+        segment_tokens = 0
         tok = None
         while n_new < limit and not self.break_event.is_set():
             if tok is not None:
@@ -404,46 +460,159 @@ class OmniPipeline:
 
             if self.special.get("<|listen|>") == tok:
                 # duplex: end speak segment WITHOUT KV cleanup (omni.cpp:9281)
-                ended_with_listen = True
                 self.text_out.put({"content": "", "is_listen": True,
                                    "stop": True})
-                break
+                return n_new, True
             if self.is_end_token(tok):
-                break
+                return n_new, False
             if self.cfg.duplex and segment_tokens >= DUPLEX_CHUNK_CAP:
                 # cap hit: the sampled token is force-REPLACED by
                 # <|chunk_eos|> + engine-appended </unit> — it must never
                 # enter the KV (omni.cpp:9317-9344); the next sample comes
                 # from the post-</unit> logits
-                forced = "".join(s for s in ("<|chunk_eos|>", "</unit>")
-                                 if s in self.special)
-                if forced:
-                    lg = self._eval_text(forced)
-                    if lg is not None:
-                        last_logits = lg
-                self._register_unit_end()
+                last_logits = self._force_chunk_end(last_logits)
                 segment_tokens = 0
                 tok = None  # discard the cap-breaching sampled token
 
             if len(chunk_tokens) >= STEP_SIZE:
                 self._emit_chunk(chunk_tokens, chunk_hiddens, False)
-                chunk_tokens, chunk_hiddens = [], []
+                del chunk_tokens[:], chunk_hiddens[:]
+        return n_new, False
 
-        if chunk_tokens:
-            self._emit_chunk(chunk_tokens, chunk_hiddens, True)
-        else:
-            self._emit_chunk([], [], True)
+    def _decode_loop_fused(self, last_logits, limit, chunk_tokens,
+                           chunk_hiddens) -> tuple[int, bool]:
+        """The SERVED hot loop: STEP_SIZE-token on-device scans with
+        in-graph sampling + special-token classification + hidden taps
+        (runtime.loop.omni_decode_scan), SOFTWARE-PIPELINED: the next scan
+        is issued speculatively (its `done_in` chains the prior scan's
+        frozen flag, so a terminated turn makes it a no-op) before the
+        prior scan's results are fetched — the ~35 ms/round-trip host
+        tunnel latency overlaps with on-device compute, so served ms/token
+        approaches the raw fused-scan number. Reference hot loop #1
+        (omni.cpp:9138-9469) pays 2 host trips per token here."""
+        from ..runtime.loop import omni_decode_scan
+        from ..runtime.context import KVCacheFull
 
-        if not self.cfg.duplex and not ended_with_listen:
-            self._eval_text(SIMPLEX_TURN_END)
-        self.rounds.append(RoundBoundary(round_start, self.llm.n_past.get(0, 0)))
-        if self.cfg.duplex:
-            self._register_unit_end()
-            self._enforce_unit_window()
-        else:
-            self._slide_window_if_needed()
-        self.text_out.put({"content": "", "stop": True,
-                           "end_of_turn": not ended_with_listen})
+        llm = self.llm
+        listen_id = self.special.get("<|listen|>", -3)
+        end_ids = self._end_ids()
+        n_new = 0
+        segment_tokens = 0
+        # device-chained scan state (never synced while pipelining)
+        st = {
+            "logits": jnp.asarray(last_logits),
+            "pos": jnp.int32(llm.n_past.get(0, 0)),
+            "key": llm.key, "prev": llm.prev_tokens, "done": None,
+        }
+        # host-side bound on in-flight fed tokens (for the overflow guard)
+        inflight = [0]
+
+        def feed_budget(n_new_b, seg_b):
+            b = limit - n_new_b
+            if self.cfg.duplex:
+                b = min(b, DUPLEX_CHUNK_CAP - seg_b)
+            return b - 1  # the terminal sample is never fed
+
+        def issue(stop_feed):
+            free = llm.cache.size - llm.cells_used - inflight[0]
+            if free < STEP_SIZE:
+                raise KVCacheFull(
+                    f"omni decode: need {STEP_SIZE} free KV cells, have "
+                    f"{free}; session windows are misconfigured")
+            with self.llama_mtx:
+                packed, hiddens, st["logits"], llm.cache, st["key"], \
+                    st["prev"], st["pos"], st["done"] = omni_decode_scan(
+                        llm._forward, llm._embed, llm.cfg, llm.params,
+                        llm.cache, st["logits"], st["pos"], jnp.int32(0),
+                        st["key"], st["prev"],
+                        n_steps=STEP_SIZE, sp=llm.sampler,
+                        end_ids=end_ids, listen_id=listen_id,
+                        stop_after=jnp.int32(min(stop_feed, STEP_SIZE)),
+                        done_in=st["done"])
+            inflight[0] += STEP_SIZE
+            return packed, hiddens
+
+        pending = None  # (packed, hiddens) device handles awaiting fetch
+        while not self.break_event.is_set():
+            if pending is None:
+                b = feed_budget(n_new, segment_tokens)
+                if n_new >= limit or b < 0:
+                    break
+                pending = issue(b)
+            # speculate: issue the next scan before fetching this one, but
+            # only when both scans are free-running (no cap/limit freeze
+            # possible) — edge chunks run sequentially
+            b_now = feed_budget(n_new, segment_tokens)
+            b_spec = feed_budget(n_new + STEP_SIZE,
+                                 segment_tokens + STEP_SIZE)
+            spec = None
+            if (b_now >= STEP_SIZE and b_spec >= STEP_SIZE
+                    and llm.cache.size - llm.cells_used - inflight[0]
+                    >= STEP_SIZE):
+                spec = issue(b_spec)
+
+            packed_np = np.asarray(pending[0])  # ONE fetch: toks+fed
+            toks_np, fed_np = packed_np[0], packed_np[1]
+            hid_np = (np.asarray(pending[1])
+                      if (self.cfg.use_tts and self.tts_ctx is not None)
+                      else None)
+            n_fed = int(fed_np.sum())
+            inflight[0] -= STEP_SIZE
+            llm.n_past[0] = llm.n_past.get(0, 0) + n_fed
+            llm.cells_used += n_fed
+            n_new += n_fed
+            segment_tokens += n_fed
+            for j in range(n_fed):
+                t = int(toks_np[j])
+                if self.is_valid_tts_token(t):
+                    chunk_tokens.append(t)
+                    chunk_hiddens.append(
+                        hid_np[j] if hid_np is not None
+                        else np.zeros(llm.cfg.d_model, np.float32))
+                if len(chunk_tokens) >= STEP_SIZE:
+                    self._emit_chunk(chunk_tokens, chunk_hiddens, False)
+                    del chunk_tokens[:], chunk_hiddens[:]
+            if n_fed < STEP_SIZE:  # the scan froze: classify the stopper
+                # a speculative successor (if any) fed nothing: done_in
+                # chained True through it — its cache/pos are no-ops
+                if spec is not None:
+                    inflight[0] -= STEP_SIZE
+                stop_tok = int(toks_np[n_fed])
+                n_new += 1
+                segment_tokens += 1
+                if stop_tok == listen_id:
+                    self.llm.key, self.llm.prev_tokens = st["key"], st["prev"]
+                    self.text_out.put({"content": "", "is_listen": True,
+                                       "stop": True})
+                    return n_new, True
+                if stop_tok in end_ids or self.is_end_token(stop_tok):
+                    self.llm.key, self.llm.prev_tokens = st["key"], st["prev"]
+                    return n_new, False
+                if (self.cfg.duplex
+                        and segment_tokens >= DUPLEX_CHUNK_CAP):
+                    st["logits"] = jnp.asarray(
+                        self._force_chunk_end(st["logits"]))
+                    segment_tokens = 0
+                # host intervention / budget stop: re-sync device state
+                st["pos"] = jnp.int32(llm.n_past.get(0, 0))
+                st["done"] = None
+                pending = None
+            else:
+                pending = spec
+        self.llm.key, self.llm.prev_tokens = st["key"], st["prev"]
+        return n_new, False
+
+    def _force_chunk_end(self, last_logits):
+        """Force-replace at the duplex cap: eval <|chunk_eos|></unit>,
+        return the post-</unit> logits (omni.cpp:9317-9344)."""
+        forced = "".join(s for s in ("<|chunk_eos|>", "</unit>")
+                         if s in self.special)
+        if forced:
+            lg = self._eval_text(forced)
+            if lg is not None:
+                last_logits = lg
+        self._register_unit_end()
+        return last_logits
 
     def _emit_chunk(self, tokens: list[int], hiddens: list[np.ndarray],
                     final: bool) -> None:
@@ -469,14 +638,18 @@ class OmniPipeline:
             if self.break_event.is_set():
                 first_chunk = True
                 continue
-            codes = self._tts_generate(out, first_chunk)
+            # codes stream to T2W BETWEEN 25-step scan dispatches (emit
+            # callback), so the first 1 s window starts vocoding while the
+            # TTS decoder is still generating — the reference's per-token
+            # streaming cadence at scan granularity
+            self._tts_generate(out, first_chunk,
+                               emit=self.t2w_queue.put)
             first_chunk = out.is_final  # reset at end of turn
-            for c in codes:
-                self.t2w_queue.put(c)
             if out.is_final:
                 self.t2w_queue.put(None)  # turn-end sentinel
 
-    def _tts_generate(self, out: LLMOut, first_chunk: bool) -> list[int]:
+    def _tts_generate(self, out: LLMOut, first_chunk: bool,
+                      emit=None) -> list[int]:
         if not out.token_ids and not out.is_final:
             return []
         ex = self.tts_extras
@@ -502,21 +675,41 @@ class OmniPipeline:
         _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(cond)),
                                         return_hidden=True)
         cap = DUPLEX_CHUNK_CAP if self.cfg.duplex else SIMPLEX_AUDIO_CAP
-        # fused on-device generation: head_code logits, nucleus sampling
-        # with the repetition ring, decoder step — one lax.scan (~1.7 ms/
-        # audio token at full size vs the reference's 8.5, docs/PERF.md)
+        # fused on-device generation (head_code logits, nucleus sampling
+        # with the repetition ring, decoder step; ~1.7 ms/audio token at
+        # full size vs the reference's 8.5, docs/PERF.md) in T2W_MAIN-step
+        # scan dispatches: codes stream out between dispatches so Token2Wav
+        # starts on the first window early (§A.3 cadence)
         ctx = self.tts_ctx
-        self._tts_key, sub = jax.random.split(self._tts_key)
-        codes_arr, n_valid, ctx.cache, _ = tts_mod.tts_decode_scan(
-            ctx.params, ctx.cfg, ex, ctx.cache,
-            jnp.asarray(hidden[-1]),
-            jnp.int32(ctx.n_past.get(0, 0)), sub, n_steps=int(cap),
-            first_chunk=first_chunk,
-            force_no_eos=bool(self.cfg.duplex and not out.is_final))
-        n_valid = int(n_valid)
-        ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
-        ctx.cells_used += n_valid  # scan-side KV writes bypass Context.decode
-        return np.asarray(codes_arr)[:n_valid].tolist()
+        all_codes: list[int] = []
+        h = jnp.asarray(hidden[-1])
+        prev = None
+        remaining = int(cap)
+        step = min(T2W_MAIN, remaining)
+        first_scan = True
+        while remaining > 0 and not self.break_event.is_set():
+            n_steps = min(step, remaining)
+            self._tts_key, sub = jax.random.split(self._tts_key)
+            codes_arr, n_valid, ctx.cache, _, h, prev = \
+                tts_mod.tts_decode_scan(
+                    ctx.params, ctx.cfg, ex, ctx.cache, h,
+                    jnp.int32(ctx.n_past.get(0, 0)), sub, n_steps=n_steps,
+                    first_chunk=first_chunk and first_scan,
+                    force_no_eos=bool(self.cfg.duplex and not out.is_final),
+                    prev0=prev)
+            first_scan = False
+            n_valid = int(n_valid)
+            ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
+            ctx.cells_used += n_valid  # scan KV writes bypass Context.decode
+            codes = np.asarray(codes_arr)[:n_valid].tolist()
+            all_codes.extend(codes)
+            if emit is not None:
+                for c in codes:
+                    emit(c)
+            if n_valid < n_steps:  # audio_eos inside the scan
+                break
+            remaining -= n_valid
+        return all_codes
 
     # ------------------------------------------------------------------ T2W
     def _t2w_worker(self) -> None:

@@ -154,6 +154,56 @@ class ServerState:
                          "predicted_ms": (time.time() - t0) * 1e3,
                          "n_decoded": len(out),
                          "draft_accept_rate": stats.accept_rate}
+        # single-stream fast path: fused on-device scans (one dispatch per
+        # 16 tokens instead of 2 per token) through the slot machinery so
+        # prompt-cache/slot-save contracts hold; falls back to the
+        # step-scheduler for grammar/n_probs/mirostat requests
+        if (grammar is None and n_probs == 0 and sampler.mirostat == 0):
+            from ..runtime.loop import fused_generate
+
+            with self.sched_lock:
+                slot = self.sched.launch(prompt_tokens, max_new=max_new,
+                                         sampler=sampler,
+                                         stop_tokens=self._stop_ids())
+                if slot is None:
+                    return None
+                # mark the prompt as consumed: we prefill it ourselves, and
+                # a GENERATING slot with no out_tokens is inert for step()
+                from ..runtime.slots import SlotState
+
+                slot.n_prompt_done = len(prompt_tokens)
+                slot.n_past = len(prompt_tokens)
+                slot.state = SlotState.GENERATING
+                last = self.ctx.prefill(prompt_tokens, seq_id=slot.id)
+                slot.t_first_token = time.time()
+
+            def cb(tok, finished):
+                self.metrics["n_tokens_generated"] += 1
+                if stream_cb:
+                    stream_cb(tok, finished)
+
+            def pre_chunk():  # per-slot context shift (server.cpp:2872)
+                slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
+                if (slot.n_past + 16 > self.sched.n_ctx_slot
+                        and self.sched.ctx_shift):
+                    self.sched._context_shift(slot)
+
+            out = fused_generate(self.ctx, last, slot.id, max_new,
+                                 stop_tokens=self._stop_ids(), chunk=16,
+                                 on_token=cb, sampler=sampler,
+                                 lock=self.sched_lock, pre_chunk=pre_chunk)
+            timing = {
+                "prompt_ms": (slot.t_first_token - slot.t_start) * 1e3,
+                "predicted_ms": (time.time() - slot.t_first_token) * 1e3,
+                "n_decoded": len(out),
+            }
+            with self.sched_lock:
+                slot.out_tokens = list(out)
+                slot.n_decoded = len(out)
+                slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
+                self.sched.release(slot, free_kv=False)
+            return out, timing
+
         done = threading.Event()
 
         def on_token(tok, finished):

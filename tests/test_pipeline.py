@@ -280,6 +280,7 @@ def test_duplex_cap_force_replaces_sampled_token(pipeline):
     pipe.cfg.duplex = True
     pipe.cfg.use_tts = False
     pipe.cfg.high_water = 10_000  # no window interference
+    pipe.cfg.fused_decode = False  # host loop: monkeypatched sampling below
     pipe.prefill_done.set()
 
     base_tok = 42  # plain text token, never special
@@ -303,6 +304,7 @@ def test_duplex_cap_force_replaces_sampled_token(pipeline):
         pipe.cfg.duplex = False
         pipe.cfg.use_tts = True
         pipe.cfg.high_water = 4000
+        pipe.cfg.fused_decode = True
     while not pipe.text_out.empty():
         pipe.text_out.get_nowait()
 
@@ -420,6 +422,48 @@ def test_high_refresh_frame_stacking():
     assert stacked.shape == (12, 16, 3)  # 2x2 grid of 6x8 frames
     assert (stacked[:6, :8] == 0).all() and (stacked[:6, 8:] == 1).all()
     assert (stacked[6:, :8] == 2).all() and (stacked[6:, 8:] == 3).all()
+
+
+def test_fused_decode_matches_host_loop(pipeline):
+    """The fused on-device scan loop (production path) must emit exactly
+    the token stream of the one-dispatch-per-token host loop under greedy
+    sampling — the served path IS the benched path."""
+    from omni_tpu.runtime import SamplerParams
+
+    pipe = pipeline
+    orig_sampler = pipe.llm.sampler
+
+    def run(fused: bool):
+        pipe.clean_kvcache()
+        pipe.cfg.duplex = False
+        pipe.cfg.use_tts = False
+        pipe.cfg.fused_decode = fused
+        pipe.llm.sampler = SamplerParams(greedy=True)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        pipe.llm.key = _jax.random.PRNGKey(0)
+        pipe.llm.prev_tokens = _jnp.full((64,), -1, _jnp.int32)
+        pipe.prefill_done.set()
+        pipe.stream_prefill(index=0, system_prompt="deterministic")
+        pipe.stream_decode(round_idx=0, max_new_tokens=23)
+        texts = []
+        while True:
+            ev = pipe.text_out.get(timeout=30)
+            if ev.get("stop"):
+                break
+            texts.append(ev["content"])
+        return "".join(texts), pipe.llm.n_past.get(0, 0)
+
+    try:
+        host_text, host_past = run(fused=False)
+        fused_text, fused_past = run(fused=True)
+    finally:
+        pipe.llm.sampler = orig_sampler
+        pipe.cfg.use_tts = True
+        pipe.cfg.fused_decode = True
+    assert fused_text == host_text
+    assert fused_past == host_past
 
 
 def test_tts_chunk0_speaker_conditioning(pipeline):

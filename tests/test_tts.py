@@ -227,7 +227,7 @@ def test_tts_decode_scan_on_device():
         jnp.zeros(5, jnp.int32), cache, slots)
 
     sp = TTSSamplingParams(win_size=8)
-    codes, n_valid, cache, _ = tts_decode_scan(
+    codes, n_valid, cache, _, h_last, prev = tts_decode_scan(
         params, cfg, extras, cache, hidden[-1], jnp.int32(5),
         jax.random.PRNGKey(0), n_steps=20, sp=sp)
     codes = np.asarray(codes)
@@ -237,3 +237,14 @@ def test_tts_decode_scan_on_device():
     if n_valid < 20:
         assert (codes[n_valid:] == -1).all()
     assert ((codes[:n_valid] >= 0) & (codes[:n_valid] < n_codes)).all()
+    # continuation carry-outs: last hidden + repetition ring
+    assert h_last.shape == (32,)
+    assert prev.shape == (sp.win_size,)
+    if n_valid == 20:
+        # ring tail holds the trailing codes
+        np.testing.assert_array_equal(np.asarray(prev)[-3:], codes[-3:])
+        # continuation scan keeps generating from the carry
+        codes2, n_valid2, cache, _, _, _ = tts_decode_scan(
+            params, cfg, extras, cache, h_last, jnp.int32(5 + n_valid),
+            jax.random.PRNGKey(1), n_steps=20, sp=sp, prev0=prev)
+        assert int(n_valid2) >= 0
