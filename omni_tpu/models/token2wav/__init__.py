@@ -49,12 +49,16 @@ class Token2Wav:
         self.n_timesteps = n_timesteps
         self.temperature = temperature
 
-        spk = np.asarray(spk, np.float32).reshape(-1)[:SPK_DIM]
-        spk_n = spk / (np.linalg.norm(spk) + 1e-12)
-        self.spk80 = jnp.asarray(
-            spk_n @ np.asarray(flow_extra["spk_affine_w"]).T
-            + np.asarray(flow_extra["spk_affine_b"]))
+        self.spk = np.asarray(spk, np.float32).reshape(-1)[:SPK_DIM]
+        self.spk80 = self._spk_affine(self.spk)
         self.reset()
+
+    def _spk_affine(self, spk: np.ndarray):
+        """192-d x-vector -> normalized 80-d conditioning row."""
+        spk_n = spk / (np.linalg.norm(spk) + 1e-12)
+        return jnp.asarray(
+            spk_n @ np.asarray(self.extra["spk_affine_w"]).T
+            + np.asarray(self.extra["spk_affine_b"]))
 
     # -- session state -------------------------------------------------------
     def reset(self):
@@ -97,19 +101,47 @@ class Token2Wav:
             spk = np.zeros(SPK_DIM, np.float32)
         t2w = cls(enc_p, enc_cfg, extra, dit_p, dit_cfg, voc_p, spk,
                   n_timesteps, temperature)
-        # reference-voice priming: prompt_cache.gguf may carry the prompt
-        # TOKENS (prime by replay, init_from_prompt_bundle semantics);
-        # importing the reference's pre-packed cache tensors directly needs
-        # its ggml layout + a real cache file to validate, so replay is the
-        # supported path.
+        # reference-voice priming, in order of fidelity
+        # (Token2WavSession::init_from_prompt_cache_gguf,
+        # token2wav/token2wav.cpp:8-27 → token2wav-impl.cpp:8182):
+        #   1. packed streaming-cache tensors -> direct state import;
+        #   2. prompt TOKENS -> prime by replay (prompt-bundle semantics);
+        #   3. neither -> FAIL LOUDLY (a wrong voice must never be silent).
         if prompt_cache_gguf:
+            from . import prompt_cache as pc_mod
+
             pc = GGUFReader(prompt_cache_gguf)
-            for name in ("prompt_cache.prompt_tokens", "prompt_tokens"):
-                if name in pc.tensors:
-                    ti = pc.tensors[name]
-                    t2w.prime_with_prompt(np.asarray(ti.data).reshape(-1))
-                    break
+            if pc_mod.has_cache_tensors(pc):
+                spk_i, t2w.enc_state, t2w.cfm_state = pc_mod.import_states(
+                    pc, enc_cfg, dit_cfg, n_timesteps)
+                if spk is None:
+                    t2w.set_spk(spk_i)
+            else:
+                for name in ("prompt_cache.prompt_tokens", "prompt_tokens"):
+                    if name in pc.tensors:
+                        ti = pc.tensors[name]
+                        t2w.prime_with_prompt(np.asarray(ti.data).reshape(-1))
+                        break
+                else:
+                    raise pc_mod.PromptCacheError(
+                        f"{prompt_cache_gguf} carries neither packed cache "
+                        "tensors nor prompt tokens — cannot prime the "
+                        "reference voice")
         return t2w
+
+    def set_spk(self, spk: np.ndarray) -> None:
+        """Replace the speaker x-vector (recomputes the 80-d affine)."""
+        self.spk = np.asarray(spk, np.float32)
+        self.spk80 = self._spk_affine(self.spk)
+
+    def export_prompt_cache(self, path) -> None:
+        """Persist the current streaming caches as prompt_cache.gguf (the
+        reference's auto-export, token2wav-impl.cpp:8119-8169)."""
+        from . import prompt_cache as pc_mod
+
+        pc_mod.export_states(path, self.spk, self.enc_state, self.cfm_state,
+                             self.enc_cfg, self.dit_cfg, self.n_timesteps,
+                             self.temperature)
 
     def prime_with_prompt(self, prompt_tokens) -> None:
         """Warm the streaming caches with the reference voice's prompt

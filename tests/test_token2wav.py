@@ -162,3 +162,85 @@ def test_prime_with_prompt_conditions_later_windows():
     assert wav_primed.shape == wav_cold.shape
     # the prompt context must actually change the generation
     assert not np.allclose(wav_primed, wav_cold, atol=1e-4)
+
+
+def test_prompt_cache_gguf_roundtrip(tmp_path, rng0):
+    """Packed prompt_cache.gguf (reference v2 layout) round-trip: prime by
+    replay -> export -> import -> states match exactly; a fresh session
+    built from the imported caches produces the primed voice."""
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models.token2wav import Token2Wav, prompt_cache as pc
+
+    conf_p, conf_cfg = tiny_conformer(rng0)
+    dit_p, dit_cfg = tiny_dit(rng0)
+    voc_p = tiny_hifigan(rng0)
+    extra = {
+        "input_embedding": r(rng0, 5000, conf_cfg.d_model),
+        "spk_affine_w": r(rng0, dit_cfg.out_channels, t2w.SPK_DIM),
+        "spk_affine_b": r(rng0, dit_cfg.out_channels),
+        "encoder_proj_w": r(rng0, dit_cfg.out_channels, conf_cfg.d_model),
+        "encoder_proj_b": r(rng0, dit_cfg.out_channels),
+    }
+    spk = np.random.default_rng(2).standard_normal(192).astype(np.float32)
+    a = t2w.Token2Wav(conf_p, conf_cfg, extra, dit_p, dit_cfg, voc_p,
+                      spk=spk, n_timesteps=2)
+    a.prime_with_prompt(np.arange(30, dtype=np.int32) % 40)
+    path = tmp_path / "prompt_cache.gguf"
+    a.export_prompt_cache(path)
+
+    reader = GGUFReader(path)
+    assert pc.has_cache_tensors(reader)
+    spk_i, enc_state, cfm_state = pc.import_states(reader, conf_cfg, dit_cfg,
+                                                   n_timesteps=2)
+    np.testing.assert_allclose(spk_i, spk, rtol=1e-6, atol=1e-6)
+    # exact state round-trip (valid regions)
+    n1, n2 = int(a.enc_state.n1), int(a.enc_state.n2)
+    assert int(enc_state.n1) == n1 and int(enc_state.n2) == n2
+    np.testing.assert_allclose(np.asarray(enc_state.k1[:, :n1]),
+                               np.asarray(a.enc_state.k1[:, :n1]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc_state.k2[:, :n2]),
+                               np.asarray(a.enc_state.k2[:, :n2]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc_state.v2[:, :n2]),
+                               np.asarray(a.enc_state.v2[:, :n2]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc_state.prelook_tail),
+                               np.asarray(a.enc_state.prelook_tail),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc_state.up_tail),
+                               np.asarray(a.enc_state.up_tail),
+                               rtol=1e-6, atol=1e-6)
+    nt = int(a.cfm_state.n)
+    assert int(cfm_state.n) == nt
+    np.testing.assert_array_equal(np.asarray(cfm_state.k[:, :, :, :nt]),
+                                  np.asarray(a.cfm_state.k[:, :, :, :nt]))
+    np.testing.assert_array_equal(np.asarray(cfm_state.conv1),
+                                  np.asarray(a.cfm_state.conv1))
+
+    # a session initialized from the imported caches generates the SAME
+    # audio as the replay-primed one
+    b = t2w.Token2Wav(conf_p, conf_cfg, extra, dit_p, dit_cfg, voc_p,
+                      spk=spk_i, n_timesteps=2)
+    b.enc_state, b.cfm_state = enc_state, cfm_state
+    window = (np.arange(28) % 40).astype(np.int32)
+    np.testing.assert_allclose(a.feed_window(window), b.feed_window(window),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_prompt_cache_missing_fails_loudly(tmp_path, rng0):
+    """A prompt_cache.gguf with neither caches nor tokens must raise."""
+    from omni_tpu.core.gguf import GGUFWriter
+    from omni_tpu.models.token2wav import Token2Wav, prompt_cache as pc
+    from omni_tpu.testing_gguf import write_tiny_token2wav
+
+    paths = write_tiny_token2wav(tmp_path / "t2w")
+    bad = tmp_path / "empty_prompt.gguf"
+    w = GGUFWriter(bad)
+    w.add_tensor("prompt_cache.spk_cb",
+                 np.zeros((1, 192), np.float32))
+    w.write()
+    with pytest.raises(pc.PromptCacheError):
+        Token2Wav.from_gguf(paths["t2w_encoder"], paths["t2w_flow"],
+                            paths["t2w_extra"], paths["t2w_vocoder"],
+                            str(bad), n_timesteps=2)
