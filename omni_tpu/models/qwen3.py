@@ -132,12 +132,16 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
         lp = params["layers"][-1]
         if f"{p}ffn_gate_inp.weight" in reader.tensors:
             # MoE FFN (reference blk.N.ffn_{gate_inp,gate_exps,up_exps,
-            # down_exps}): 3-D expert stacks load dense (bf16) — expert
-            # dispatch is an einsum over the expert axis, EP-shardable
+            # down_exps}): quantized 3-D expert stacks stay quantized as a
+            # per-expert QTensor list (the fused dequant kernel runs per
+            # dispatched expert batch); dense sources load as bf16 stacks
+            # whose expert axis is EP-shardable
             lp["gate_inp"] = get(p + "ffn_gate_inp.weight", keep_q=False)
-            lp["gate_exps"] = get(p + "ffn_gate_exps.weight", keep_q=False)
-            lp["up_exps"] = get(p + "ffn_up_exps.weight", keep_q=False)
-            lp["down_exps"] = get(p + "ffn_down_exps.weight", keep_q=False)
+            for nm, key in (("ffn_gate_exps", "gate_exps"),
+                            ("ffn_up_exps", "up_exps"),
+                            ("ffn_down_exps", "down_exps")):
+                lp[key] = _load_expert_stack(reader, p + nm + ".weight",
+                                             keep_quantized)
             lp["w_gate"] = lp["w_up"] = lp["w_down"] = None
         else:
             lp["w_gate"] = get(p + "ffn_gate.weight")
@@ -147,6 +151,27 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     if fuse:
         params["layers"] = [fuse_layer(l) for l in params["layers"]]
     return params
+
+
+def _load_expert_stack(reader: GGUFReader, name: str, keep_quantized: bool):
+    """3-D [E, F, D] expert stack: quantized formats split into a list of
+    per-expert QTensors (each expert's blocks are contiguous in the GGUF
+    row-major layout); dense formats load as one bf16 stack."""
+    import numpy as np
+
+    from ..core.dtypes import GGMLType
+    from ..core import quants as nq
+    from ..kernels.qformats import NATIVE_QTYPES, repack
+
+    ti = reader.tensors[name]
+    t = GGMLType(ti.ggml_type)
+    shape = tuple(ti.shape)
+    if keep_quantized and t in NATIVE_QTYPES and len(shape) == 3:
+        e = shape[0]
+        blocks = np.asarray(ti.data).reshape(e, -1)
+        return [repack(blocks[i], t, shape[1:]) for i in range(e)]
+    x = nq.dequantize(ti.data, t, shape)
+    return jnp.asarray(x, jnp.bfloat16)
 
 
 def embed(params: dict, tokens: jax.Array) -> jax.Array:
@@ -256,11 +281,24 @@ def forward(
     return logits, hidden.astype(jnp.float32), cache
 
 
+MOE_CAPACITY_FACTOR = 2.0  # GShard-style slack over the perfect k/E split
+
+
 def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
     """Top-k routed SwiGLU expert mix (reference llm_build_qwen3moe /
-    build_moe_ffn): softmax router, top-k normalized weights, dense
-    dispatch over the expert axis — one einsum per projection, so EP is
-    just sharding the expert dim of the 3-D stacks over the mesh.
+    build_moe_ffn; CUDA analog: indexed mul_mat_id). Per-token FLOPs and
+    weight reads are ∝ k/E, never dense-over-all-experts:
+
+    - decode (tiny T): gather the k selected experts' weight slices per
+      token and contract only those — weight traffic is k/E of the stacks
+      (the mmvq/mul_mat_id design point);
+    - prefill (large T): GShard-style capacity dispatch — tokens scatter
+      into [E, C] slots (C ≈ T·k/E · slack), one batched einsum per
+      projection over [E, C, ·], then weighted combine. EP = shard the
+      leading expert axis of the 3-D stacks over the mesh.
+    - quantized experts (list of per-expert QTensor): capacity dispatch
+      with the fused dequant×matmul kernel per expert.
+
     hn [T, d] -> [T, d]."""
     t = hn.shape[0]
     e = cfg.n_experts
@@ -270,20 +308,75 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
     probs = jax.nn.softmax(router, axis=-1)  # [T, E]
     top_w, top_i = jax.lax.top_k(probs, k)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_topk_prob
-    # dense [T, E] dispatch weights (0 outside top-k)
-    disp = jnp.zeros((t, e), jnp.float32)
-    disp = disp.at[jnp.arange(t)[:, None], top_i].set(top_w)
-
     hb = hn.astype(jnp.bfloat16)
-    gate = jnp.einsum("td,efd->tef", hb, lp["gate_exps"].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    up = jnp.einsum("td,efd->tef", hb, lp["up_exps"].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)  # [T, E, F]
-    out = jnp.einsum("tef,edf->ted", act,
-                     lp["down_exps"].astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)  # [T, E, d]
-    return jnp.einsum("te,ted->td", disp, out).astype(hn.dtype)
+
+    if isinstance(lp["gate_exps"], (list, tuple)):
+        return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=True)
+    if t * k <= 16:  # decode path: gather selected experts only
+        bf = jnp.bfloat16
+        wg = lp["gate_exps"][top_i].astype(bf)  # [T, k, F, D]
+        wu = lp["up_exps"][top_i].astype(bf)
+        wd = lp["down_exps"][top_i].astype(bf)  # [T, k, D, F]
+        gate = jnp.einsum("td,tkfd->tkf", hb, wg,
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("td,tkfd->tkf", hb, wu,
+                        preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(gate) * up).astype(bf)
+        out = jnp.einsum("tkf,tkdf->tkd", act, wd,
+                         preferred_element_type=jnp.float32)  # [T, k, d]
+        return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
+    return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=False)
+
+
+def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
+                  top_w: jax.Array, top_i: jax.Array,
+                  quant: bool) -> jax.Array:
+    """Capacity-based scatter/compute/combine. Tokens beyond an expert's
+    capacity are dropped (standard GShard semantics; the slack factor makes
+    drops rare at balanced routing)."""
+    import math
+
+    t, k = top_w.shape
+    e = cfg.n_experts
+    d = hb.shape[-1]
+    c = max(1, math.ceil(t * k / e * MOE_CAPACITY_FACTOR))
+
+    flat_e = top_i.reshape(-1)  # [T*k] expert of each (token, choice) pair
+    onehot = (flat_e[:, None] == jnp.arange(e)[None, :]).astype(jnp.int32)
+    pos = jnp.sum(jnp.cumsum(onehot, axis=0) * onehot, axis=1) - 1  # slot
+    keep = pos < c
+    pos_c = jnp.clip(pos, 0, c - 1)
+    src_tok = jnp.arange(t * k) // k
+
+    # scatter tokens into their expert slots: [E, C, d]
+    contrib = jnp.where(keep[:, None], hb[src_tok], 0)
+    xe = jnp.zeros((e, c, d), hb.dtype).at[flat_e, pos_c].add(contrib)
+
+    if quant:
+        from ..kernels.dequant_matmul import matmul as qmm
+
+        outs = []
+        for i in range(e):  # E is static; each is a fused-kernel matmul
+            gate = qmm(xe[i], lp["gate_exps"][i])
+            up = qmm(xe[i], lp["up_exps"][i])
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   .astype(jnp.bfloat16) * up.astype(jnp.bfloat16))
+            outs.append(qmm(act, lp["down_exps"][i]))
+        y = jnp.stack(outs)  # [E, C, d]
+    else:
+        bf = jnp.bfloat16
+        gate = jnp.einsum("ecd,efd->ecf", xe, lp["gate_exps"].astype(bf),
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("ecd,efd->ecf", xe, lp["up_exps"].astype(bf),
+                        preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(gate) * up).astype(bf)
+        y = jnp.einsum("ecf,edf->ecd", act, lp["down_exps"].astype(bf),
+                       preferred_element_type=jnp.float32)  # [E, C, d]
+
+    # combine: out[t] = Σ_j w_j · y[e_j, pos_j]
+    y_pairs = jnp.where(keep[:, None], y[flat_e, pos_c], 0)  # [T*k, d]
+    out = (top_w.reshape(-1)[:, None] * y_pairs).reshape(t, k, d).sum(axis=1)
+    return out.astype(jnp.float32).astype(hb.dtype)
 
 
 def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:

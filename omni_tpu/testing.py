@@ -24,6 +24,7 @@ def write_tiny_qwen3moe(
     n_experts: int = 4,
     n_experts_used: int = 2,
     seed: int = 0,
+    expert_qtype: GGMLType | None = None,  # quantize the 3-D expert stacks
 ) -> None:
     """Random qwen3moe-architecture GGUF (reference MoE tensor naming:
     blk.N.ffn_{gate_inp,gate_exps,up_exps,down_exps})."""
@@ -63,9 +64,18 @@ def write_tiny_qwen3moe(
         w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
         w.add_tensor(p + "ffn_norm.weight", np.ones(d_model, np.float32))
         t(p + "ffn_gate_inp.weight", (n_experts, d_model))
-        t(p + "ffn_gate_exps.weight", (n_experts, d_ff, d_model))
-        t(p + "ffn_up_exps.weight", (n_experts, d_ff, d_model))
-        t(p + "ffn_down_exps.weight", (n_experts, d_model, d_ff))
+
+        def texp(name, shape):
+            x = (rng.standard_normal(shape) * 0.08).astype(np.float32)
+            if expert_qtype is not None:
+                w.add_tensor(name, quants.quantize(x, expert_qtype),
+                             expert_qtype, logical_shape=shape)
+            else:
+                w.add_tensor(name, x)
+
+        texp(p + "ffn_gate_exps.weight", (n_experts, d_ff, d_model))
+        texp(p + "ffn_up_exps.weight", (n_experts, d_ff, d_model))
+        texp(p + "ffn_down_exps.weight", (n_experts, d_model, d_ff))
     w.write()
 
 
