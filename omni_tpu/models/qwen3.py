@@ -204,9 +204,14 @@ def forward(
     # cache keeps write-then-read (its flash kernel reads pool planes).
     deferred = not cache.quantized
     if deferred:
+        from ..runtime.kv_cache import primary_seq_bit, seq_bits_of
+
         mask = cache.attn_mask(pos, seq_id)  # pool only: batch cells unowned
-        mask_cur = ((seq_id[None, :] == seq_id[:, None])
-                    & (pos[None, :] <= pos[:, None])
+        # intra-batch visibility: key row's membership bits ∩ query's
+        # primary seq (multi-membership rows use the packed encoding)
+        mask_cur = ((seq_bits_of(seq_id)[None, :]
+                     & primary_seq_bit(seq_id)[:, None]) != 0)
+        mask_cur = (mask_cur & (pos[None, :] <= pos[:, None])
                     & write_mask[None, :])
         new_ks, new_vs = [], []
     else:

@@ -156,6 +156,8 @@ class Context:
         self.perf.record_decode(t, time.perf_counter() - t0)
         self.cells_used += t  # valid rows only; padding cells stay free
         for s in np.unique(np.asarray(seq)):
+            if s < 0:  # packed multi-membership rows (lookahead trees)
+                continue  # manage their own position bookkeeping
             mx = int(np.max(np.asarray(pos)[np.asarray(seq) == s]))
             self.n_past[int(s)] = max(self.n_past.get(int(s), 0), mx + 1)
         if return_hidden:
@@ -229,6 +231,15 @@ class Context:
 
     def seq_cp(self, seq_src, seq_dst, p0=-1, p1=-1):
         self.cache = jax.jit(KVCache.seq_cp)(self.cache, seq_src, seq_dst, p0, p1)
+
+    def seq_rm_all(self, p0=-1, p1=-1):
+        """llama_memory_seq_rm(seq=-1): drop positions from every seq."""
+        self.cache = jax.jit(KVCache.seq_rm_all)(self.cache, p0, p1)
+        self.sync_cells_used()
+
+    def seq_keep(self, seq_id):
+        self.cache = jax.jit(KVCache.seq_keep)(self.cache, seq_id)
+        self.sync_cells_used()
 
     def seq_add(self, seq_id, p0, p1, delta):
         self.cache = jax.jit(KVCache.seq_add)(self.cache, seq_id, p0, p1, delta)

@@ -35,6 +35,36 @@ from ..kernels.rope import apply_rope
 MAX_SEQS = 32
 
 
+def seq_bits_of(seq: jax.Array) -> jax.Array:
+    """int32 seq encoding -> uint32 membership bitset.
+
+    seq >= 0: a plain sequence id (bit 1 << seq). seq < 0: a PACKED
+    multi-membership bitmask, bits = -seq — how a batch row joins several
+    sequences at once (the contract of llama_batch.n_seq_id > 1,
+    include/llama.h:230; lookahead decoding's shared lookahead rows are
+    the main user). Encode with `encode_seq_bits`."""
+    return jnp.where(seq >= 0,
+                     jnp.uint32(1) << jnp.uint32(jnp.maximum(seq, 0)),
+                     (-seq).astype(jnp.uint32))
+
+
+def primary_seq_bit(seq: jax.Array) -> jax.Array:
+    """The attention sequence of a batch row = lowest set membership bit
+    (llama.cpp attends by the row's first seq id)."""
+    bits = seq_bits_of(seq)
+    return bits & (~bits + jnp.uint32(1))
+
+
+def encode_seq_bits(seq_ids) -> int:
+    """Host helper: list of seq ids -> the int32 batch encoding."""
+    bits = 0
+    for s in seq_ids:
+        bits |= 1 << int(s)
+    if len(seq_ids) == 1:
+        return int(seq_ids[0])
+    return -bits
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
@@ -144,8 +174,10 @@ class KVCache:
     def commit(self, slots: jax.Array, pos: jax.Array, seq_id: jax.Array,
                valid: jax.Array | None = None) -> "KVCache":
         """Mark `slots` as owned: cell metadata update (once per ubatch).
-        Rows with valid=False write pos=-1/mask=0 (inert padding)."""
-        bit = jnp.uint32(1) << seq_id.astype(jnp.uint32)
+        Rows with valid=False write pos=-1/mask=0 (inert padding).
+        seq_id rows use the `seq_bits_of` encoding (negative = packed
+        multi-membership)."""
+        bit = seq_bits_of(seq_id)
         if valid is not None:
             bit = jnp.where(valid, bit, 0).astype(jnp.uint32)
             pos = jnp.where(valid, pos, -1)
@@ -195,6 +227,17 @@ class KVCache:
         bit = jnp.uint32(1) << jnp.uint32(seq_dst)
         return dataclasses.replace(
             self, seq_mask=jnp.where(sel, self.seq_mask | bit, self.seq_mask)
+        )
+
+    def seq_rm_all(self, p0=-1, p1=-1) -> "KVCache":
+        """Remove cells in [p0, p1) from EVERY sequence (the seq_id=-1
+        form of llama_memory_seq_rm; lookahead's per-round batch cleanup)."""
+        sel = self._in_range(p0, p1)
+        new_mask = jnp.where(sel, jnp.uint32(0), self.seq_mask)
+        return dataclasses.replace(
+            self,
+            seq_mask=new_mask,
+            pos=jnp.where(new_mask == 0, -1, self.pos),
         )
 
     def seq_keep(self, seq_id) -> "KVCache":
@@ -265,7 +308,7 @@ class KVCache:
 
         `slots`/metadata for the current ubatch must already be committed.
         """
-        owned = ((self.seq_mask[None, :] >> q_seq[:, None].astype(jnp.uint32)) & 1) != 0
+        owned = (self.seq_mask[None, :] & primary_seq_bit(q_seq)[:, None]) != 0
         causal = self.pos[None, :] <= q_pos[:, None]
         used = self.seq_mask[None, :] != 0
         return owned & causal & used

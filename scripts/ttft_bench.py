@@ -208,6 +208,27 @@ def main():
     rng = np.random.default_rng(0)
     wav = rng.standard_normal(16000).astype(np.float32) * 0.05
 
+    def quiesce():
+        """Wait until TTS/T2W workers are idle and every queue is drained —
+        leftover windows from a prior round must never contaminate the next
+        TTFT measurement."""
+        deadline = time.time() + 300
+        idle = 0
+        while time.time() < deadline and idle < 3:
+            drained = False
+            for q_ in (pipe.wav_out, pipe.text_out):
+                try:
+                    q_.get_nowait()
+                    drained = True
+                except queue.Empty:
+                    pass
+            if (not drained and pipe.tts_queue.empty()
+                    and pipe.t2w_queue.empty()):
+                idle += 1
+            else:
+                idle = 0
+            time.sleep(0.3)
+
     def one_round(idx):
         """1 s audio in -> first wav window out; returns (ttft_s, turn_s)."""
         t0 = time.perf_counter()
@@ -225,18 +246,7 @@ def main():
         ttft = time.perf_counter() - t0
         assert len(np.asarray(first_wav)) > 0
         done.wait(timeout=600)
-        # drain
-        while True:
-            try:
-                pipe.wav_out.get_nowait()
-            except queue.Empty:
-                break
-        while True:
-            try:
-                if pipe.text_out.get_nowait().get("stop"):
-                    break
-            except queue.Empty:
-                break
+        quiesce()
         return ttft, t_turn[0]
 
     log("session init (system prompt + reference voice)...")

@@ -61,3 +61,25 @@ def test_lookup_with_warm_cache(target):
                                  cache=warm)
     assert out == ref
     assert stats.accept_rate > 0.5  # warm cache should accept heavily
+
+
+def test_lookahead_greedy_exact(target):
+    """Lookahead decoding output == plain greedy (the speculation
+    invariant of examples/lookahead); multi-membership batch rows +
+    per-round KV cleanup must leave the context consistent."""
+    from omni_tpu.runtime.lookahead import (LookaheadParams,
+                                            lookahead_generate)
+
+    prompt = np.array([5, 9, 5, 9, 5], np.int32)
+    ref = target().generate(prompt, max_new=24)
+
+    ctx = target()
+    out, stats = lookahead_generate(
+        ctx, prompt, max_new=24, params=LookaheadParams(W=4, N=3, G=4))
+    assert out == ref, (out, ref)
+    assert stats.n_rounds >= 1
+    # only seq 0 remains after the run
+    import numpy as _np
+
+    mask = _np.asarray(ctx.cache.seq_mask)
+    assert ((mask == 0) | (mask == 1)).all()
