@@ -130,25 +130,26 @@ class BPEEngine:
 
     # ---- encode ------------------------------------------------------------
     def _pre_tokenize(self, text: str) -> list[str]:
-        """Sequential regex splitting (unicode_regex_split semantics)."""
-        pieces: list[tuple[str, bool]] = [(text, False)]
+        """Sequential regex splitting (unicode_regex_split semantics):
+        every regex re-splits EVERY current segment — earlier matches are
+        not atomic (falcon's digit-triple stage splits the number runs its
+        own stage-2 regex already matched, src/llama-vocab.cpp falcon
+        regex_exprs + unicode.cpp unicode_regex_split)."""
+        pieces: list[str] = [text]
         for rx in self.patterns:
-            nxt: list[tuple[str, bool]] = []
-            for s, done in pieces:
-                if done:
-                    nxt.append((s, True))
-                    continue
+            nxt: list[str] = []
+            for s in pieces:
                 last = 0
                 for m in rx.finditer(s):
                     if m.start() > last:
-                        nxt.append((s[last:m.start()], False))
+                        nxt.append(s[last:m.start()])
                     if m.group():
-                        nxt.append((m.group(), True))
+                        nxt.append(m.group())
                     last = m.end()
                 if last < len(s):
-                    nxt.append((s[last:], False))
+                    nxt.append(s[last:])
             pieces = nxt
-        return [s for s, _ in pieces if s]
+        return [s for s in pieces if s]
 
     def encode(self, text: str) -> list[int]:
         out: list[int] = []

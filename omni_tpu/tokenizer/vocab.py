@@ -158,7 +158,7 @@ class Tokenizer:
 
 def build_tokenizer(kv: dict[str, Any]) -> Tokenizer:
     vocab = vocab_from_gguf(kv)
-    if vocab.model in ("gpt2", "bert"):
+    if vocab.model == "gpt2":
         from .bpe import BPEEngine
 
         return Tokenizer(vocab, BPEEngine(vocab))
@@ -166,4 +166,16 @@ def build_tokenizer(kv: dict[str, Any]) -> Tokenizer:
         from .spm import SPMEngine
 
         return Tokenizer(vocab, SPMEngine(vocab))
+    if vocab.model == "bert":
+        from .wpm import WPMEngine
+
+        return Tokenizer(vocab, WPMEngine(vocab))
+    if vocab.model in ("t5", "unigram"):
+        from .ugm import UGMEngine
+
+        return Tokenizer(vocab, UGMEngine(vocab))
+    if vocab.model == "rwkv":
+        from .ugm import RWKVEngine
+
+        return Tokenizer(vocab, RWKVEngine(vocab))
     raise NotImplementedError(f"tokenizer model {vocab.model!r}")

@@ -143,3 +143,72 @@ def test_control_vector(base):
 
     np.testing.assert_allclose(_logits(cfg, remove_control_vector(steered)),
                                ref, rtol=1e-6, atol=1e-6)
+
+
+def test_convert_lora_from_hf_peft(tmp_path, base):
+    """convert_lora_to_gguf counterpart: HF PEFT dir (safetensors +
+    adapter_config.json) -> adapter GGUF -> runtime apply, delta-exact."""
+    import json
+    import struct
+
+    from omni_tpu.convert.lora import convert_lora_to_gguf, read_safetensors
+
+    _, reader, cfg = base
+    params = qwen3.load_params(reader)
+    rng = np.random.default_rng(7)
+    r = 2
+    d = cfg.d_model
+
+    def st_write(path, tensors):
+        header = {}
+        blobs = []
+        off = 0
+        for name, arr in tensors.items():
+            raw = np.ascontiguousarray(arr, np.float32).tobytes()
+            header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                            "data_offsets": [off, off + len(raw)]}
+            blobs.append(raw)
+            off += len(raw)
+        hj = json.dumps(header).encode()
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(hj)))
+            f.write(hj)
+            for b in blobs:
+                f.write(b)
+
+    peft = tmp_path / "peft"
+    peft.mkdir()
+    a0 = rng.standard_normal((r, d)).astype(np.float32) * 0.1
+    b0 = rng.standard_normal((cfg.n_heads * cfg.head_dim, r)).astype(np.float32) * 0.1
+    a1 = rng.standard_normal((r, d)).astype(np.float32) * 0.1
+    b1 = rng.standard_normal((cfg.d_ff, r)).astype(np.float32) * 0.1
+    st_write(peft / "adapter_model.safetensors", {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": a0,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": b0,
+        "base_model.model.model.layers.1.mlp.up_proj.lora_A.weight": a1,
+        "base_model.model.model.layers.1.mlp.up_proj.lora_B.weight": b1,
+    })
+    (peft / "adapter_config.json").write_text(json.dumps(
+        {"peft_type": "LORA", "r": r, "lora_alpha": 8.0,
+         "target_modules": ["q_proj", "up_proj"]}))
+
+    out = tmp_path / "adapter.gguf"
+    n = convert_lora_to_gguf(str(peft), str(out))
+    assert n == 2
+
+    # round-trip through the minimal safetensors reader too
+    rt = read_safetensors(str(peft / "adapter_model.safetensors"))
+    np.testing.assert_array_equal(rt[
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"], a0)
+
+    adapter = LoraAdapter.from_gguf(str(out))
+    assert adapter.alpha == 8.0 and adapter.rank == r
+    assert set(adapter.pairs) == {"blk.0.attn_q.weight",
+                                  "blk.1.ffn_up.weight"}
+    np.testing.assert_allclose(np.asarray(adapter.pairs[
+        "blk.0.attn_q.weight"][0]), a0, rtol=1e-6)
+
+    # applies at runtime and changes the logits
+    ref = _logits(cfg, params)
+    got = _logits(cfg, apply_lora(params, adapter))
+    assert not np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5)

@@ -31,7 +31,9 @@ def make_tokenizer(name):
 
 
 @pytest.mark.parametrize("name", ["gpt-2", "llama-spm", "phi-3",
-                                  "deepseek-llm", "starcoder", "mpt", "refact"])
+                                  "deepseek-llm", "deepseek-coder",
+                                  "starcoder", "mpt", "refact", "falcon",
+                                  "bert-bge"])
 def test_goldens(name):
     tok = make_tokenizer(name)
     goldens = load_goldens(name)
@@ -62,3 +64,43 @@ def test_special_token_parsing():
     assert tok.vocab.token_to_id["<|endoftext|>"] in ids
     ids2 = tok.encode(text, add_special=False, parse_special=False)
     assert tok.vocab.token_to_id["<|endoftext|>"] not in ids2
+
+
+def test_ugm_viterbi_synthetic():
+    """UGM (unigram/T5): Viterbi picks the max-score segmentation; unknown
+    codepoints collapse to merged UNKs (no T5 vocab fixture ships with the
+    reference, so this pins the algorithm on a synthetic vocab)."""
+    from omni_tpu.tokenizer import build_tokenizer
+
+    kv = {
+        "tokenizer.ggml.model": "t5",
+        "tokenizer.ggml.tokens": ["<unk>", "▁", "▁he", "llo", "▁hello",
+                                  "he", "l", "lo", "o"],
+        "tokenizer.ggml.scores": [0.0, -2.0, -3.0, -3.0, -4.0, -3.5, -5.0,
+                                  -5.0, -5.0],
+        "tokenizer.ggml.token_type": [2] + [1] * 8,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_space_prefix": True,
+        "tokenizer.ggml.add_bos_token": False,
+    }
+    tok = build_tokenizer(kv)
+    # '▁he'+'llo' (-6) beats '▁hello' (-4)? no: -4 > -6 -> single token wins
+    assert tok.encode("hello", add_special=False) == [4]
+    # unknown chars merge into one UNK
+    ids = tok.encode("hello ZZ", add_special=False)
+    assert ids[0] == 4 and ids.count(0) == 1
+    assert tok.decode([4]) == " hello"
+
+
+def test_rwkv_greedy_longest_match():
+    from omni_tpu.tokenizer import build_tokenizer
+
+    kv = {
+        "tokenizer.ggml.model": "rwkv",
+        "tokenizer.ggml.tokens": ["a", "b", "ab", "abc", " ", "c"],
+        "tokenizer.ggml.token_type": [1] * 6,
+        "tokenizer.ggml.add_bos_token": False,
+    }
+    tok = build_tokenizer(kv)
+    assert tok.encode("abc ab a", add_special=False) == [3, 4, 2, 4, 0]
+    assert tok.decode([3, 4, 2]) == "abc ab"
