@@ -44,7 +44,8 @@ class ServerState:
     def __init__(self, ctx: Context, tokenizer, n_slots: int = 4,
                  model_name: str = "omni-tpu", lora_paths: list | None = None,
                  draft_ctx: Context | None = None,
-                 slot_save_path: str | None = None):
+                 slot_save_path: str | None = None,
+                 chat_template: str | None = None):
         self.ctx = ctx
         self.tok = tokenizer
         self.model_name = model_name
@@ -59,6 +60,12 @@ class ServerState:
         # (the reference gates it identically: tools/server --slot-save-path;
         # filenames are confined to that directory)
         self.slot_save_path = slot_save_path
+        # model's own Jinja chat template (GGUF tokenizer.chat_template) +
+        # the native tool-call format it implies (common/chat.cpp role)
+        from ..chat_parser import detect_format
+
+        self.chat_template = chat_template
+        self.chat_format = detect_format(chat_template)
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
         # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
@@ -478,24 +485,39 @@ def make_handler(state: ServerState):
             tool_choice = body.get("tool_choice", "auto" if tools else "none")
             force_tool = tools and tool_choice != "none" and (
                 tool_choice == "required" or isinstance(tool_choice, dict))
-            if tools:
-                # advertise the tools in the system prompt (minja-template
-                # role of the reference); constrained JSON does the rest
-                tool_desc = "\n".join(
-                    f"- {t['function']['name']}: "
-                    f"{t['function'].get('description', '')} "
-                    f"parameters: {json.dumps(t['function'].get('parameters', {}))}"
-                    for t in tools if t.get("type") == "function")
-                messages.insert(0, {
-                    "role": "system",
-                    "content": "You can call these tools by replying with "
-                               'JSON {"name": ..., "arguments": {...}}:\n'
-                               + tool_desc})
-            if force_tool:
+            chat_fmt = "generic"
+            prompt = None
+            if state.chat_template:
+                # model's own Jinja template + native tool-call syntax
+                # (minja role, common/chat.cpp)
+                from ..chat_parser import apply_jinja_template
+
+                try:
+                    prompt = apply_jinja_template(
+                        state.chat_template, messages, tools=tools or None,
+                        add_generation_prompt=True)
+                    chat_fmt = state.chat_format
+                except Exception:  # noqa: BLE001  (template feature gap)
+                    prompt = None
+            if prompt is None:
+                if tools:
+                    # advertise the tools in the system prompt; constrained
+                    # JSON does the rest (generic-format fallback)
+                    tool_desc = "\n".join(
+                        f"- {t['function']['name']}: "
+                        f"{t['function'].get('description', '')} "
+                        f"parameters: {json.dumps(t['function'].get('parameters', {}))}"
+                        for t in tools if t.get("type") == "function")
+                    messages.insert(0, {
+                        "role": "system",
+                        "content": "You can call these tools by replying with "
+                                   'JSON {"name": ..., "arguments": {...}}:\n'
+                                   + tool_desc})
+                prompt = apply_chat_template(messages)
+            if force_tool and chat_fmt == "generic":
                 body = dict(body)
                 body["json_schema"] = self._tools_schema(tools, tool_choice)
                 body.pop("response_format", None)
-            prompt = apply_chat_template(messages)
             toks = np.asarray(
                 state.tok.encode(prompt, parse_special=True), np.int32)
             max_new = int(body.get("max_tokens", 128))
@@ -521,14 +543,24 @@ def make_handler(state: ServerState):
                 out, timing = state.complete(toks, max_new, sampler,
                                              grammar=grammar)
                 content = state.tok.decode(out, skip_special=True)
-                message = {"role": "assistant", "content": content}
+                # parse the model-native tool-call syntax (chat-parser role)
+                from ..chat_parser import parse_response
+
+                parsed = parse_response(content, chat_fmt)
+                message = {"role": "assistant",
+                           "content": parsed["content"] or content}
+                if parsed["reasoning_content"]:
+                    message["reasoning_content"] = parsed["reasoning_content"]
                 finish = "stop"
-                if force_tool:
-                    calls = self._parse_tool_call(content)
-                    if calls:
-                        message = {"role": "assistant", "content": None,
-                                   "tool_calls": calls}
-                        finish = "tool_calls"
+                calls = parsed["tool_calls"] or (
+                    self._parse_tool_call(content) if force_tool else None)
+                if (tools or force_tool) and calls:
+                    message = {"role": "assistant", "content": None,
+                               "tool_calls": calls}
+                    if parsed["reasoning_content"]:
+                        message["reasoning_content"] = parsed[
+                            "reasoning_content"]
+                    finish = "tool_calls"
                 self._json(200, {
                     "id": rid, "object": "chat.completion",
                     "model": state.model_name,
@@ -832,7 +864,8 @@ def main(argv=None):
                             qwen3.embed, n_ctx=args.ctx_size)
     state = ServerState(ctx, tok, n_slots=args.parallel,
                         lora_paths=args.lora, draft_ctx=draft_ctx,
-                        slot_save_path=args.slot_save_path)
+                        slot_save_path=args.slot_save_path,
+                        chat_template=reader.kv.get("tokenizer.chat_template"))
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -229,9 +229,38 @@ def main():
                 idle = 0
             time.sleep(0.3)
 
+    # stage-timestamp instrumentation (stderr): when the first LLM chunk,
+    # first TTS code, and first T2W window happen relative to round start
+    t_mark = {"t0": 0.0}
+    orig_emit = pipe._emit_chunk
+    orig_feed = t2w.feed_window
+    orig_tput = pipe.t2w_queue.put
+
+    def emit_spy(tokens, hiddens, final):
+        if "llm_chunk" not in t_mark:
+            t_mark["llm_chunk"] = time.perf_counter() - t_mark["t0"]
+        return orig_emit(tokens, hiddens, final)
+
+    def tput_spy(item):
+        if item is not None and "tts_code" not in t_mark:
+            t_mark["tts_code"] = time.perf_counter() - t_mark["t0"]
+        return orig_tput(item)
+
+    def feed_spy(tokens, is_final=False):
+        if "t2w_start" not in t_mark:
+            t_mark["t2w_start"] = time.perf_counter() - t_mark["t0"]
+        return orig_feed(tokens, is_final=is_final)
+
+    pipe._emit_chunk = emit_spy
+    pipe.t2w_queue.put = tput_spy
+    t2w.feed_window = feed_spy
+
     def one_round(idx):
         """1 s audio in -> first wav window out; returns (ttft_s, turn_s)."""
+        for k in ("llm_chunk", "tts_code", "t2w_start"):
+            t_mark.pop(k, None)
         t0 = time.perf_counter()
+        t_mark["t0"] = t0
         pipe.stream_prefill(audio=wav, index=idx)
         done = threading.Event()
         t_turn = [None]
@@ -261,7 +290,10 @@ def main():
     for i in (2, 3, 4):
         ttft, turn = one_round(i)
         ttfts.append(ttft)
-        log(f"round {i}: TTFT {ttft * 1e3:.0f} ms, full turn {turn:.2f} s")
+        log(f"round {i}: TTFT {ttft * 1e3:.0f} ms, full turn {turn:.2f} s | "
+            f"1st LLM chunk {t_mark.get('llm_chunk', -1) * 1e3:.0f} ms, "
+            f"1st TTS code {t_mark.get('tts_code', -1) * 1e3:.0f} ms, "
+            f"T2W start {t_mark.get('t2w_start', -1) * 1e3:.0f} ms")
     best = min(ttfts) * 1e3
 
     import json

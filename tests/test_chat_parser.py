@@ -1,0 +1,161 @@
+"""Tool-call format parsers + Jinja chat templating (common/chat.cpp +
+chat-parser.cpp counterpart)."""
+
+import json
+
+from omni_tpu.chat_parser import (apply_jinja_template, detect_format,
+                                  parse_response)
+
+
+def _one_call(parsed, name):
+    assert len(parsed["tool_calls"]) == 1
+    fn = parsed["tool_calls"][0]["function"]
+    assert fn["name"] == name
+    return json.loads(fn["arguments"])
+
+
+def test_detect_format():
+    assert detect_format("{% if x %}<tool_call>{% endif %}") == "hermes"
+    assert detect_format("...[TOOL_CALLS]...") == "mistral_nemo"
+    assert detect_format("a tool▁calls▁begin b") == "deepseek_r1"
+    assert detect_format("x >>>all y") == "functionary_v3_2"
+    assert detect_format("<|python_tag|>") == "llama_3_x"
+    assert detect_format("{{ messages }}") == "generic"
+    assert detect_format(None) == "content_only"
+
+
+def test_hermes_parse():
+    text = ('I will check the weather.\n<tool_call>\n'
+            '{"name": "get_weather", "arguments": {"city": "Paris"}}\n'
+            '</tool_call>')
+    p = parse_response(text, "hermes")
+    args = _one_call(p, "get_weather")
+    assert args == {"city": "Paris"}
+    assert p["content"] == "I will check the weather."
+
+
+def test_hermes_multiple_calls():
+    text = ('<tool_call>{"name": "a", "arguments": {}}</tool_call>'
+            '<tool_call>{"name": "b", "arguments": {"x": 1}}</tool_call>')
+    p = parse_response(text, "hermes")
+    assert [c["function"]["name"] for c in p["tool_calls"]] == ["a", "b"]
+
+
+def test_mistral_nemo_parse():
+    text = ('[TOOL_CALLS][{"name": "sum", "arguments": {"a": 1, "b": 2}, '
+            '"id": "123456789"}]')
+    p = parse_response(text, "mistral_nemo")
+    assert _one_call(p, "sum") == {"a": 1, "b": 2}
+
+
+def test_llama3_json_and_python_tag():
+    p = parse_response('{"name": "lookup", "parameters": {"q": "x"}}',
+                       "llama_3_x")
+    assert _one_call(p, "lookup") == {"q": "x"}
+    p2 = parse_response(
+        '<|python_tag|>brave_search.call(query="llamas")', "llama_3_x")
+    assert _one_call(p2, "brave_search") == {"query": "llamas"}
+
+
+def test_deepseek_r1_parse_with_reasoning():
+    text = ("<think>weigh the options</think>"
+            "Sure.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>get_time\n```json\n{\"tz\": \"UTC\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+    p = parse_response(text, "deepseek_r1")
+    assert p["reasoning_content"] == "weigh the options"
+    assert _one_call(p, "get_time") == {"tz": "UTC"}
+    assert p["content"] == "Sure."
+
+
+def test_functionary_v3_2_parse():
+    text = '>>>get_weather\n{"city": "Tokyo"}'
+    p = parse_response(text, "functionary_v3_2")
+    assert _one_call(p, "get_weather") == {"city": "Tokyo"}
+
+
+def test_generic_parse_and_content_only():
+    p = parse_response('{"name": "f", "arguments": {"k": 2}}', "generic")
+    assert _one_call(p, "f") == {"k": 2}
+    p2 = parse_response("just text", "content_only")
+    assert p2["tool_calls"] == [] and p2["content"] == "just text"
+
+
+def test_reasoning_split_any_format():
+    p = parse_response("<think>hmm</think>answer", "content_only")
+    assert p["reasoning_content"] == "hmm" and p["content"] == "answer"
+
+
+CHATML_TMPL = (
+    "{% for message in messages %}"
+    "{{'<|im_start|>' + message['role'] + '\n' + message['content'] "
+    "+ '<|im_end|>' + '\n'}}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+    "{% endif %}")
+
+
+def test_jinja_template_render():
+    out = apply_jinja_template(
+        CHATML_TMPL,
+        [{"role": "system", "content": "be brief"},
+         {"role": "user", "content": "hi"}])
+    assert out == ("<|im_start|>system\nbe brief<|im_end|>\n"
+                   "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n")
+
+
+def test_jinja_template_with_tools():
+    tmpl = ("{% if tools %}TOOLS:{% for t in tools %}"
+            "{{ t.function.name }};{% endfor %}\n{% endif %}"
+            "{% for m in messages %}{{ m.content }}{% endfor %}")
+    out = apply_jinja_template(
+        tmpl, [{"role": "user", "content": "go"}],
+        tools=[{"type": "function", "function": {"name": "f1"}},
+               {"type": "function", "function": {"name": "f2"}}])
+    # trim_blocks eats the newline after {% endif %} (HF convention)
+    assert out == "TOOLS:f1;f2;go"
+    # no tools -> the block disappears entirely
+    out2 = apply_jinja_template(tmpl, [{"role": "user", "content": "go"}])
+    assert out2 == "go"
+
+
+def test_server_uses_gguf_chat_template(tmp_path):
+    """End-to-end: a GGUF chat template drives /v1/chat/completions prompt
+    construction (ChatML here, so output tokens are well-formed)."""
+    import threading
+    import urllib.request
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from omni_tpu.core import GGMLType, GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Context
+    from omni_tpu.server.main import ServerState, serve
+    from omni_tpu.testing import write_tiny_qwen3
+    from omni_tpu.tokenizer import build_tokenizer
+
+    path = tmp_path / "m.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     byte_tokenizer=True)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
+                  n_ctx=512)
+    state = ServerState(ctx, build_tokenizer(reader.kv), n_slots=2,
+                        chat_template=CHATML_TMPL)
+    assert state.chat_format == "generic"
+    httpd = serve(state, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        json.dumps({"messages": [{"role": "user", "content": "hey"}],
+                    "max_tokens": 4}).encode(),
+        {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    httpd.shutdown()
