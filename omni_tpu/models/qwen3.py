@@ -115,6 +115,12 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     params["output_norm"] = get("output_norm.weight")
     out = get("output.weight", required=False)
     params["output"] = out  # None => tied to token_embd
+    # optional classification / rank head (reference LLM_TENSOR_CLS{,_OUT},
+    # src/llama-model.cpp:2906-2992; used by RANK pooling rerankers)
+    params["cls"] = get("cls.weight", required=False, keep_q=False)
+    params["cls_b"] = get("cls.bias", required=False, keep_q=False)
+    params["cls_out"] = get("cls.output.weight", required=False, keep_q=False)
+    params["cls_out_b"] = get("cls.output.bias", required=False, keep_q=False)
 
     i = 0
     while f"blk.{i}.attn_norm.weight" in reader.tensors:

@@ -77,6 +77,10 @@ def param_specs(params: dict) -> dict:
         if params.get("output") is not None else None,
         "layers": [],
     }
+    # replicate any other (small) top-level tensors, e.g. the rank head
+    for k, v in params.items():
+        if k not in out and k != "layers":
+            out[k] = P() if v is not None else None
     for layer in params["layers"]:
         lp = {}
         for name, value in layer.items():

@@ -119,6 +119,42 @@ class ServerState:
         v = np.asarray(hidden, np.float32).mean(axis=0)
         return v / max(np.linalg.norm(v), 1e-12)
 
+    def rank_score(self, query: str, doc: str) -> float:
+        """RANK pooling: last hidden of [BOS]query[EOS]doc[EOS] through the
+        optional cls (dense+tanh) and cls_out (projection) heads
+        (reference format_rerank + build_pooling RANK)."""
+        import jax.numpy as jnp
+
+        from ..runtime.context import Batch
+
+        v = self.tok.vocab
+        ids = []
+        if v.bos_id is not None:
+            ids.append(v.bos_id)
+        ids += self.tok.encode(query, add_special=False)
+        if v.eos_id is not None:
+            ids.append(v.eos_id)
+        ids += self.tok.encode(doc, add_special=False)
+        if v.eos_id is not None:
+            ids.append(v.eos_id)
+        seq = 31  # scratch
+        with self.sched_lock:
+            _, hidden = self.ctx.decode(Batch(
+                tokens=np.asarray(ids, np.int32),
+                pos=np.arange(len(ids), dtype=np.int32),
+                seq_id=np.full(len(ids), seq, np.int32)), return_hidden=True)
+            self.ctx.seq_rm(seq, -1, -1)
+            self.ctx.n_past.pop(seq, None)
+        h = jnp.asarray(hidden[-1], jnp.float32)  # LAST pooling (causal)
+        p = self.ctx.params
+        if p.get("cls") is not None:
+            h = jnp.tanh(p["cls"].astype(jnp.float32) @ h
+                         + (p["cls_b"] if p.get("cls_b") is not None else 0.0))
+        if p.get("cls_out") is not None:
+            h = (p["cls_out"].astype(jnp.float32) @ h
+                 + (p["cls_out_b"] if p.get("cls_out_b") is not None else 0.0))
+        return float(np.asarray(h).reshape(-1)[0])
+
     # ---- scheduler-backed completion ---------------------------------
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
                  grammar=None, n_probs=0):
@@ -589,18 +625,28 @@ def make_handler(state: ServerState):
                                  for i, v in enumerate(vecs)])
 
         def _handle_rerank(self, body):
-            """Document reranking (server /v1/rerank contract): score each
-            document against the query. Without a rank-head model the score
-            is embedding cosine similarity — the API shape matches the
-            reference so rank-head models can drop in."""
+            """Document reranking (server /v1/rerank): models with a rank
+            head (cls/cls.output tensors; RANK pooling of the reference,
+            src/llama-graph.cpp:1945-1974) score
+            [BOS]query[EOS]doc[EOS] through the head; headless models fall
+            back to embedding cosine similarity."""
             query = body.get("query", "")
             docs = body.get("documents", [])
-            qv = state.embed(np.asarray(state.tok.encode(query), np.int32))
             results = []
-            for i, doc in enumerate(docs):
-                dv = state.embed(np.asarray(state.tok.encode(doc), np.int32))
-                results.append({"index": i,
-                                "relevance_score": float(qv @ dv)})
+            if state.ctx.params.get("cls_out") is not None or \
+                    state.ctx.params.get("cls") is not None:
+                for i, doc in enumerate(docs):
+                    results.append({"index": i,
+                                    "relevance_score":
+                                        state.rank_score(query, doc)})
+            else:
+                qv = state.embed(np.asarray(state.tok.encode(query),
+                                            np.int32))
+                for i, doc in enumerate(docs):
+                    dv = state.embed(np.asarray(state.tok.encode(doc),
+                                                np.int32))
+                    results.append({"index": i,
+                                    "relevance_score": float(qv @ dv)})
             results.sort(key=lambda r: -r["relevance_score"])
             top_n = int(body.get("top_n", len(results)))
             self._json(200, {"model": state.model_name,

@@ -217,6 +217,65 @@ def test_rerank(server):
     assert scores[0] > scores[1]  # identical text ranks first
 
 
+def test_rerank_with_rank_head(tmp_path):
+    """A model with cls/cls.output tensors reranks through the real RANK
+    head ([BOS]q[EOS]doc[EOS] -> last hidden -> tanh-dense -> projection),
+    matching a manual computation (reference build_pooling RANK,
+    src/llama-graph.cpp:1945-1974)."""
+    import threading
+
+    rng = np.random.default_rng(4)
+    d = 64
+    path = tmp_path / "rank.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=d, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     byte_tokenizer=True, extra_tensors={
+                         "cls.weight": rng.standard_normal((d, d)).astype(np.float32) * 0.1,
+                         "cls.bias": rng.standard_normal(d).astype(np.float32) * 0.1,
+                         "cls.output.weight": rng.standard_normal((1, d)).astype(np.float32) * 0.1,
+                         "cls.output.bias": rng.standard_normal(1).astype(np.float32) * 0.1,
+                     })
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+    assert params["cls"] is not None and params["cls_out"] is not None
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=512)
+    tok = build_tokenizer(reader.kv)
+    state = ServerState(ctx, tok, n_slots=2)
+
+    s0 = state.rank_score("hello", "doc one")
+    s1 = state.rank_score("hello", "a different doc")
+    assert np.isfinite(s0) and np.isfinite(s1) and s0 != s1
+
+    # manual oracle for one pair
+    from omni_tpu.runtime.context import Batch
+
+    v = tok.vocab
+    ids = ([v.bos_id] if v.bos_id is not None else []) \
+        + tok.encode("hello", add_special=False) + [v.eos_id] \
+        + tok.encode("doc one", add_special=False) + [v.eos_id]
+    _, hidden = ctx.decode(Batch(
+        tokens=np.asarray(ids, np.int32),
+        pos=np.arange(len(ids), dtype=np.int32),
+        seq_id=np.full(len(ids), 7, np.int32)), return_hidden=True)
+    ctx.seq_rm(7, -1, -1)
+    h = np.asarray(hidden[-1], np.float32)
+    h = np.tanh(np.asarray(params["cls"]) @ h + np.asarray(params["cls_b"]))
+    want = float(np.asarray(params["cls_out"]) @ h
+                 + np.asarray(params["cls_out_b"]))
+    np.testing.assert_allclose(s0, want, rtol=1e-4, atol=1e-4)
+
+    # endpoint path
+    httpd = serve(state, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    out = _post(f"http://127.0.0.1:{port}/v1/rerank", {
+        "query": "hello", "documents": ["doc one", "a different doc"]})
+    got = {r["index"]: r["relevance_score"] for r in out["results"]}
+    np.testing.assert_allclose(got[0], s0, rtol=1e-4)
+    httpd.shutdown()
+
+
 def test_env_arg_mirrors(monkeypatch):
     from omni_tpu.cli.args import EnvArgumentParser, env_name
 
