@@ -197,15 +197,18 @@ class OmniPipeline:
         toks = self._encode(text)
         if len(toks):
             with self.llama_mtx:
-                logits, _ = self.llm.decode(Batch(tokens=toks))
+                # non-blocking enqueue: marker/prompt evals cost one
+                # dispatch, not a ~35 ms round-trip each (TTFT path)
+                logits, _ = self.llm.decode(Batch(tokens=toks), block=False)
             return logits[-1]
         return None
 
     def _eval_embeds(self, emb: np.ndarray, return_hidden: bool = False):
         with self.llama_mtx:
             _, hidden = self.llm.decode(
-                Batch(embeds=np.asarray(emb, np.float32)),
-                return_hidden=return_hidden)
+                Batch(embeds=emb if isinstance(emb, jax.Array)
+                      else np.asarray(emb, np.float32)),
+                return_hidden=return_hidden, block=False)
         return hidden
 
     def is_end_token(self, tid: int) -> bool:
@@ -337,7 +340,7 @@ class OmniPipeline:
         (llm_thread_func, omni.cpp:4229-4425)."""
         while not self.session_stop.is_set():
             try:
-                item = self.embed_queue.get(timeout=0.05)
+                item = self.embed_queue.get(timeout=0.01)
             except queue.Empty:
                 continue
             try:
@@ -632,7 +635,7 @@ class OmniPipeline:
         first_chunk = True
         while not self.session_stop.is_set():
             try:
-                out: LLMOut = self.tts_queue.get(timeout=0.05)
+                out: LLMOut = self.tts_queue.get(timeout=0.01)
             except queue.Empty:
                 continue
             if self.break_event.is_set():
@@ -671,9 +674,9 @@ class OmniPipeline:
             # prefilling it into the fresh KV once IS that re-forward
             # (the reference's double-prefill rebuilds the identical KV)
             self.tts_ctx.clear_kv()
-            self._tts_condition = np.asarray(cond)
-        _, hidden = self.tts_ctx.decode(Batch(embeds=np.asarray(cond)),
-                                        return_hidden=True)
+            self._tts_condition = cond  # lazy device array (fetch on use)
+        _, hidden = self.tts_ctx.decode(Batch(embeds=cond),
+                                        return_hidden=True, block=False)
         cap = DUPLEX_CHUNK_CAP if self.cfg.duplex else SIMPLEX_AUDIO_CAP
         # fused on-device generation (head_code logits, nucleus sampling
         # with the repetition ring, decoder step; ~1.7 ms/audio token at
@@ -716,7 +719,7 @@ class OmniPipeline:
         """25+3 sliding window (t2w_thread_func_cpp, omni.cpp:8284)."""
         while not self.session_stop.is_set():
             try:
-                item = self.t2w_queue.get(timeout=0.05)
+                item = self.t2w_queue.get(timeout=0.01)
             except queue.Empty:
                 continue
             final = item is None

@@ -119,8 +119,15 @@ class Context:
         return step
 
     # ---- public API (llama_decode counterpart) ----------------------------
-    def decode(self, batch: Batch, return_hidden: bool = False):
-        """Run one ubatch. Returns (logits [T, vocab] np, hidden or None)."""
+    def decode(self, batch: Batch, return_hidden: bool = False,
+               block: bool = True):
+        """Run one ubatch. Returns (logits [T, vocab], hidden or None).
+
+        block=False skips the host sync: the step is ENQUEUED and the
+        returned arrays are lazy device values — back-to-back evals (omni
+        prefill markers, assistant prompts) then cost one dispatch each
+        instead of a full ~35 ms device round-trip each; device-order
+        execution keeps the KV consistent for later steps."""
         t = len(batch)
         tb = _bucket(t, self.buckets)
         # overflow guard: the step allocates tb cells (bucket-padded; the
@@ -138,6 +145,11 @@ class Context:
         if batch.tokens is not None:
             x = self._embed(self.params, jnp.asarray(
                 np.pad(np.asarray(batch.tokens, np.int32), (0, tb - t))))
+        elif isinstance(batch.embeds, jax.Array):
+            # device-resident embeds (e.g. the TTS condition): pad on
+            # device, no host round-trip
+            x = jnp.pad(batch.embeds.astype(jnp.bfloat16),
+                        ((0, tb - t), (0, 0)))
         else:
             e = np.asarray(batch.embeds, np.float32)
             x = jnp.asarray(np.pad(e, ((0, tb - t), (0, 0))), jnp.bfloat16)
@@ -152,7 +164,8 @@ class Context:
         logits, hidden, self.cache = self._step_fn(tb)(
             self.params, self.cache, x, pos_p, seq_p, wmask
         )
-        logits.block_until_ready()
+        if block:
+            logits.block_until_ready()
         self.perf.record_decode(t, time.perf_counter() - t0)
         self.cells_used += t  # valid rows only; padding cells stay free
         for s in np.unique(np.asarray(seq)):

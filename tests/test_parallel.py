@@ -75,3 +75,29 @@ def test_dp_tp_mesh_decode(model):
     ctx = shard_context(model(), mesh)
     logits, _ = ctx.decode(Batch(tokens=TOKS))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pipeline_parallel_forward(tmp_path):
+    """GPipe layer-split pipeline (LLAMA_SPLIT_MODE_LAYER + n_copies
+    micro-batching counterpart): 4-stage pipelined forward over the pp
+    mesh axis == single-device forward_train."""
+    from omni_tpu.parallel.pp import (make_pp_mesh, pp_forward,
+                                      shard_pp_params, stack_stage_params)
+
+    path = tmp_path / "pp.gguf"
+    write_tiny_qwen3(path, n_layers=4, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=128, qtype=GGMLType.F32,
+                     tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader, keep_quantized=False)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)), jnp.int32)
+    ref = np.asarray(qwen3.forward_train(params, cfg, tokens))
+
+    mesh = make_pp_mesh(4)
+    pp_params = shard_pp_params(stack_stage_params(params, 4), mesh)
+    got = np.asarray(pp_forward(pp_params, cfg, tokens, mesh, n_micro=2))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
