@@ -162,19 +162,23 @@ class Token2Wav:
 
     # -- one chunk -----------------------------------------------------------
     def _token2mel(self, tokens: np.ndarray, last: bool) -> np.ndarray:
-        emb = self.extra["input_embedding"][jnp.asarray(tokens, jnp.int32)]
-        feats, self.enc_state = conf.encode_chunk(
-            self.enc_p, self.enc_cfg, emb, self.enc_state, last_chunk=last)
-        mu = jnp.einsum("tc,nc->tn", feats, self.extra["encoder_proj_w"],
-                        preferred_element_type=jnp.float32) + self.extra["encoder_proj_b"]
-        mel, self.cfm_state = ditm.cfm_solve_chunk(
-            self.dit_p, self.dit_cfg, mu, self.spk80, self.cfm_state,
-            self.n_timesteps, self.temperature)
-        return np.asarray(mel, np.float32)  # [T_mel, 80]
+        mel, self.enc_state, self.cfm_state = _token2mel_fused(
+            self.enc_p, self.enc_cfg, self.dit_p, self.dit_cfg, self.extra,
+            jnp.asarray(tokens, jnp.int32), self.enc_state, self.cfm_state,
+            self.spk80, self.n_timesteps, self.temperature, last)
+        return mel  # [T_mel, 80] DEVICE array (callers fetch once at most)
 
     def feed_window(self, tokens, is_final: bool = False) -> np.ndarray:
         """25(+3 lookahead) audio codes -> 24 kHz float wave (1 s per full
-        window). Mirrors Token2Wav::push_tokens_window incl. caches/fade."""
+        window). Mirrors Token2Wav::push_tokens_window incl. caches/fade.
+
+        Latency/compile discipline: the mel window is ALWAYS the full
+        padded DT*2 frames (a partial final window pads with silence
+        tokens and the wave is trimmed to the valid samples afterwards) —
+        variable-length mels would trigger a fresh ~10 s vocoder compile
+        per distinct final-window size. The silence padding can bleed into
+        the last valid samples within the vocoder's receptive field; that
+        boundary precedes inter-turn silence, an accepted trade."""
         tokens = np.asarray(tokens, np.int32)
         n = len(tokens)
         assert 0 <= n <= DT, n
@@ -182,19 +186,24 @@ class Token2Wav:
             return np.zeros(0, np.float32)
         chunk = np.full(DT, PAD_TOKEN, np.int32)
         chunk[:n] = tokens
-        mel = self._token2mel(chunk, is_final)
-        mel = mel[: n * 2]  # valid frames
+        mel = self._token2mel(chunk, is_final)  # [DT*2, 80] device
+        cache_len = int(self.mel_cache.shape[0])
+        n_valid_mel = cache_len + n * 2
 
-        mel_in = np.concatenate([self.mel_cache, mel], axis=0)
-        cached_src = jnp.asarray(self.source_cache) if len(self.source_cache) else None
-        wave, source = hg.vocode(self.voc_p, jnp.asarray(mel_in), cached_src)
-        wave = np.asarray(wave, np.float32)
-        source = np.asarray(source, np.float32)
+        mel_in = (jnp.concatenate([jnp.asarray(self.mel_cache), mel], axis=0)
+                  if cache_len else mel)
+        cached_src = (jnp.asarray(self.source_cache)
+                      if len(self.source_cache) else None)
+        wave_d, source_d = hg.vocode(self.voc_p, mel_in, cached_src)
+        valid = n_valid_mel * hg.SAMPLES_PER_MEL
+        wave = np.asarray(wave_d, np.float32)[:valid]
+        source = np.asarray(source_d, np.float32)[:valid]
 
         if len(self.speech_cache):
             wave = _fade_in_out(wave, self.speech_cache)
 
-        self.mel_cache = mel_in[-hg.MEL_CACHE:]
+        # caches reflect only the VALID region (device-resident mel tail)
+        self.mel_cache = mel_in[:n_valid_mel][-hg.MEL_CACHE:]
         self.source_cache = source[-hg.SOURCE_CACHE:]
         self.speech_cache = wave[-hg.SOURCE_CACHE:]
         # the reference emits the full (crossfaded) window including the
@@ -229,3 +238,26 @@ def _fade_in_out(wave: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:
     out = wave.copy()
     out[:n] = wave[:n] * fade_in + prev_tail[:n] * fade_out
     return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("enc_cfg", "dit_cfg",
+                                             "n_timesteps", "last"))
+def _token2mel_fused(enc_p, enc_cfg, dit_p, dit_cfg, extra, tokens,
+                     enc_state, cfm_state, spk80, n_timesteps, temperature,
+                     last):
+    """Token window -> mel in ONE device dispatch: embedding lookup,
+    conformer chunk, encoder projection, and the 5-step CFM solve fuse into
+    a single jit — the per-dispatch host round-trip (~35 ms on the tunnel)
+    would otherwise be paid three times per 1 s window (TTFT path)."""
+    emb = extra["input_embedding"][tokens]
+    feats, enc_state = conf.encode_chunk(enc_p, enc_cfg, emb, enc_state,
+                                         last_chunk=last)
+    mu = jnp.einsum("tc,nc->tn", feats, extra["encoder_proj_w"],
+                    preferred_element_type=jnp.float32) \
+        + extra["encoder_proj_b"]
+    mel, cfm_state = ditm.cfm_solve_chunk(dit_p, dit_cfg, mu, spk80,
+                                          cfm_state, n_timesteps, temperature)
+    return mel, enc_state, cfm_state
