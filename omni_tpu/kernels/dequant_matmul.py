@@ -56,10 +56,14 @@ def _make_kernel(t: GGMLType, names: tuple[str, ...], nk: int, out_dtype):
 
 
 def _auto_tiles(m: int, n: int, k: int) -> tuple[int, int]:
-    """Shape-aware (block_n, block_k) for small-M (decode) calls, from an
-    on-chip sweep (see git history): large K tiles amortize per-call
-    overhead; N tiles sized to keep >=4 pipeline steps."""
+    """Shape-aware (block_n, block_k), from on-chip sweeps (round 1 decode
+    sweep + round 2 scripts/prefill_sweep.py): large K tiles amortize
+    per-call overhead; decode (tiny M) wants wide N tiles, prefill (tall
+    M) narrower ones (the M×N f32 accumulator competes for VMEM)."""
     bk = min(k, 4096)
+    if m > 32:  # prefill: bn=512 beats 1024 at every swept shape (M=512
+        # gateup: 35.6 vs 28-31 TF/s); 256 edges ahead only at M<=64
+        return (256 if m <= 64 and n >= 8192 else 512), bk
     if n >= 8192:
         bn = 1024
     elif n > 4096:

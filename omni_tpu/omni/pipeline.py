@@ -701,10 +701,11 @@ class OmniPipeline:
                     force_no_eos=bool(self.cfg.duplex and not out.is_final),
                     prev0=prev)
             first_scan = False
-            n_valid = int(n_valid)
+            codes_np = np.asarray(codes_arr)  # ONE fetch; n_valid derived
+            n_valid = int((codes_np >= 0).sum())
             ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
             ctx.cells_used += n_valid  # scan KV writes bypass Context.decode
-            codes = np.asarray(codes_arr)[:n_valid].tolist()
+            codes = codes_np[:n_valid].tolist()
             all_codes.extend(codes)
             if emit is not None:
                 for c in codes:

@@ -27,10 +27,13 @@ SHAPES = {  # name: (N, K)  (Qwen3-8B fused-layout weights)
 }
 MS = (64, 512)
 # compile cost (~25 s/config on the tunnel) bounds the grid: sweep the
-# promising corner found in round 1 (large bk, medium-large bn)
-CONFIGS = [(128, 512, 2048), (128, 512, 4096), (256, 512, 4096),
+# promising corner found in round 1 (large bk, medium-large bn).
+# NOTE: on axon, block_until_ready does NOT synchronize — every timing
+# must end in a REAL host fetch (np.asarray).
+CONFIGS = [(64, 256, 4096), (64, 512, 4096), (64, 1024, 4096),
+           (128, 512, 4096), (256, 512, 4096),
            (256, 1024, 2048), (256, 1024, 4096), (512, 1024, 4096)]
-REPS = 30
+REPS = 64
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
@@ -56,9 +59,9 @@ def main():
                 if bm > m or bn > n or bk > k:
                     continue
                 try:
-                    bench_scan(x, qt, bm, bn, bk).block_until_ready()  # compile
+                    np.asarray(bench_scan(x, qt, bm, bn, bk))  # compile+warm
                     t0 = time.perf_counter()
-                    bench_scan(x, qt, bm, bn, bk).block_until_ready()
+                    np.asarray(bench_scan(x, qt, bm, bn, bk))
                     dt = (time.perf_counter() - t0) / REPS
                 except Exception as e:  # noqa: BLE001
                     print(f"  {name} M={m} bm{bm} bn{bn} bk{bk}: "
