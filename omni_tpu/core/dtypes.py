@@ -91,6 +91,11 @@ TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.Q6_K: TypeTraits(QK_K, 128 + 64 + 16 + 2),
     GGMLType.Q8_K: TypeTraits(QK_K, 4 + 256 + 32),
     GGMLType.MXFP4: TypeTraits(32, 1 + 16),
+    # i-quants (non-linear / codebook formats, ggml-common.h)
+    GGMLType.IQ4_NL: TypeTraits(32, 2 + 16),
+    GGMLType.IQ4_XS: TypeTraits(QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
+    GGMLType.IQ2_XXS: TypeTraits(QK_K, 2 + QK_K // 8 * 2),
+    GGMLType.IQ3_XXS: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 8),
 }
 
 

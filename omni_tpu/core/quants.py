@@ -430,6 +430,95 @@ def _fix_ql_q6k(n: int, lo4: np.ndarray) -> np.ndarray:
 # registry / public API
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# i-quants (non-linear / E8-codebook formats; ggml-quants.c:2275-2390,
+# ggml-common.h layouts + kvalues_iq4nl)
+# --------------------------------------------------------------------------
+
+_IQ4NL_KVALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    np.int8)
+
+
+def _deq_iq4_nl(b: np.ndarray) -> np.ndarray:
+    """IQ4_NL: f16 scale + 16 nibble-packed codebook indices per 32 elems
+    (element e<16 = low nibble of byte e, e>=16 = high nibble)."""
+    d = _f16(b[:, :2])
+    idx = _split_nibbles(b[:, 2:], 16).astype(np.int64)
+    return d * _IQ4NL_KVALUES[idx].astype(np.float32)
+
+
+def _deq_iq4_xs(b: np.ndarray) -> np.ndarray:
+    """IQ4_XS: super f16 scale, per-32-group 6-bit subscales (4 low bits in
+    nibble-packed scales_l, 2 high bits in a packed u16), IQ4_NL codebook."""
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    sh = b[:, 2:4].copy().view("<u2").astype(np.uint32)  # [n, 1]
+    sl = b[:, 4:4 + QK_K // 64]
+    lo4 = _split_nibbles(sl, 1)  # [n, 8] group low bits (interleaved lo/hi)
+    hi2 = ((sh >> (2 * np.arange(QK_K // 32, dtype=np.uint32)[None, :]))
+           & np.uint32(3)).astype(np.uint8)
+    scales = ((lo4 | (hi2 << np.uint8(4))).astype(np.int8)
+              .astype(np.int16) - 32)  # [n, 8]
+    dl = d * scales.astype(np.float32)  # [n, 8]
+    idx = _split_nibbles(b[:, 4 + QK_K // 64:].reshape(n * (QK_K // 32), 16),
+                         16).astype(np.int64)  # per-32-group element order
+    vals = _IQ4NL_KVALUES[idx].astype(np.float32).reshape(n, QK_K // 32, 32)
+    return (dl[:, :, None] * vals).reshape(n, QK_K)
+
+
+def _iq_signs(sign_fields: np.ndarray) -> np.ndarray:
+    """7-bit sign fields [..] -> per-element sign multipliers [..., 8]
+    (odd-parity completion, ksigns_iq2xs law)."""
+    from .iq_grids import KSIGNS_IQ2XS
+
+    s = KSIGNS_IQ2XS[sign_fields.astype(np.int64)]
+    bits = (s[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits != 0, np.float32(-1), np.float32(1))
+
+
+def _deq_iq2_xxs(b: np.ndarray) -> np.ndarray:
+    """IQ2_XXS: per 32-element group, 4 E8 codebook indices (8 magnitudes
+    each from iq2xxs_grid) + packed 7-bit sign fields + a 4-bit group
+    scale: db = d*(0.5 + aux32[1]>>28)*0.25 (ggml-quants.c:2275)."""
+    from .iq_grids import IQ2XXS_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])  # [n, 1]
+    blk = b[:, 2:].reshape(n, QK_K // 32, 8)
+    gidx = blk[:, :, :4].astype(np.int64)  # [n, 8, 4] codebook indices
+    aux = (np.ascontiguousarray(blk[:, :, 4:]).view("<u4")
+           .reshape(n, QK_K // 32))  # signs+scale word
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.25  # [n, 8]
+    mags = IQ2XXS_GRID[gidx].copy().view(np.uint8).astype(np.float32)
+    mags = mags.reshape(n, QK_K // 32, 4, 8)
+    sf = (aux[:, :, None] >> (7 * np.arange(4, dtype=np.uint32)[None, None, :])
+          ) & np.uint32(127)
+    signs = _iq_signs(sf)  # [n, 8, 4, 8]
+    return (db[:, :, None, None] * mags * signs).reshape(n, QK_K)
+
+
+def _deq_iq3_xxs(b: np.ndarray) -> np.ndarray:
+    """IQ3_XXS: per 32-element group, 8 codebook indices (4 magnitudes each
+    from iq3xxs_grid) + the IQ2-style sign/scale word:
+    db = d*(0.5 + aux32>>28)*0.5 (ggml-quants.c:2362)."""
+    from .iq_grids import IQ3XXS_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:2 + QK_K // 4].reshape(n, QK_K // 32, 8).astype(np.int64)
+    aux = np.ascontiguousarray(b[:, 2 + QK_K // 4:]).view("<u4")  # [n, 8]
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.5
+    mags = IQ3XXS_GRID[qs].copy().view(np.uint8).astype(np.float32)
+    mags = mags.reshape(n, QK_K // 32, 8, 4)
+    sf = (aux[:, :, None] >> (7 * np.arange(4, dtype=np.uint32)[None, None, :])
+          ) & np.uint32(127)
+    signs = _iq_signs(sf)  # [n, 8, 4, 8]: 8 signs per l-subgroup
+    # subgroup l covers indices 2l, 2l+1: grid1 -> signs[..,:4], grid2 -> [..,4:]
+    signs = signs.reshape(n, QK_K // 32, 8, 4)  # pairs (grid1/grid2) in order
+    return (db[:, :, None, None] * mags * signs).reshape(n, QK_K)
+
+
 _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q4_0: _deq_q4_0,
     GGMLType.Q4_1: _deq_q4_1,
@@ -441,6 +530,10 @@ _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q4_K: _deq_q4_k,
     GGMLType.Q5_K: _deq_q5_k,
     GGMLType.Q6_K: _deq_q6_k,
+    GGMLType.IQ4_NL: _deq_iq4_nl,
+    GGMLType.IQ4_XS: _deq_iq4_xs,
+    GGMLType.IQ2_XXS: _deq_iq2_xxs,
+    GGMLType.IQ3_XXS: _deq_iq3_xxs,
 }
 
 _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {

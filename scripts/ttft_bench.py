@@ -246,6 +246,15 @@ def main():
             t_mark["tts_code"] = time.perf_counter() - t_mark["t0"]
         return orig_tput(item)
 
+    orig_ttsgen = pipe._tts_generate
+
+    def ttsgen_spy(out, first_chunk, emit=None):
+        if "tts_gen_start" not in t_mark:
+            t_mark["tts_gen_start"] = time.perf_counter() - t_mark["t0"]
+        return orig_ttsgen(out, first_chunk, emit=emit)
+
+    pipe._tts_generate = ttsgen_spy
+
     def feed_spy(tokens, is_final=False):
         if "t2w_start" not in t_mark:
             t_mark["t2w_start"] = time.perf_counter() - t_mark["t0"]
@@ -257,7 +266,7 @@ def main():
 
     def one_round(idx):
         """1 s audio in -> first wav window out; returns (ttft_s, turn_s)."""
-        for k in ("llm_chunk", "tts_code", "t2w_start"):
+        for k in ("llm_chunk", "tts_code", "t2w_start", "tts_gen_start"):
             t_mark.pop(k, None)
         t0 = time.perf_counter()
         t_mark["t0"] = t0
@@ -292,6 +301,7 @@ def main():
         ttfts.append(ttft)
         log(f"round {i}: TTFT {ttft * 1e3:.0f} ms, full turn {turn:.2f} s | "
             f"1st LLM chunk {t_mark.get('llm_chunk', -1) * 1e3:.0f} ms, "
+            f"tts_gen in {t_mark.get('tts_gen_start', -1) * 1e3:.0f} ms, "
             f"1st TTS code {t_mark.get('tts_code', -1) * 1e3:.0f} ms, "
             f"T2W start {t_mark.get('t2w_start', -1) * 1e3:.0f} ms")
     best = min(ttfts) * 1e3

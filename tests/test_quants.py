@@ -84,3 +84,27 @@ def test_block_geometry():
         y = quants.dequantize(q, qtype)
         assert y.shape == (tr.block_size * 2,)
         assert np.all(y == 0)
+
+
+IQ_FORMATS = [GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
+              GGMLType.IQ3_XXS]
+
+
+@pytest.mark.parametrize("qtype", IQ_FORMATS, ids=lambda p: p.name)
+def test_iquant_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
+    """i-quant (codebook) formats: dequantization of random valid block
+    bytes matches the reference numpy codec bit-for-bit (we only need
+    DEquantization — i-quant encoders require imatrix calibration)."""
+    from gguf.constants import GGMLQuantizationType as OT
+
+    tr = type_traits(qtype)
+    rows, blocks_per_row = 4, 8
+    raw = rng.integers(0, 256, (rows, blocks_per_row, tr.type_size),
+                       dtype=np.uint8)
+    # keep the f16 super-scale finite and sane
+    d = (rng.random((rows, blocks_per_row)).astype(np.float16) + 0.25)
+    raw[:, :, :2] = d[..., None].view(np.uint8).reshape(rows, blocks_per_row, 2)
+    raw = raw.reshape(rows, -1)
+    theirs = oracle.dequantize(raw, OT(int(qtype))).astype(np.float32)
+    ours = quants.dequantize(raw, qtype, theirs.shape)
+    np.testing.assert_array_equal(ours, theirs)
