@@ -86,7 +86,11 @@ def load_params(reader: GGUFReader) -> dict:
                 raise KeyError(f"APM tensor missing: {name}")
             return None
         ti = reader.tensors[name]
-        return jnp.asarray(np.asarray(ti.data, np.float32).reshape(ti.shape))
+        from ..core import quants
+
+        # any GGUF dtype (f32/f16/bf16/quantized) -> f32
+        return jnp.asarray(quants.dequantize(ti.data, ti.ggml_type, ti.shape)
+                           .astype(np.float32))
 
     p = {
         "conv1_w": get("encoder.conv1.weight"),  # [1024, 80, 3]

@@ -188,8 +188,19 @@ class OmniPipeline:
         self._wav_index = 0
         self._tts_key = jax.random.PRNGKey(0)
         self._workers_started = False
+        # in-flight worker activity (drain/quiesce visibility: queue
+        # emptiness alone cannot see a worker mid-generation)
+        self._tts_active = False
+        self._t2w_active = False
 
     # ------------------------------------------------------------------ util
+    def busy(self) -> bool:
+        """True while any stage still holds queued or in-flight work —
+        the drain condition for shutdown / between-round measurement."""
+        return (not self.embed_queue.empty() or not self.tts_queue.empty()
+                or not self.t2w_queue.empty() or self._tts_active
+                or self._t2w_active)
+
     def _encode(self, text: str) -> np.ndarray:
         return np.asarray(self.tok.encode(text, add_special=False), np.int32)
 
@@ -645,8 +656,12 @@ class OmniPipeline:
             # callback), so the first 1 s window starts vocoding while the
             # TTS decoder is still generating — the reference's per-token
             # streaming cadence at scan granularity
-            self._tts_generate(out, first_chunk,
-                               emit=self.t2w_queue.put)
+            self._tts_active = True
+            try:
+                self._tts_generate(out, first_chunk,
+                                   emit=self.t2w_queue.put)
+            finally:
+                self._tts_active = False
             first_chunk = out.is_final  # reset at end of turn
             if out.is_final:
                 self.t2w_queue.put(None)  # turn-end sentinel
@@ -724,6 +739,7 @@ class OmniPipeline:
             except queue.Empty:
                 continue
             final = item is None
+            self._t2w_active = True
             if not final:
                 self._t2w_buffer.append(int(item))
             while len(self._t2w_buffer) >= T2W_MAIN + T2W_LOOKAHEAD or (
@@ -740,6 +756,7 @@ class OmniPipeline:
                 if last:
                     self._t2w_buffer = [SILENCE_TOKEN] * 3
                     break
+            self._t2w_active = False
 
     def _write_wav_file(self, wave, final: bool) -> None:
         """Out-of-band audio files (reference t2w thread + omni-cli

@@ -562,8 +562,13 @@ def make_handler(state: ServerState):
             rid = f"chatcmpl-{int(time.time()*1000)}"
             if body.get("stream"):
                 self._sse_start()
+                acc: list[int] = []
+                parse_tools = bool(tools) and chat_fmt != "content_only"
 
                 def cb(tok, finished):
+                    acc.append(tok)
+                    if parse_tools:
+                        return  # buffered: tool syntax must not leak as text
                     self._sse_send({
                         "id": rid, "object": "chat.completion.chunk",
                         "model": state.model_name,
@@ -574,6 +579,31 @@ def make_handler(state: ServerState):
 
                 state.complete(toks, max_new, sampler, stream_cb=cb,
                                grammar=grammar)
+                if parse_tools:
+                    # tool-enabled stream: parse the buffered output and
+                    # deliver either tool_calls deltas or the content
+                    # (OpenAI streaming contract, whole-call deltas)
+                    from ..chat_parser import parse_response
+
+                    text = state.tok.decode(acc, skip_special=True)
+                    parsed = parse_response(text, chat_fmt)
+                    if not parsed["tool_calls"] and force_tool:
+                        parsed["tool_calls"] = self._parse_tool_call(text) or []
+                    delta: dict = {}
+                    finish = "stop"
+                    if parsed["tool_calls"]:
+                        delta["tool_calls"] = [
+                            {"index": i, **c}
+                            for i, c in enumerate(parsed["tool_calls"])]
+                        finish = "tool_calls"
+                    else:
+                        delta["content"] = parsed["content"] or text
+                    self._sse_send({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "model": state.model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}],
+                    })
                 self._sse_done()
             else:
                 out, timing = state.complete(toks, max_new, sampler,

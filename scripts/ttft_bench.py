@@ -222,8 +222,7 @@ def main():
                     drained = True
                 except queue.Empty:
                     pass
-            if (not drained and pipe.tts_queue.empty()
-                    and pipe.t2w_queue.empty()):
+            if not drained and not pipe.busy():
                 idle += 1
             else:
                 idle = 0

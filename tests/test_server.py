@@ -217,6 +217,33 @@ def test_rerank(server):
     assert scores[0] > scores[1]  # identical text ranks first
 
 
+def test_streaming_tool_call_delta(server):
+    """Tool-enabled streaming: the SSE stream must deliver parsed
+    tool_calls deltas (finish_reason=tool_calls), never leak the raw
+    call syntax as content chunks."""
+    raw = _post(server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "weather in Paris?"}],
+        "tools": [{"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object", "properties": {
+                "city": {"type": "string", "maxLength": 4}},
+                "required": ["city"], "additionalProperties": False}}}],
+        "tool_choice": "required", "max_tokens": 48, "temperature": 1.0,
+        "stream": True}, raw=True)
+    events = [json.loads(l[len("data: "):])
+              for l in raw.decode(errors="replace").splitlines()
+              if l.startswith("data:") and "[DONE]" not in l]
+    final = events[-1]
+    choice = final["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    calls = choice["delta"]["tool_calls"]
+    assert calls[0]["function"]["name"] == "get_weather"
+    json.loads(calls[0]["function"]["arguments"])  # valid JSON args
+    # no raw tool JSON leaked as content chunks
+    assert not any("get_weather" in (e["choices"][0]["delta"].get("content")
+                                     or "") for e in events[:-1])
+
+
 def test_rerank_with_rank_head(tmp_path):
     """A model with cls/cls.output tensors reranks through the real RANK
     head ([BOS]q[EOS]doc[EOS] -> last hidden -> tanh-dense -> projection),

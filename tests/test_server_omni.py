@@ -136,3 +136,27 @@ def test_omni_session_end_to_end(omni_server):
     assert _post(url + "/v1/stream/break", {})["success"]
     assert _post(url + "/v1/stream/reset", {})["success"]
     assert st.omni.llm.n_past.get(0, 0) == 0
+
+
+def test_omni_duplex_round(omni_server):
+    """Duplex over HTTP: hot-swap duplex via update_session_config, run a
+    unit-protocol round (listen/speak semantics, chunk caps)."""
+    s = omni_server
+    url = s["url"]
+    assert _post(url + "/v1/stream/reset", {})["success"]
+    out = _post(url + "/v1/stream/update_session_config",
+                {"duplex": True, "max_new_tokens": 20})
+    assert out["duplex"] is True
+    st = s["state"]
+    _post(url + "/v1/stream/prefill", {
+        "audio_path_prefix": s["wav0"], "cnt": 0})
+    _post(url + "/v1/stream/prefill", {
+        "audio_path_prefix": s["wav1"], "cnt": 1})
+    raw = _post(url + "/v1/stream/decode", {"round_idx": 1}, raw=True)
+    events = [json.loads(l[len("data: "):])
+              for l in raw.decode(errors="replace").splitlines()
+              if l.startswith("data:") and "[DONE]" not in l]
+    assert events and events[-1]["stop"]
+    assert len(st.omni.units) >= 1  # duplex unit registry in play
+    _post(url + "/v1/stream/update_session_config",
+          {"duplex": False, "max_new_tokens": 25})
