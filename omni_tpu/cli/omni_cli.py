@@ -73,7 +73,9 @@ def build_pipeline(paths: dict, args):
             mel = audio_pre.log_mel_spectrogram(wav, filters)
             emb, astate["s"] = whisper.encode_chunk(aparams, acfg,
                                                     jnp.asarray(mel), astate["s"])
-            return np.asarray(emb)
+            # device-resident: the pipeline consumes jax arrays directly
+            # (fetching here would cost a ~35 ms tunnel round-trip)
+            return emb
 
     vision_encoder = None
     if paths.get("vision") and args.omni:

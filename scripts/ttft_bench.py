@@ -112,7 +112,9 @@ def build_apm():
         mel = audio_pre.log_mel_spectrogram(wav, filters)
         emb, state["s"] = whisper.encode_chunk(p, cfg, jnp.asarray(mel),
                                                state["s"])
-        return np.asarray(emb)
+        # device-resident: the pipeline consumes jax arrays directly
+        # (fetching here would cost a ~35 ms tunnel round-trip)
+        return emb
 
     return encoder
 
