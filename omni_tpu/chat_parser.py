@@ -64,6 +64,16 @@ def _try_json(s: str):
         return None
 
 
+def _try_json_prefix(s: str):
+    """Parse a leading JSON value, tolerating trailing text (a stop-token
+    race can leave content after the call payload). Returns (value, rest)."""
+    try:
+        val, end = json.JSONDecoder().raw_decode(s)
+        return val, s[end:]
+    except Exception:  # noqa: BLE001
+        return None, s
+
+
 _THINK_RE = re.compile(r"<think>(.*?)</think>\s*", re.S)
 _HERMES_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.S)
 _DSR1_CALL_RE = re.compile(
@@ -95,13 +105,14 @@ def parse_response(text: str, fmt: str = "generic") -> dict:
     elif fmt == "mistral_nemo":
         at = text.find("[TOOL_CALLS]")
         if at != -1:
-            arr = _try_json(text[at + len("[TOOL_CALLS]"):].strip())
+            arr, rest = _try_json_prefix(
+                text[at + len("[TOOL_CALLS]"):].strip())
             if isinstance(arr, dict):
                 arr = [arr]
             for obj in arr or []:
-                if "name" in obj:
+                if isinstance(obj, dict) and "name" in obj:
                     calls.append(_mk_call(obj["name"], obj.get("arguments", {})))
-            content = text[:at].strip()
+            content = ((text[:at] + rest).strip() if calls else text)
     elif fmt == "deepseek_r1":
         for m in _DSR1_CALL_RE.finditer(text):
             args = _try_json(m.group(2))

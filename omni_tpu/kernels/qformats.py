@@ -211,6 +211,59 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     return dequant_t(qt, dtype).T
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QExpertStack:
+    """A stack of E same-shape quantized experts: every QTensor plane gains
+    a leading expert axis [E, K', N]. Built for MoE:
+
+    - `expert(i)` (static i) views one expert's planes — the capacity
+      (prefill) path runs the fused dequant×matmul per expert;
+    - `gather_dequant(idx)` (traced idx) gathers only the SELECTED
+      experts' planes from HBM and dequantizes them — the decode path's
+      weight traffic is ∝ k/E (the mul_mat_id design point; a dense
+      all-experts pass would defeat quantization)."""
+
+    ggml_type: GGMLType
+    shape: tuple[int, ...]  # logical (E, N, K)
+    planes_e: dict[str, jax.Array]
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.planes_e))
+        return tuple(self.planes_e[n] for n in names), (
+            self.ggml_type, self.shape, names)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        t, shape, names = aux
+        return cls(t, shape, dict(zip(names, children)))
+
+    @property
+    def n_experts(self) -> int:
+        return self.shape[0]
+
+    @staticmethod
+    def stack(qts: list[QTensor]) -> "QExpertStack":
+        t = qts[0].ggml_type
+        planes = {}
+        for nm in qts[0].planes():
+            planes[nm] = jnp.stack([q.planes()[nm] for q in qts])
+        return QExpertStack(t, (len(qts),) + tuple(qts[0].shape), planes)
+
+    def expert(self, i: int) -> QTensor:
+        p = {nm: a[i] for nm, a in self.planes_e.items()}
+        return QTensor(self.ggml_type, tuple(self.shape[1:]), p["q"],
+                       p.get("sc"), p.get("mn"), p["d"], p.get("dm"),
+                       qh=p.get("qh"))
+
+    def gather_dequant(self, idx: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+        """idx [M] traced expert ids -> dequantized K-major weights
+        [M, K, N]; HBM reads touch only the selected experts' planes."""
+        gathered = {nm: a[idx] for nm, a in self.planes_e.items()}
+        return jax.vmap(
+            lambda p: dequant_tile(self.ggml_type, p, dtype))(gathered)
+
+
 def concat_qtensors(qts: list[QTensor]) -> QTensor:
     """Concatenate same-K QTensors along the output-feature axis (plane
     axis 1) — fuses QKV / gate+up into ONE kernel launch per group, the

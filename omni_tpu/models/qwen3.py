@@ -160,14 +160,15 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
 
 
 def _load_expert_stack(reader: GGUFReader, name: str, keep_quantized: bool):
-    """3-D [E, F, D] expert stack: quantized formats split into a list of
-    per-expert QTensors (each expert's blocks are contiguous in the GGUF
-    row-major layout); dense formats load as one bf16 stack."""
+    """3-D [E, F, D] expert stack: quantized formats become a QExpertStack
+    (per-expert SoA planes with a leading expert axis — capacity path runs
+    the fused kernel per expert, decode gathers only the selected experts);
+    dense formats load as one bf16 stack."""
     import numpy as np
 
     from ..core.dtypes import GGMLType
     from ..core import quants as nq
-    from ..kernels.qformats import NATIVE_QTYPES, repack
+    from ..kernels.qformats import NATIVE_QTYPES, QExpertStack, repack
 
     ti = reader.tensors[name]
     t = GGMLType(ti.ggml_type)
@@ -175,7 +176,8 @@ def _load_expert_stack(reader: GGUFReader, name: str, keep_quantized: bool):
     if keep_quantized and t in NATIVE_QTYPES and len(shape) == 3:
         e = shape[0]
         blocks = np.asarray(ti.data).reshape(e, -1)
-        return [repack(blocks[i], t, shape[1:]) for i in range(e)]
+        return QExpertStack.stack(
+            [repack(blocks[i], t, shape[1:]) for i in range(e)])
     x = nq.dequantize(ti.data, t, shape)
     return jnp.asarray(x, jnp.bfloat16)
 
@@ -314,17 +316,36 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
     t = hn.shape[0]
     e = cfg.n_experts
     k = max(cfg.n_experts_used, 1)
+    from ..kernels.qformats import QExpertStack
+
     router = jnp.einsum("td,ed->te", hn.astype(jnp.float32),
                         lp["gate_inp"].astype(jnp.float32))
     probs = jax.nn.softmax(router, axis=-1)  # [T, E]
     top_w, top_i = jax.lax.top_k(probs, k)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_topk_prob
     hb = hn.astype(jnp.bfloat16)
+    quant = isinstance(lp["gate_exps"], QExpertStack)
 
-    if isinstance(lp["gate_exps"], (list, tuple)):
-        return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=True)
-    if t * k <= 16:  # decode path: gather selected experts only
+    if t * k <= 16:  # decode path: gather SELECTED experts only
         bf = jnp.bfloat16
+        if quant:
+            # planes of the k chosen experts stream from HBM and dequantize
+            # (reads ∝ k/E); K-major [T*k, D, F] — contract on axis 1
+            flat = top_i.reshape(-1)
+            wg = lp["gate_exps"].gather_dequant(flat).reshape(
+                t, k, cfg.d_model, -1)
+            wu = lp["up_exps"].gather_dequant(flat).reshape(
+                t, k, cfg.d_model, -1)
+            wd = lp["down_exps"].gather_dequant(flat)  # [T*k, F, D]
+            wd = wd.reshape(t, k, -1, cfg.d_model)
+            gate = jnp.einsum("td,tkdf->tkf", hb, wg,
+                              preferred_element_type=jnp.float32)
+            up = jnp.einsum("td,tkdf->tkf", hb, wu,
+                            preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gate) * up).astype(bf)
+            out = jnp.einsum("tkf,tkfd->tkd", act, wd,
+                             preferred_element_type=jnp.float32)
+            return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
         wg = lp["gate_exps"][top_i].astype(bf)  # [T, k, F, D]
         wu = lp["up_exps"][top_i].astype(bf)
         wd = lp["down_exps"][top_i].astype(bf)  # [T, k, D, F]
@@ -336,7 +357,7 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
         out = jnp.einsum("tkf,tkdf->tkd", act, wd,
                          preferred_element_type=jnp.float32)  # [T, k, d]
         return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
-    return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=False)
+    return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=quant)
 
 
 def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
@@ -368,11 +389,11 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
 
         outs = []
         for i in range(e):  # E is static; each is a fused-kernel matmul
-            gate = qmm(xe[i], lp["gate_exps"][i])
-            up = qmm(xe[i], lp["up_exps"][i])
+            gate = qmm(xe[i], lp["gate_exps"].expert(i))
+            up = qmm(xe[i], lp["up_exps"].expert(i))
             act = (jax.nn.silu(gate.astype(jnp.float32))
                    .astype(jnp.bfloat16) * up.astype(jnp.bfloat16))
-            outs.append(qmm(act, lp["down_exps"][i]))
+            outs.append(qmm(act, lp["down_exps"].expert(i)))
         y = jnp.stack(outs)  # [E, C, d]
     else:
         bf = jnp.bfloat16

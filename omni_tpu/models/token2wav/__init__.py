@@ -93,10 +93,14 @@ class Token2Wav:
         }
         voc_p = hg.load_hifigan_params(GGUFReader(vocoder_gguf))
 
+        spk_given = spk is not None
         if spk is None and prompt_cache_gguf:
             pc = GGUFReader(prompt_cache_gguf)
-            ti = pc.tensors["prompt_cache.spk_cb"]
-            spk = np.asarray(quants.dequantize(ti.data, ti.ggml_type, ti.shape))
+            if "prompt_cache.spk_cb" in pc.tensors:
+                ti = pc.tensors["prompt_cache.spk_cb"]
+                spk = np.asarray(
+                    quants.dequantize(ti.data, ti.ggml_type, ti.shape))
+                spk_given = True
         if spk is None:
             spk = np.zeros(SPK_DIM, np.float32)
         t2w = cls(enc_p, enc_cfg, extra, dit_p, dit_cfg, voc_p, spk,
@@ -114,8 +118,8 @@ class Token2Wav:
             if pc_mod.has_cache_tensors(pc):
                 spk_i, t2w.enc_state, t2w.cfm_state = pc_mod.import_states(
                     pc, enc_cfg, dit_cfg, n_timesteps)
-                if spk is None:
-                    t2w.set_spk(spk_i)
+                if not spk_given:  # cache's own x-vector wins over the
+                    t2w.set_spk(spk_i)  # zero-vector default
             else:
                 for name in ("prompt_cache.prompt_tokens", "prompt_tokens"):
                     if name in pc.tensors:

@@ -192,14 +192,17 @@ class OmniPipeline:
         # emptiness alone cannot see a worker mid-generation)
         self._tts_active = False
         self._t2w_active = False
+        self.last_error: Exception | None = None  # worker-surface errors
 
     # ------------------------------------------------------------------ util
     def busy(self) -> bool:
         """True while any stage still holds queued or in-flight work —
         the drain condition for shutdown / between-round measurement."""
-        return (not self.embed_queue.empty() or not self.tts_queue.empty()
-                or not self.t2w_queue.empty() or self._tts_active
-                or self._t2w_active)
+        with self._prefill_mtx:
+            prefilling = self._prefill_pending > 0
+        return (prefilling or not self.embed_queue.empty()
+                or not self.tts_queue.empty() or not self.t2w_queue.empty()
+                or self._tts_active or self._t2w_active)
 
     def _encode(self, text: str) -> np.ndarray:
         return np.asarray(self.tok.encode(text, add_special=False), np.int32)
@@ -270,9 +273,18 @@ class OmniPipeline:
         single-array encoder (treated as one part)."""
         msn = (max_slice_nums if max_slice_nums is not None
                and max_slice_nums >= 0 else self.effective_max_slice_nums())
+        # signature-based dispatch: a TypeError raised INSIDE the encoder
+        # must not silently drop the slice override
+        import inspect
+
         try:
+            takes_msn = "max_slice_nums" in inspect.signature(
+                self.vision_encoder).parameters
+        except (TypeError, ValueError):
+            takes_msn = False
+        if takes_msn:
             parts = self.vision_encoder(image, max_slice_nums=msn)
-        except TypeError:  # legacy encoder without the override kwarg
+        else:
             parts = self.vision_encoder(image)
         if isinstance(parts, np.ndarray):
             parts = [parts]
@@ -392,6 +404,14 @@ class OmniPipeline:
                         self._eval_text("<|audio_start|>")
                         self._eval_embeds(item["audio_embeds"])
                         self._eval_text("<|audio_end|>")
+            except Exception as e:  # noqa: BLE001 — the worker must survive
+                # (e.g. KVCacheFull from misconfigured windows); the chunk
+                # is dropped but later chunks and decode keep working, and
+                # the error is surfaced on the session
+                from .. import log
+
+                log.error("prefill worker: %s: %s", type(e).__name__, e)
+                self.last_error = e
             finally:
                 # signal only when EVERY enqueued chunk is fully in the KV —
                 # decrementing after the evals closes the window where a
@@ -547,6 +567,22 @@ class OmniPipeline:
             return packed, hiddens
 
         pending = None  # (packed, hiddens) device handles awaiting fetch
+
+        def drain(handle):
+            """Account an in-flight scan's committed tokens without
+            emitting them (break path: the KV keeps whatever was fed, so
+            host position/cell bookkeeping must follow — ghost cells would
+            corrupt every later round)."""
+            nonlocal n_new, segment_tokens
+            if handle is None:
+                return
+            n_fed = int(np.asarray(handle[0])[1].sum())
+            inflight[0] -= STEP_SIZE
+            llm.n_past[0] = llm.n_past.get(0, 0) + n_fed
+            llm.cells_used += n_fed
+            n_new += n_fed
+            segment_tokens += n_fed
+
         while not self.break_event.is_set():
             if pending is None:
                 b = feed_budget(n_new, segment_tokens)
@@ -613,6 +649,7 @@ class OmniPipeline:
                 pending = None
             else:
                 pending = spec
+        drain(pending)  # break/budget exit: account any in-flight scan
         self.llm.key, self.llm.prev_tokens = st["key"], st["prev"]
         return n_new, False
 

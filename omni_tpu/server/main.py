@@ -50,6 +50,11 @@ class ServerState:
         self.tok = tokenizer
         self.model_name = model_name
         self._vocab_trie = None
+        # seqs 30 (speculative) and 31 (embedding/rerank scratch) are
+        # reserved; the KV bitset caps everything at MAX_SEQS (32)
+        from ..runtime import MAX_SEQS
+
+        n_slots = max(1, min(n_slots, MAX_SEQS - 2))
         self.sched = SlotScheduler(ctx, n_slots=n_slots,
                                    vocab_trie=self._trie,
                                    token_text=lambda t: tokenizer.decode([t]))
@@ -202,7 +207,9 @@ class ServerState:
         # prompt-cache/slot-save contracts hold; falls back to the
         # step-scheduler for grammar/n_probs/mirostat requests
         if (grammar is None and n_probs == 0 and sampler.mirostat == 0):
+            from ..runtime.context import KVCacheFull
             from ..runtime.loop import fused_generate
+            from ..runtime.slots import SlotState
 
             with self.sched_lock:
                 slot = self.sched.launch(prompt_tokens, max_new=max_new,
@@ -210,42 +217,58 @@ class ServerState:
                                          stop_tokens=self._stop_ids())
                 if slot is None:
                     return None
-                # mark the prompt as consumed: we prefill it ourselves, and
-                # a GENERATING slot with no out_tokens is inert for step()
-                from ..runtime.slots import SlotState
+            try:
+                with self.sched_lock:
+                    # mark the prompt consumed: we prefill it ourselves; a
+                    # GENERATING slot with no out_tokens is inert for step()
+                    slot.n_prompt_done = len(prompt_tokens)
+                    slot.n_past = len(prompt_tokens)
+                    slot.state = SlotState.GENERATING
+                    try:
+                        last = self.ctx.prefill(prompt_tokens,
+                                                seq_id=slot.id)
+                    except KVCacheFull:
+                        if self.sched.reclaim_idle_kv() == 0:
+                            raise
+                        last = self.ctx.prefill(prompt_tokens,
+                                                seq_id=slot.id)
+                    slot.t_first_token = time.time()
 
-                slot.n_prompt_done = len(prompt_tokens)
-                slot.n_past = len(prompt_tokens)
-                slot.state = SlotState.GENERATING
-                last = self.ctx.prefill(prompt_tokens, seq_id=slot.id)
-                slot.t_first_token = time.time()
+                def cb(tok, finished):
+                    self.metrics["n_tokens_generated"] += 1
+                    if stream_cb:
+                        stream_cb(tok, finished)
 
-            def cb(tok, finished):
-                self.metrics["n_tokens_generated"] += 1
-                if stream_cb:
-                    stream_cb(tok, finished)
+                def pre_chunk():  # per-slot context shift (server.cpp:2872)
+                    slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
+                    if (slot.n_past + 16 > self.sched.n_ctx_slot
+                            and self.sched.ctx_shift):
+                        self.sched._context_shift(slot)
+                    elif (self.ctx.cache.size - self.ctx.cells_used < 16
+                          and self.sched.reclaim_idle_kv() == 0
+                          and self.sched.ctx_shift):
+                        self.sched._context_shift(slot)
 
-            def pre_chunk():  # per-slot context shift (server.cpp:2872)
-                slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
-                if (slot.n_past + 16 > self.sched.n_ctx_slot
-                        and self.sched.ctx_shift):
-                    self.sched._context_shift(slot)
-
-            out = fused_generate(self.ctx, last, slot.id, max_new,
-                                 stop_tokens=self._stop_ids(), chunk=16,
-                                 on_token=cb, sampler=sampler,
-                                 lock=self.sched_lock, pre_chunk=pre_chunk)
-            timing = {
-                "prompt_ms": (slot.t_first_token - slot.t_start) * 1e3,
-                "predicted_ms": (time.time() - slot.t_first_token) * 1e3,
-                "n_decoded": len(out),
-            }
-            with self.sched_lock:
-                slot.out_tokens = list(out)
-                slot.n_decoded = len(out)
-                slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
-                self.sched.release(slot, free_kv=False)
-            return out, timing
+                out = fused_generate(self.ctx, last, slot.id, max_new,
+                                     stop_tokens=self._stop_ids(), chunk=16,
+                                     on_token=cb, sampler=sampler,
+                                     lock=self.sched_lock,
+                                     pre_chunk=pre_chunk)
+                timing = {
+                    "prompt_ms": (slot.t_first_token - slot.t_start) * 1e3,
+                    "predicted_ms": (time.time() - slot.t_first_token) * 1e3,
+                    "n_decoded": len(out),
+                }
+                with self.sched_lock:
+                    slot.out_tokens = list(out)
+                    slot.n_decoded = len(out)
+                    slot.n_past = self.ctx.n_past.get(slot.id, slot.n_past)
+                return out, timing
+            finally:
+                # the slot must never leak in GENERATING state (client
+                # disconnects raise from the stream callback mid-generation)
+                with self.sched_lock:
+                    self.sched.release(slot, free_kv=False)
 
         done = threading.Event()
 
@@ -414,6 +437,15 @@ def make_handler(state: ServerState):
                     self._json(404, {"error": "not found"})
             except BrokenPipeError:
                 pass
+            except ValueError as e:
+                # request-shaped errors (e.g. prompt exceeds the per-slot
+                # context budget) are the client's fault: structured 400
+                # like the reference's ERROR_TYPE_INVALID_REQUEST
+                try:
+                    self._json(400, {"error": {
+                        "message": str(e), "type": "invalid_request_error"}})
+                except Exception:  # noqa: BLE001
+                    pass
             except Exception as e:  # noqa: BLE001
                 try:
                     self._json(500, {"error": str(e)})

@@ -159,3 +159,14 @@ def test_server_uses_gguf_chat_template(tmp_path):
         out = json.loads(r.read())
     assert out["choices"][0]["message"]["role"] == "assistant"
     httpd.shutdown()
+
+
+def test_mistral_nemo_trailing_text():
+    """A stop-token race can leave text after the JSON payload; the call
+    must still parse (leading-JSON tolerance) instead of leaking raw
+    [TOOL_CALLS] syntax as content."""
+    text = ('[TOOL_CALLS][{"name": "sum", "arguments": {"a": 1}}] Done.')
+    p = parse_response(text, "mistral_nemo")
+    assert _one_call(p, "sum") == {"a": 1}
+    assert "[TOOL_CALLS]" not in p["content"]
+    assert "Done." in p["content"]

@@ -139,20 +139,30 @@ def test_moe_q4k_experts(tmp_path):
     reader = GGUFReader(path)
     cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
 
+    from omni_tpu.kernels.qformats import QExpertStack
+
     pq = qwen3.load_params(reader, keep_quantized=True)
     lq = pq["layers"][0]
-    assert isinstance(lq["gate_exps"], list) and len(lq["gate_exps"]) == 2
+    assert isinstance(lq["gate_exps"], QExpertStack)
+    assert lq["gate_exps"].n_experts == 2
 
     pd = qwen3.load_params(GGUFReader(path), keep_quantized=False)
     ld = pd["layers"][0]
     assert not isinstance(ld["gate_exps"], list)
 
     rng = np.random.default_rng(1)
+    # decode (gather) path: T*k = 12 <= 16
     hn = jnp.asarray(rng.standard_normal((6, 256)) * 0.1, jnp.float32)
     got_q = np.asarray(qwen3.moe_ffn(lq, cfg, hn), np.float32)
     got_d = np.asarray(qwen3.moe_ffn(ld, cfg, hn), np.float32)
     err = np.abs(got_q - got_d).max() / (np.abs(got_d).max() + 1e-9)
     assert err < 0.15, err  # same weights, bf16-vs-kernel numerics only
+    # capacity (prefill) path with quantized experts: T*k = 48
+    hn2 = jnp.asarray(rng.standard_normal((24, 256)) * 0.1, jnp.float32)
+    got_q2 = np.asarray(qwen3.moe_ffn(lq, cfg, hn2), np.float32)
+    got_d2 = np.asarray(qwen3.moe_ffn(ld, cfg, hn2), np.float32)
+    err2 = np.abs(got_q2 - got_d2).max() / (np.abs(got_d2).max() + 1e-9)
+    assert err2 < 0.15, err2
     # end-to-end decode runs with quantized experts
     ctx = Context(cfg, pq, qwen3.forward, qwen3.embed, n_ctx=64,
                   sampler=SamplerParams(greedy=True))

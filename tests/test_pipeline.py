@@ -523,3 +523,50 @@ def test_session_checkpoint_resume(pipeline):
     # the restored KV continues identically to an unbroken session
     lg, _ = pipe.llm.decode(Batch(tokens=np.array([3], np.int32)))
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_break_during_fused_decode_keeps_kv_accounting(pipeline):
+    """A barge-in (break_event) mid-turn abandons in-flight speculative
+    scans whose tokens are already in the KV — host n_past/cells_used must
+    be drained to match the device, or every later round corrupts."""
+    import threading as _th
+    import jax.numpy as _jnp
+
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = False
+    pipe.cfg.use_tts = False
+    pipe.cfg.fused_decode = True
+    pipe.prefill_done.set()
+    pipe.stream_prefill(index=0, system_prompt="barge")
+
+    done = _th.Event()
+
+    def run():
+        pipe.stream_decode(round_idx=0, max_new_tokens=300)
+        done.set()
+
+    t = _th.Thread(target=run, daemon=True)
+    t.start()
+    pipe.text_out.get(timeout=60)  # first event -> decode is mid-flight
+    pipe.break_event.set()
+    assert done.wait(timeout=60)
+    while not pipe.text_out.empty():
+        pipe.text_out.get_nowait()
+    # host accounting matches the device exactly
+    used_dev = int(pipe.llm.cache.n_used())
+    assert pipe.llm.cells_used == used_dev, (pipe.llm.cells_used, used_dev)
+    # positions are consistent: every owned cell sits below n_past
+    import numpy as _np
+
+    pos = _np.asarray(pipe.llm.cache.pos)
+    mask = _np.asarray(pipe.llm.cache.seq_mask) != 0
+    assert pos[mask].max() + 1 == pipe.llm.n_past[0]
+    # and the next round still generates cleanly
+    pipe.break_event.clear()
+    pipe.stream_decode(round_idx=1, max_new_tokens=12)
+    while True:
+        ev = pipe.text_out.get(timeout=30)
+        if ev.get("stop"):
+            break
+    pipe.cfg.use_tts = True
