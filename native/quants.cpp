@@ -8,6 +8,7 @@
 
 #include "omni_native.h"
 #include "common.hpp"
+#include "iq_grids.h"
 
 #include <algorithm>
 #include <cmath>
@@ -35,6 +36,10 @@ Traits traits(int t) {
         case 12: return {256, 144};    // Q4_K
         case 13: return {256, 176};    // Q5_K
         case 14: return {256, 210};    // Q6_K
+        case 16: return {256, 66};     // IQ2_XXS
+        case 18: return {256, 98};     // IQ3_XXS
+        case 20: return {32, 18};      // IQ4_NL
+        case 23: return {256, 136};    // IQ4_XS
         case 30: return {1, 2};        // BF16
         default: return {0, 0};
     }
@@ -510,6 +515,87 @@ void q_q6_k(const float *x, uint8_t *b) {
     std::memcpy(b + 208, &hd, 2);
 }
 
+// ---- i-quants (codebook formats; semantics ggml-quants.c:2275-2390) ----
+
+const int8_t IQ4NL_KVALUES[16] = {-127, -104, -83, -65, -49, -35, -22, -10,
+                                  1, 13, 25, 38, 53, 69, 89, 113};
+
+inline uint8_t iq_sign8(uint32_t f) {
+    // odd-parity completion of the 7-bit sign field (ksigns_iq2xs law)
+    uint8_t i = (uint8_t)(f & 127);
+    return (uint8_t)(i | ((__builtin_popcount(i) & 1) << 7));
+}
+
+void deq_iq4_nl(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    const uint8_t *qs = b + 2;
+    for (int j = 0; j < 16; ++j) {
+        y[j] = d * IQ4NL_KVALUES[qs[j] & 0x0F];
+        y[j + 16] = d * IQ4NL_KVALUES[qs[j] >> 4];
+    }
+}
+
+void deq_iq4_xs(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    uint16_t sh;
+    std::memcpy(&sh, b + 2, 2);
+    const uint8_t *sl = b + 4;
+    const uint8_t *qs = b + 8;
+    for (int g = 0; g < 8; ++g) {
+        int ls = ((sl[g / 2] >> (4 * (g & 1))) & 0x0F) |
+                 (((sh >> (2 * g)) & 3) << 4);
+        float dl = d * (float)(ls - 32);
+        const uint8_t *q = qs + 16 * g;
+        for (int j = 0; j < 16; ++j) {
+            y[32 * g + j] = dl * IQ4NL_KVALUES[q[j] & 0x0F];
+            y[32 * g + j + 16] = dl * IQ4NL_KVALUES[q[j] >> 4];
+        }
+    }
+}
+
+void deq_iq2_xxs(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    const uint8_t *q = b + 2;
+    for (int g = 0; g < 8; ++g) {
+        const uint8_t *a8 = q + 8 * g;  // 4 grid indices
+        uint32_t aux;
+        std::memcpy(&aux, a8 + 4, 4);  // signs + 4-bit scale
+        float db = d * (0.5f + (float)(aux >> 28)) * 0.25f;
+        for (int l = 0; l < 4; ++l) {
+            uint64_t grid = IQ2XXS_GRID[a8[l]];
+            uint8_t signs = iq_sign8(aux >> (7 * l));
+            for (int j = 0; j < 8; ++j) {
+                float mag = (float)((grid >> (8 * j)) & 0xFF);
+                y[32 * g + 8 * l + j] =
+                    db * mag * (((signs >> j) & 1) ? -1.f : 1.f);
+            }
+        }
+    }
+}
+
+void deq_iq3_xxs(const uint8_t *b, float *y) {
+    float d = fp16v(b);
+    const uint8_t *qs = b + 2;
+    const uint8_t *gas = qs + 64;
+    for (int g = 0; g < 8; ++g) {
+        uint32_t aux;
+        std::memcpy(&aux, gas + 4 * g, 4);
+        float db = d * (0.5f + (float)(aux >> 28)) * 0.5f;
+        for (int l = 0; l < 4; ++l) {
+            uint32_t g1 = IQ3XXS_GRID[qs[8 * g + 2 * l]];
+            uint32_t g2 = IQ3XXS_GRID[qs[8 * g + 2 * l + 1]];
+            uint8_t signs = iq_sign8(aux >> (7 * l));
+            for (int j = 0; j < 4; ++j) {
+                y[32 * g + 8 * l + j] = db * (float)((g1 >> (8 * j)) & 0xFF) *
+                                        (((signs >> j) & 1) ? -1.f : 1.f);
+                y[32 * g + 8 * l + j + 4] =
+                    db * (float)((g2 >> (8 * j)) & 0xFF) *
+                    (((signs >> (j + 4)) & 1) ? -1.f : 1.f);
+            }
+        }
+    }
+}
+
 using DeqFn = void (*)(const uint8_t *, float *);
 using QFn = void (*)(const float *, uint8_t *);
 
@@ -525,6 +611,10 @@ DeqFn deq_fn(int t) {
         case 12: return deq_q4_k;
         case 13: return deq_q5_k;
         case 14: return deq_q6_k;
+        case 16: return deq_iq2_xxs;
+        case 18: return deq_iq3_xxs;
+        case 20: return deq_iq4_nl;
+        case 23: return deq_iq4_xs;
         default: return nullptr;
     }
 }

@@ -136,6 +136,10 @@ def qmatmul_pallas(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
+        # M/N grid dims are independent; only K carries the accumulator —
+        # the scheduling hint buys ~10% on decode shapes (round-2 A/B)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(x, *[planes[nm] for nm in names])
 

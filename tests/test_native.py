@@ -232,3 +232,25 @@ def test_f16_subnormal_scale_block(ensure_native):
     bp = _numpy_path(pyq.quantize, x, GGMLType.Q6_K).reshape(-1).view(np.uint8)
     bn = ensure_native.quantize(int(GGMLType.Q6_K), x, bp.size)
     np.testing.assert_array_equal(bn, bp)
+
+
+IQ_FORMATS = [GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
+              GGMLType.IQ3_XXS]
+
+
+@pytest.mark.parametrize("t", IQ_FORMATS, ids=lambda t: t.name)
+def test_iquant_dequantize_bit_exact(ensure_native, t):
+    """i-quants have no encoder; native dequant of random valid block
+    bytes must match the numpy codec bit-for-bit."""
+    from omni_tpu.core import type_traits
+
+    tr = type_traits(t)
+    rng = np.random.default_rng(t.value)
+    raw = rng.integers(0, 256, (32, tr.type_size), dtype=np.uint8)
+    d = (rng.random(32).astype(np.float16) + 0.25)
+    raw[:, :2] = d[:, None].view(np.uint8).reshape(32, 2)
+    raw = raw.reshape(-1)
+    ref = _numpy_path(pyq.dequantize, raw, t)
+    out = ensure_native.dequantize(int(t), raw, 32 * tr.block_size)
+    assert out is not None
+    np.testing.assert_array_equal(out, ref)
