@@ -914,6 +914,10 @@ def make_handler(state: ServerState):
                     llm=state.ctx, tokenizer=state.tok,
                     config=SessionConfig(duplex=duplex, use_tts=False,
                                          media_type=media_type))
+                # the session SHARES the completion Context here — its
+                # device access must serialize against the slot scheduler
+                # (two different locks on one Context would race)
+                state.omni.llama_mtx = state.sched_lock
             if body.get("output_dir"):
                 state.omni.cfg.output_dir = str(body["output_dir"])
             # voice-clone reference audio: index-0 prefill with it

@@ -570,3 +570,79 @@ def test_break_during_fused_decode_keeps_kv_accounting(pipeline):
         if ev.get("stop"):
             break
     pipe.cfg.use_tts = True
+
+
+def test_long_session_window_soak(pipeline):
+    """Multi-round soak: fused decode + round-window slides over many
+    turns must keep host cell/position accounting exactly in sync with
+    the device KV (the interaction the per-round tests never exercise)."""
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = False
+    pipe.cfg.use_tts = False
+    pipe.cfg.fused_decode = True
+    saved_wm = pipe.cfg.max_preserved_context
+    pipe.cfg.max_preserved_context = 120  # force slides every ~2 rounds
+    try:
+        pipe.stream_prefill(index=0, system_prompt="soak",
+                            ref_audio=np.zeros(1600, np.float32))
+        for r in range(6):
+            pipe.stream_prefill(audio=np.zeros(1600, np.float32),
+                                index=r + 1)
+            pipe.stream_decode(round_idx=r, max_new_tokens=30)
+            while True:
+                ev = pipe.text_out.get(timeout=60)
+                if ev.get("stop"):
+                    break
+            # invariants after every round
+            used_dev = int(pipe.llm.cache.n_used())
+            assert pipe.llm.cells_used == used_dev, (r, pipe.llm.cells_used,
+                                                     used_dev)
+            pos = np.asarray(pipe.llm.cache.pos)
+            mask = np.asarray(pipe.llm.cache.seq_mask) != 0
+            n_past = pipe.llm.n_past[0]
+            assert pos[mask].max() + 1 == n_past, (r, pos[mask].max(), n_past)
+            # positions contiguous 0..n_past-1 (window re-base correctness)
+            assert set(pos[mask].tolist()) == set(range(n_past)), r
+            # the system prompt never slides out
+            assert set(range(pipe.n_keep)) <= set(pos[mask].tolist())
+        # the watermark held
+        assert pipe.llm.n_past[0] <= pipe.cfg.max_preserved_context + 80
+    finally:
+        pipe.cfg.max_preserved_context = saved_wm
+        pipe.cfg.use_tts = True
+
+
+def test_long_duplex_unit_window_soak(pipeline):
+    """Duplex soak: unit-granular window enforcement across many rounds
+    with the fused loop; host/device KV accounting must stay exact."""
+    pipe = pipeline
+    pipe.clean_kvcache()
+    pipe.cfg.duplex = True
+    pipe.cfg.use_tts = False
+    pipe.cfg.fused_decode = True
+    saved = (pipe.cfg.high_water, pipe.cfg.low_water)
+    pipe.cfg.high_water, pipe.cfg.low_water = 150, 100
+    try:
+        pipe.stream_prefill(index=0, system_prompt="dsoak",
+                            ref_audio=np.zeros(1600, np.float32))
+        for r in range(6):
+            pipe.stream_prefill(audio=np.zeros(1600, np.float32),
+                                index=r + 1)
+            pipe.stream_decode(round_idx=r, max_new_tokens=30)
+            while True:
+                ev = pipe.text_out.get(timeout=60)
+                if ev.get("stop"):
+                    break
+            used_dev = int(pipe.llm.cache.n_used())
+            assert pipe.llm.cells_used == used_dev, (r,)
+            pos = np.asarray(pipe.llm.cache.pos)
+            mask = np.asarray(pipe.llm.cache.seq_mask) != 0
+            assert pos[mask].max() + 1 == pipe.llm.n_past[0], (r,)
+            for u in pipe.units:
+                assert u.start_pos >= pipe.n_keep
+        assert pipe.llm.n_past[0] <= 150 + 60  # water marks held
+    finally:
+        pipe.cfg.high_water, pipe.cfg.low_water = saved
+        pipe.cfg.duplex = False
+        pipe.cfg.use_tts = True
