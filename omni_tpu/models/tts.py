@@ -325,6 +325,7 @@ def tts_decode_scan(
     first_chunk: bool = False,
     force_no_eos: bool = False,
     prev0: jax.Array | None = None,  # [win_size] repetition ring carry-in
+    done_in: jax.Array | None = None,  # [] bool: chain from the prior scan
 ):
     """Generate up to n_steps audio codes fully on device — hot loop #2 of
     the reference (~8.5 ms/audio-token on a 4090, tts_thread_func) as ONE
@@ -332,17 +333,22 @@ def tts_decode_scan(
     ring, embed, TTS decoder step. Early audio_eos freezes the carry (codes
     after eos come back as -1).
 
-    Continuation: pass the returned (hidden, prev) back in (with the
+    Continuation: pass the returned (hidden, prev, done) back in (with the
     updated start_pos) to generate the next n_steps codes in a later
     dispatch — the pipeline streams 25-code windows to Token2Wav between
-    scans instead of sitting on one long scan (T2W cadence, §A.3).
+    scans instead of sitting on one long scan (T2W cadence, §A.3). The
+    `done` chain also makes SPECULATIVE issue safe: a successor scan
+    dispatched before the predecessor's codes are fetched emits nothing if
+    the predecessor hit audio_eos.
 
     Returns (codes [n_steps] rel ids or -1, n_valid, cache, key,
-    last_hidden [768], prev [win_size])."""
+    last_hidden [768], prev [win_size], pos_out [], done [])."""
     from ..models import qwen3
 
     if prev0 is None:
         prev0 = jnp.full((sp.win_size,), -1, jnp.int32)
+    if done_in is None:
+        done_in = jnp.bool_(False)
     # fragmentation-safe slot list: ONE find_slots(n_steps), indexed per step
     all_slots = cache.find_slots(n_steps)
     seq0 = jnp.zeros((1,), jnp.int32)
@@ -371,10 +377,10 @@ def tts_decode_scan(
         pos_next = pos + jnp.where(done_next, 0, 1).astype(pos.dtype)
         return (cache, h_next, pos_next, prev_next, done_next, key), emit
 
-    (cache, h_last, _, prev, _, key), codes = jax.lax.scan(
+    (cache, h_last, pos_out, prev, done, key), codes = jax.lax.scan(
         step,
         (cache, first_hidden[None].astype(jnp.bfloat16), start_pos, prev0,
-         jnp.bool_(False), key),
+         done_in, key),
         jnp.arange(n_steps, dtype=jnp.int32))
     n_valid = jnp.sum(codes >= 0)
-    return codes, n_valid, cache, key, h_last[0], prev
+    return codes, n_valid, cache, key, h_last[0], prev, pos_out, done

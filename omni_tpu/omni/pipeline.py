@@ -733,28 +733,51 @@ class OmniPipeline:
         # fused on-device generation (head_code logits, nucleus sampling
         # with the repetition ring, decoder step; ~1.7 ms/audio token at
         # full size vs the reference's 8.5, docs/PERF.md) in T2W_MAIN-step
-        # scan dispatches: codes stream out between dispatches so Token2Wav
-        # starts on the first window early (§A.3 cadence)
+        # scan dispatches, SOFTWARE-PIPELINED like the LLM loop: the next
+        # scan issues (its done_in chains the eos flag, so a finished
+        # generation makes it a no-op) before the current codes are
+        # fetched — the ~35 ms fetch round-trip overlaps decoder compute,
+        # and codes still stream to Token2Wav between scans (§A.3 cadence)
         ctx = self.tts_ctx
         all_codes: list[int] = []
-        h = jnp.asarray(hidden[-1])
-        prev = None
-        remaining = int(cap)
-        step = min(T2W_MAIN, remaining)
-        first_scan = True
-        while remaining > 0 and not self.break_event.is_set():
-            n_steps = min(step, remaining)
+        st = {"h": jnp.asarray(hidden[-1]), "prev": None, "done": None,
+              "pos": jnp.int32(ctx.n_past.get(0, 0))}
+        force = bool(self.cfg.duplex and not out.is_final)
+        first_scan = [True]
+
+        def issue(n_steps):
             self._tts_key, sub = jax.random.split(self._tts_key)
-            codes_arr, n_valid, ctx.cache, _, h, prev = \
-                tts_mod.tts_decode_scan(
-                    ctx.params, ctx.cfg, ex, ctx.cache, h,
-                    jnp.int32(ctx.n_past.get(0, 0)), sub, n_steps=n_steps,
-                    first_chunk=first_chunk and first_scan,
-                    force_no_eos=bool(self.cfg.duplex and not out.is_final),
-                    prev0=prev)
-            first_scan = False
-            codes_np = np.asarray(codes_arr)  # ONE fetch; n_valid derived
+            codes_d, _nv, ctx.cache, _, st["h"], st["prev"], st["pos"], \
+                st["done"] = tts_mod.tts_decode_scan(
+                    ctx.params, ctx.cfg, ex, ctx.cache, st["h"], st["pos"],
+                    sub, n_steps=n_steps,
+                    first_chunk=first_chunk and first_scan[0],
+                    force_no_eos=force, prev0=st["prev"],
+                    done_in=st["done"])
+            first_scan[0] = False
+            return codes_d, n_steps
+
+        n0 = min(T2W_MAIN, int(cap))
+        pending = issue(n0)
+        inflight = n0
+        issued_total = n0
+        while pending is not None and not self.break_event.is_set():
+            spec = None
+            nxt = min(T2W_MAIN, int(cap) - issued_total)
+            # transfers complete IN ORDER behind queued compute on the
+            # tunnel: speculation during the turn's FIRST chunk queues
+            # device work ahead of Token2Wav's first-window dispatches and
+            # inflates TTFT — the throughput win only matters for the long
+            # later chunks
+            can_spec = not first_chunk
+            if can_spec and nxt > 0 and (ctx.cache.size - ctx.cells_used
+                                         - inflight) >= nxt:
+                spec = issue(nxt)
+                inflight += nxt
+                issued_total += nxt
+            codes_np = np.asarray(pending[0])  # ONE fetch; n_valid derived
             n_valid = int((codes_np >= 0).sum())
+            inflight -= pending[1]
             ctx.n_past[0] = ctx.n_past.get(0, 0) + n_valid
             ctx.cells_used += n_valid  # scan KV writes bypass Context.decode
             codes = codes_np[:n_valid].tolist()
@@ -762,9 +785,20 @@ class OmniPipeline:
             if emit is not None:
                 for c in codes:
                     emit(c)
-            if n_valid < n_steps:  # audio_eos inside the scan
+            if n_valid < pending[1]:  # audio_eos: a spec scan is a no-op
                 break
-            remaining -= n_valid
+            if spec is None:
+                # speculation was skipped (first fetch / headroom): issue
+                # the continuation now if budget remains
+                nxt2 = min(T2W_MAIN, int(cap) - issued_total)
+                if nxt2 > 0:
+                    pending = issue(nxt2)
+                    inflight += nxt2
+                    issued_total += nxt2
+                else:
+                    pending = None
+            else:
+                pending = spec
         return all_codes
 
     # ------------------------------------------------------------------ T2W

@@ -79,3 +79,72 @@ def shard_pool(k: jax.Array, v: jax.Array, mask: jax.Array, mesh: Mesh,
     m_ns = NamedSharding(mesh, P(None, axis))
     return (jax.device_put(k, kv_ns), jax.device_put(v, kv_ns),
             jax.device_put(mask, m_ns))
+
+
+# ---------------------------------------------------------------------------
+# ring-attention prefill (context parallelism over the sequence axis)
+# ---------------------------------------------------------------------------
+
+def ring_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                           mesh: Mesh, axis: str = "sp",
+                           causal: bool = True) -> jax.Array:
+    """Ring attention for LONG-SEQUENCE prefill: q/k/v [T, H, D] with T
+    sharded in sequence-order blocks over the `axis` mesh dimension. Each
+    device keeps its Q block resident while the K/V blocks rotate around
+    the ring over ICI (`ppermute`), accumulating a numerically-stable
+    online softmax — peak memory per device is O(T/n · T/n) scores and the
+    full-sequence attention never materializes anywhere. The reference has
+    no counterpart (its long-context answer is eviction, SURVEY §2.8);
+    this is the TPU-native capability it lacks.
+
+    GQA: q [T, Hq, D], k/v [T, Hkv, D] with Hq a multiple of Hkv.
+    Returns out [T, Hq, D] sharded like q."""
+    n = mesh.shape[axis]
+    t, hq, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    tl = t // n
+    scale = 1.0 / (d ** 0.5)
+
+    def body(q_l, k_l, v_l):
+        me = jax.lax.axis_index(axis)
+        q_pos = me * tl + jnp.arange(tl)
+        # [Hkv, R=Tl*g, D] grouped-query layout
+        qh = (q_l.reshape(tl, hkv, g, d).transpose(1, 0, 2, 3)
+              .reshape(hkv, tl * g, d).astype(jnp.float32))
+        m = jnp.full((hkv, tl * g, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((hkv, tl * g, 1), jnp.float32)
+        acc = jnp.zeros((hkv, tl * g, d), jnp.float32)
+        kv = (k_l, v_l)
+        for step in range(n):
+            owner = (me - step) % n  # whose block we hold this step
+            k_b, v_b = kv
+            sc = jnp.einsum("hrd,hsd->hrs", qh, k_b.transpose(1, 0, 2)
+                            .astype(jnp.float32),
+                            preferred_element_type=jnp.float32) * scale
+            if causal:
+                k_pos = owner * tl + jnp.arange(tl)
+                ok = k_pos[None, :] <= jnp.repeat(q_pos, g)[:, None]
+                sc = jnp.where(ok[None], sc, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            if causal:
+                p = jnp.where(ok[None], p, 0.0)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.einsum(
+                "hrs,hsd->hrd", p, v_b.transpose(1, 0, 2).astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            m = m_new
+            if step < n - 1:  # rotate the KV blocks around the ring
+                kv = jax.tree.map(
+                    lambda x: jax.lax.ppermute(
+                        x, axis, [(i, (i + 1) % n) for i in range(n)]), kv)
+        out = acc / jnp.maximum(l, 1e-30)
+        return (out.reshape(hkv, tl, g, d).transpose(1, 0, 2, 3)
+                .reshape(tl, hq, d).astype(q_l.dtype))
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_rep=False)
+    return jax.jit(fn)(q, k, v)

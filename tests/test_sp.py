@@ -67,3 +67,33 @@ def test_sp_under_jit():
     got = np.asarray(step(q, ks, vs, ms))
     ref = np.asarray(cache_attention(q, k, v, mask))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_prefill_attention_matches_dense():
+    """Ring attention over 4 sequence shards == dense causal attention
+    (GQA), with no device ever holding the full score matrix."""
+    import jax
+    from jax.sharding import Mesh
+    from omni_tpu.parallel.sp import ring_prefill_attention
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rng = np.random.default_rng(0)
+    t, hq, hkv, d = 32, 8, 4, 16
+    q = jnp.asarray(rng.standard_normal((t, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, hkv, d)), jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    got = np.asarray(ring_prefill_attention(q, k, v, mesh))
+
+    # dense reference
+    g = hq // hkv
+    qg = np.asarray(q).reshape(t, hkv, g, d)
+    sc = np.einsum("thgd,shd->hgts", qg, np.asarray(k)) / np.sqrt(d)
+    causal = np.tril(np.ones((t, t), bool))
+    sc = np.where(causal[None, None], sc, -1e30)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("hgts,shd->thgd", p, np.asarray(v)).reshape(t, hq, d)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

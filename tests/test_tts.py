@@ -227,7 +227,7 @@ def test_tts_decode_scan_on_device():
         jnp.zeros(5, jnp.int32), cache, slots)
 
     sp = TTSSamplingParams(win_size=8)
-    codes, n_valid, cache, _, h_last, prev = tts_decode_scan(
+    codes, n_valid, cache, _, h_last, prev, pos_out, done = tts_decode_scan(
         params, cfg, extras, cache, hidden[-1], jnp.int32(5),
         jax.random.PRNGKey(0), n_steps=20, sp=sp)
     codes = np.asarray(codes)
@@ -244,7 +244,15 @@ def test_tts_decode_scan_on_device():
         # ring tail holds the trailing codes
         np.testing.assert_array_equal(np.asarray(prev)[-3:], codes[-3:])
         # continuation scan keeps generating from the carry
-        codes2, n_valid2, cache, _, _, _ = tts_decode_scan(
-            params, cfg, extras, cache, h_last, jnp.int32(5 + n_valid),
-            jax.random.PRNGKey(1), n_steps=20, sp=sp, prev0=prev)
+        codes2, n_valid2, cache, _, _, _, _, _ = tts_decode_scan(
+            params, cfg, extras, cache, h_last, pos_out,
+            jax.random.PRNGKey(1), n_steps=20, sp=sp, prev0=prev,
+            done_in=done)
         assert int(n_valid2) >= 0
+    else:
+        # done chain: a successor scan after eos emits nothing
+        codes3, n_valid3, cache, _, _, _, _, _ = tts_decode_scan(
+            params, cfg, extras, cache, h_last, pos_out,
+            jax.random.PRNGKey(2), n_steps=20, sp=sp, prev0=prev,
+            done_in=done)
+        assert int(n_valid3) == 0
