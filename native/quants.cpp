@@ -37,10 +37,14 @@ Traits traits(int t) {
         case 13: return {256, 176};    // Q5_K
         case 14: return {256, 210};    // Q6_K
         case 16: return {256, 66};     // IQ2_XXS
+        case 17: return {256, 74};     // IQ2_XS
         case 18: return {256, 98};     // IQ3_XXS
         case 20: return {32, 18};      // IQ4_NL
         case 23: return {256, 136};    // IQ4_XS
         case 30: return {1, 2};        // BF16
+        case 34: return {256, 54};     // TQ1_0
+        case 35: return {256, 66};     // TQ2_0
+        case 39: return {32, 17};      // MXFP4
         default: return {0, 0};
     }
 }
@@ -596,6 +600,75 @@ void deq_iq3_xxs(const uint8_t *b, float *y) {
     }
 }
 
+void deq_iq2_xs(const uint8_t *b, float *y) {
+    // per u16 entry: 9-bit iq2xs_grid index + explicit 7-bit sign field;
+    // one 4-bit subscale per 16 elements, db = d*(0.5+s)*0.25
+    float d = fp16v(b);
+    const uint8_t *qsb = b + 2;
+    const uint8_t *sc = b + 2 + 64;
+    for (int g = 0; g < 16; ++g) {  // 16-element half-groups
+        int s = (sc[g / 2] >> (4 * (g & 1))) & 0x0F;
+        float db = d * (0.5f + (float)s) * 0.25f;
+        for (int l = 0; l < 2; ++l) {
+            uint16_t q;
+            std::memcpy(&q, qsb + 2 * (2 * g + l), 2);
+            uint64_t grid = IQ2XS_GRID[q & 511];
+            uint8_t signs = iq_sign8((uint32_t)(q >> 9));
+            for (int j = 0; j < 8; ++j) {
+                float mag = (float)((grid >> (8 * j)) & 0xFF);
+                y[16 * g + 8 * l + j] =
+                    db * mag * (((signs >> j) & 1) ? -1.f : 1.f);
+            }
+        }
+    }
+}
+
+// TQ1_0: 5 trits per byte base 3; trit_k = ((q*3^k mod 256)*3)>>8 - 1
+void deq_tq1_0(const uint8_t *b, float *y) {
+    const uint8_t *qs = b;           // 48 base-243 bytes
+    const uint8_t *qh = b + 48;      // 4 bytes, 4 trits each
+    float d = fp16v(b + 52);
+    static const uint8_t pow3[5] = {1, 3, 9, 27, 81};
+    int o = 0;
+    for (int k = 0; k < 5; ++k)      // planes of 32 over qs[0..31]
+        for (int j = 0; j < 32; ++j)
+            y[o++] = d * (float)((int)(((uint16_t)(uint8_t)(qs[j] * pow3[k]) * 3) >> 8) - 1);
+    for (int k = 0; k < 5; ++k)      // planes of 16 over qs[32..47]
+        for (int j = 0; j < 16; ++j)
+            y[o++] = d * (float)((int)(((uint16_t)(uint8_t)(qs[32 + j] * pow3[k]) * 3) >> 8) - 1);
+    for (int k = 0; k < 4; ++k)      // planes of 4 over qh
+        for (int j = 0; j < 4; ++j)
+            y[o++] = d * (float)((int)(((uint16_t)(uint8_t)(qh[j] * pow3[k]) * 3) >> 8) - 1);
+}
+
+// TQ2_0: 4 trits per byte as 2-bit fields (0..2 -> -1..1), planes of 32
+void deq_tq2_0(const uint8_t *b, float *y) {
+    const uint8_t *qs = b;
+    float d = fp16v(b + 64);
+    int o = 0;
+    for (int g = 0; g < 2; ++g)
+        for (int k = 0; k < 4; ++k)
+            for (int j = 0; j < 32; ++j)
+                y[o++] = d * (float)(((qs[32 * g + j] >> (2 * k)) & 3) - 1);
+}
+
+// MXFP4: e8m0 scale byte + 32 nibble-packed e2m1 values (pre-doubled
+// codebook, scale = 2^(e-127)/2 — ggml_e8m0_to_fp32_half convention)
+static const float MXFP4_KVALUES[16] = {0, 1, 2, 3, 4, 6, 8, 12,
+                                        0, -1, -2, -3, -4, -6, -8, -12};
+
+void deq_mxfp4(const uint8_t *b, float *y) {
+    uint32_t e = b[0], bits;
+    bits = e < 2 ? (0x00200000u << e) : ((e - 1u) << 23);
+    float d;
+    std::memcpy(&d, &bits, 4);
+    const uint8_t *qs = b + 1;
+    for (int j = 0; j < 16; ++j) {
+        y[j] = d * MXFP4_KVALUES[qs[j] & 0x0F];
+        y[j + 16] = d * MXFP4_KVALUES[qs[j] >> 4];
+    }
+}
+
 using DeqFn = void (*)(const uint8_t *, float *);
 using QFn = void (*)(const float *, uint8_t *);
 
@@ -612,9 +685,13 @@ DeqFn deq_fn(int t) {
         case 13: return deq_q5_k;
         case 14: return deq_q6_k;
         case 16: return deq_iq2_xxs;
+        case 17: return deq_iq2_xs;
         case 18: return deq_iq3_xxs;
         case 20: return deq_iq4_nl;
         case 23: return deq_iq4_xs;
+        case 34: return deq_tq1_0;
+        case 35: return deq_tq2_0;
+        case 39: return deq_mxfp4;
         default: return nullptr;
     }
 }

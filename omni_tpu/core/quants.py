@@ -519,6 +519,84 @@ def _deq_iq3_xxs(b: np.ndarray) -> np.ndarray:
     return (db[:, :, None, None] * mags * signs).reshape(n, QK_K)
 
 
+def _deq_iq2_xs(b: np.ndarray) -> np.ndarray:
+    """IQ2_XS: per u16 entry a 9-bit index into iq2xs_grid (8 E8 magnitudes)
+    plus an explicit 7-bit sign field (odd-parity completed); one 4-bit
+    subscale per 16 elements: db = d*(0.5+s)*0.25
+    (ggml-quants.c dequantize_row_iq2_xs, layout ggml-common.h:595)."""
+    from .iq_grids import IQ2XS_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])  # [n, 1]
+    qs = (np.ascontiguousarray(b[:, 2:2 + QK_K // 4]).view("<u2")
+          .reshape(n, QK_K // 8).astype(np.uint32))  # [n, 32]
+    sub = _split_nibbles(b[:, 2 + QK_K // 4:], 1).astype(np.float32)  # [n,16]
+    db = d * (0.5 + sub) * 0.25  # one subscale per 16 elems (2 u16 entries)
+    mags = IQ2XS_GRID[(qs & np.uint32(511)).astype(np.int64)].copy()
+    mags = mags.view(np.uint8).astype(np.float32).reshape(n, QK_K // 8, 8)
+    signs = _iq_signs(qs >> np.uint32(9))  # [n, 32, 8]
+    vals = (mags * signs).reshape(n, QK_K // 16, 16)
+    return (db[:, :, None] * vals).reshape(n, QK_K)
+
+
+def _deq_tq1_0(b: np.ndarray) -> np.ndarray:
+    """TQ1_0 (BitNet ternary): 5 trits packed per byte in base 3 via the
+    fixed-point law trit_k = ((q*3^k mod 256)*3) >> 8 in {0,1,2} -> {-1,0,1};
+    element planes of 32/16/4 per multiplier (ggml-common.h block_tq1_0,
+    ggml-quants.c dequantize_row_tq1_0)."""
+    n = b.shape[0]
+    nq = (QK_K - 4 * QK_K // 64) // 5  # 48 base-243 bytes
+    qs, qh, d = b[:, :nq], b[:, nq:nq + QK_K // 64], _f16(b[:, nq + QK_K // 64:])
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint8)
+
+    def trit_planes(q: np.ndarray, width: int, p: np.ndarray) -> np.ndarray:
+        # uint8 multiply wraps mod 256, matching the reference fixed-point law
+        x = q.reshape(n, -1, 1, width) * p.reshape(1, 1, -1, 1)
+        x = x.reshape(n, -1).astype(np.uint16)
+        return ((x * np.uint16(3)) >> 8).astype(np.int8) - np.int8(1)
+
+    t = np.concatenate([
+        trit_planes(qs[:, :32], 32, pow3),      # 160 elements
+        trit_planes(qs[:, 32:], 16, pow3),      # 80 elements
+        trit_planes(qh, QK_K // 64, pow3[:4]),  # 16 elements
+    ], axis=1)
+    return d * t.astype(np.float32)
+
+
+def _deq_tq2_0(b: np.ndarray) -> np.ndarray:
+    """TQ2_0 (BitNet ternary): 4 trits per byte as plain 2-bit fields
+    (0..2 -> -1..1), element planes of 32 per shift
+    (ggml-common.h block_tq2_0)."""
+    n = b.shape[0]
+    qs, d = b[:, :QK_K // 4], _f16(b[:, QK_K // 4:])
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    t = (qs.reshape(n, -1, 1, 32) >> sh) & np.uint8(3)
+    return d * (t.reshape(n, QK_K).astype(np.int8) - np.int8(1)).astype(np.float32)
+
+
+# MXFP4 e2m1 codebook, pre-doubled so the e8m0 scale can drop one exponent
+# step (ggml-impl.h ggml_e8m0_to_fp32_half convention).
+_MXFP4_KVALUES = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12],
+    dtype=np.float32)
+
+
+def _e8m0_half(e: np.ndarray) -> np.ndarray:
+    """e8m0 exponent byte -> 2^(e-127)/2 as f32 (subnormal below e=2)."""
+    e = e.astype(np.uint32)
+    bits = np.where(e < 2, np.uint32(0x0020_0000) << e,
+                    (e - np.uint32(1)) << np.uint32(23))
+    return bits.view(np.float32)
+
+
+def _deq_mxfp4(b: np.ndarray) -> np.ndarray:
+    """MXFP4 (OCP microscaling): one e8m0 scale byte + 32 nibble-packed
+    e2m1 values per block (element e<16 = low nibble of byte e)."""
+    d = _e8m0_half(b[:, :1])
+    idx = _split_nibbles(b[:, 1:], 16).astype(np.int64)
+    return d * _MXFP4_KVALUES[idx]
+
+
 _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q4_0: _deq_q4_0,
     GGMLType.Q4_1: _deq_q4_1,
@@ -533,7 +611,11 @@ _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.IQ4_NL: _deq_iq4_nl,
     GGMLType.IQ4_XS: _deq_iq4_xs,
     GGMLType.IQ2_XXS: _deq_iq2_xxs,
+    GGMLType.IQ2_XS: _deq_iq2_xs,
     GGMLType.IQ3_XXS: _deq_iq3_xxs,
+    GGMLType.TQ1_0: _deq_tq1_0,
+    GGMLType.TQ2_0: _deq_tq2_0,
+    GGMLType.MXFP4: _deq_mxfp4,
 }
 
 _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {

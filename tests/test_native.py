@@ -254,3 +254,31 @@ def test_iquant_dequantize_bit_exact(ensure_native, t):
     out = ensure_native.dequantize(int(t), raw, 32 * tr.block_size)
     assert out is not None
     np.testing.assert_array_equal(out, ref)
+
+
+TAIL_FORMATS = [GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.IQ2_XS,
+                GGMLType.MXFP4]
+
+
+@pytest.mark.parametrize("t", TAIL_FORMATS, ids=lambda t: t.name)
+def test_ternary_mx_dequantize_bit_exact(ensure_native, t):
+    """ternary / IQ2_XS / MXFP4 native dequant of random valid block bytes
+    matches the numpy codec bit-for-bit (scale byte position per format)."""
+    from omni_tpu.core import type_traits
+
+    tr = type_traits(t)
+    rng = np.random.default_rng(t.value)
+    raw = rng.integers(0, 256, (32, tr.type_size), dtype=np.uint8)
+    if t in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        d = (rng.random(32).astype(np.float16) + 0.25)
+        raw[:, -2:] = d[:, None].view(np.uint8).reshape(32, 2)
+    elif t is GGMLType.IQ2_XS:
+        d = (rng.random(32).astype(np.float16) + 0.25)
+        raw[:, :2] = d[:, None].view(np.uint8).reshape(32, 2)
+    else:  # MXFP4: e8m0 exponent byte, keep mid-range
+        raw[:, 0] = rng.integers(100, 150, 32, dtype=np.uint8)
+    raw = raw.reshape(-1)
+    ref = _numpy_path(pyq.dequantize, raw, t)
+    out = ensure_native.dequantize(int(t), raw, 32 * tr.block_size)
+    assert out is not None
+    np.testing.assert_array_equal(out, ref)

@@ -108,3 +108,36 @@ def test_iquant_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
     theirs = oracle.dequantize(raw, OT(int(qtype))).astype(np.float32)
     ours = quants.dequantize(raw, qtype, theirs.shape)
     np.testing.assert_array_equal(ours, theirs)
+
+
+# trailing-scale (ternary) and e8m0-scale formats: scale byte offset differs
+TAIL_FORMATS = [GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.IQ2_XS,
+                GGMLType.MXFP4]
+
+
+@pytest.mark.parametrize("qtype", TAIL_FORMATS, ids=lambda p: p.name)
+def test_ternary_mx_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
+    """TQ1_0/TQ2_0 (ternary), IQ2_XS and MXFP4: dequantization of random
+    valid block bytes matches the reference numpy codec bit-for-bit."""
+    from gguf.constants import GGMLQuantizationType as OT
+
+    tr = type_traits(qtype)
+    rows, blocks_per_row = 4, 8
+    raw = rng.integers(0, 256, (rows, blocks_per_row, tr.type_size),
+                       dtype=np.uint8)
+    if qtype in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        # f16 scale sits at the END of the block — keep it finite
+        d = (rng.random((rows, blocks_per_row)).astype(np.float16) + 0.25)
+        raw[:, :, -2:] = d[..., None].view(np.uint8).reshape(
+            rows, blocks_per_row, 2)
+    elif qtype is GGMLType.IQ2_XS:
+        d = (rng.random((rows, blocks_per_row)).astype(np.float16) + 0.25)
+        raw[:, :, :2] = d[..., None].view(np.uint8).reshape(
+            rows, blocks_per_row, 2)
+    else:  # MXFP4: single e8m0 exponent byte, keep it mid-range
+        raw[:, :, 0] = rng.integers(100, 150, (rows, blocks_per_row),
+                                    dtype=np.uint8)
+    raw = raw.reshape(rows, -1)
+    theirs = oracle.dequantize(raw, OT(int(qtype))).astype(np.float32)
+    ours = quants.dequantize(raw, qtype, theirs.shape)
+    np.testing.assert_array_equal(ours, theirs)
