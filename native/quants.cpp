@@ -39,8 +39,12 @@ Traits traits(int t) {
         case 16: return {256, 66};     // IQ2_XXS
         case 17: return {256, 74};     // IQ2_XS
         case 18: return {256, 98};     // IQ3_XXS
+        case 19: return {256, 50};     // IQ1_S
         case 20: return {32, 18};      // IQ4_NL
+        case 21: return {256, 110};    // IQ3_S
+        case 22: return {256, 82};     // IQ2_S
         case 23: return {256, 136};    // IQ4_XS
+        case 29: return {256, 56};     // IQ1_M
         case 30: return {1, 2};        // BF16
         case 34: return {256, 54};     // TQ1_0
         case 35: return {256, 66};     // TQ2_0
@@ -623,6 +627,103 @@ void deq_iq2_xs(const uint8_t *b, float *y) {
     }
 }
 
+void deq_iq2_s(const uint8_t *b, float *y) {
+    // 10-bit grid indices (2 high bits in qh), EXPLICIT sign bytes,
+    // 4-bit subscale per 16 elements: db = d*(0.5+s)*0.25
+    float d = fp16v(b);
+    const uint8_t *qs = b + 2;
+    const uint8_t *sgn = b + 2 + 32;
+    const uint8_t *qh = b + 2 + 64;
+    const uint8_t *sc = b + 2 + 72;
+    for (int e = 0; e < 32; ++e) {  // one grid entry = 8 elements
+        int g = e / 4;              // 32-element group (shares a qh byte)
+        int half = e / 2;           // 16-element half-group index
+        float sub = (sc[half / 2] >> (4 * (half & 1))) & 0x0F;
+        float db = d * (0.5f + sub) * 0.25f;
+        int idx = qs[e] | (((qh[g] >> (2 * (e & 3))) & 3) << 8);
+        uint64_t grid = IQ2S_GRID[idx];
+        for (int j = 0; j < 8; ++j) {
+            float mag = (float)((grid >> (8 * j)) & 0xFF);
+            y[8 * e + j] = db * mag * (((sgn[e] >> j) & 1) ? -1.f : 1.f);
+        }
+    }
+}
+
+void deq_iq3_s(const uint8_t *b, float *y) {
+    // 9-bit grid indices (one high bit per entry in qh), explicit sign
+    // bytes, 4-bit subscale per 32 elements: db = d*(1+2s)
+    float d = fp16v(b);
+    const uint8_t *qs = b + 2;
+    const uint8_t *qh = b + 2 + 64;
+    const uint8_t *sgn = b + 2 + 72;
+    const uint8_t *sc = b + 2 + 104;
+    for (int e = 0; e < 64; ++e) {  // one grid entry = 4 elements
+        int g = e / 8;              // 32-element group
+        float sub = (sc[g / 2] >> (4 * (g & 1))) & 0x0F;
+        float db = d * (1.0f + 2.0f * sub);
+        int idx = qs[e] | (((qh[g] >> (e & 7)) & 1) << 8);
+        uint32_t grid = IQ3S_GRID[idx];
+        uint8_t sbyte = sgn[e / 2];
+        int sbase = 4 * (e & 1);
+        for (int j = 0; j < 4; ++j) {
+            float mag = (float)((grid >> (8 * j)) & 0xFF);
+            y[4 * e + j] = db * mag *
+                           (((sbyte >> (sbase + j)) & 1) ? -1.f : 1.f);
+        }
+    }
+}
+
+constexpr float IQ1_DELTA = 0.125f;  // IQ1S_DELTA (shared by IQ1_M)
+
+void deq_iq1_s(const uint8_t *b, float *y) {
+    // 11-bit indices into the ternary iq1s_grid; per-32-group 3-bit scale
+    // dl = d*(2s+1), signed delta from qh bit 15
+    float d = fp16v(b);
+    const uint8_t *qs = b + 2;
+    for (int g = 0; g < 8; ++g) {  // 32-element groups, one u16 qh each
+        uint16_t qh;
+        std::memcpy(&qh, b + 2 + 32 + 2 * g, 2);
+        float dl = d * (float)(2 * ((qh >> 12) & 7) + 1);
+        float delta = (qh & 0x8000) ? -IQ1_DELTA : IQ1_DELTA;
+        for (int l = 0; l < 4; ++l) {
+            int idx = qs[4 * g + l] | (((qh >> (3 * l)) & 7) << 8);
+            uint64_t grid = IQ1S_GRID[idx];
+            for (int j = 0; j < 8; ++j) {
+                int8_t v = (int8_t)((grid >> (8 * j)) & 0xFF);
+                y[32 * g + 8 * l + j] = dl * ((float)v + delta);
+            }
+        }
+    }
+}
+
+void deq_iq1_m(const uint8_t *b, float *y) {
+    // iq1s_grid indices with 3-bit highs in qh nibbles (nibble bit 3 =
+    // delta sign); f16 super-scale scattered over the scale words' top
+    // nibbles; 3-bit subscale per 16 elements: dl = d*(2s+1)
+    const uint8_t *qs = b;
+    const uint8_t *qh = b + 32;
+    uint16_t sw[4];
+    std::memcpy(sw, b + 48, 8);
+    uint16_t d16 = (uint16_t)(((sw[0] & 0xF000) >> 12) |
+                              ((sw[1] & 0xF000) >> 8) |
+                              ((sw[2] & 0xF000) >> 4) |
+                              (sw[3] & 0xF000));
+    float d = fp16v((const uint8_t *)&d16);
+    for (int e = 0; e < 32; ++e) {  // one grid entry = 8 elements
+        int half = e / 2;           // 16-element half-group
+        int sub = (sw[half / 4] >> (3 * (half & 3))) & 7;
+        float dl = d * (float)(2 * sub + 1);
+        uint8_t nib = (qh[e / 2] >> (4 * (e & 1))) & 0x0F;
+        float delta = (nib & 0x08) ? -IQ1_DELTA : IQ1_DELTA;
+        int idx = qs[e] | ((nib & 7) << 8);
+        uint64_t grid = IQ1S_GRID[idx];
+        for (int j = 0; j < 8; ++j) {
+            int8_t v = (int8_t)((grid >> (8 * j)) & 0xFF);
+            y[8 * e + j] = dl * ((float)v + delta);
+        }
+    }
+}
+
 // TQ1_0: 5 trits per byte base 3; trit_k = ((q*3^k mod 256)*3)>>8 - 1
 void deq_tq1_0(const uint8_t *b, float *y) {
     const uint8_t *qs = b;           // 48 base-243 bytes
@@ -687,8 +788,12 @@ DeqFn deq_fn(int t) {
         case 16: return deq_iq2_xxs;
         case 17: return deq_iq2_xs;
         case 18: return deq_iq3_xxs;
+        case 19: return deq_iq1_s;
         case 20: return deq_iq4_nl;
+        case 21: return deq_iq3_s;
+        case 22: return deq_iq2_s;
         case 23: return deq_iq4_xs;
+        case 29: return deq_iq1_m;
         case 34: return deq_tq1_0;
         case 35: return deq_tq2_0;
         case 39: return deq_mxfp4;

@@ -539,6 +539,108 @@ def _deq_iq2_xs(b: np.ndarray) -> np.ndarray:
     return (db[:, :, None] * vals).reshape(n, QK_K)
 
 
+def _deq_iq2_s(b: np.ndarray) -> np.ndarray:
+    """IQ2_S: 10-bit grid indices (8 low bits in qs, 2 high bits packed in
+    qh) into iq2s_grid, EXPLICIT per-element sign bytes (no parity law),
+    4-bit subscale per 16 elements: db = d*(0.5+s)*0.25
+    (ggml-quants.c dequantize_row_iq2_s)."""
+    from .iq_grids import IQ2S_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:2 + QK_K // 8].astype(np.uint16)          # [n, 32]
+    sgn = b[:, 2 + QK_K // 8:2 + QK_K // 4]               # [n, 32]
+    qh = b[:, 2 + QK_K // 4:2 + QK_K // 4 + QK_K // 32]   # [n, 8]
+    sub = _split_nibbles(b[:, 2 + QK_K // 4 + QK_K // 32:], 1)
+    db = d * (0.5 + sub.astype(np.float32)) * 0.25        # [n, 16]
+    hi = ((qh[:, :, None].astype(np.uint16)
+           >> np.array([0, 2, 4, 6], dtype=np.uint16)[None, None, :])
+          & np.uint16(3))
+    idx = (qs.reshape(n, -1, 4) | (hi << 8)).reshape(n, QK_K // 8)
+    mags = IQ2S_GRID[idx.astype(np.int64)].copy().view(np.uint8)
+    mags = mags.astype(np.float32).reshape(n, QK_K // 8, 8)
+    bits = (sgn[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1
+    signs = np.where(bits != 0, np.float32(-1), np.float32(1))
+    vals = (mags * signs).reshape(n, QK_K // 16, 16)
+    return (db[:, :, None] * vals).reshape(n, QK_K)
+
+
+def _deq_iq3_s(b: np.ndarray) -> np.ndarray:
+    """IQ3_S: 9-bit grid indices (qh holds one high bit per entry) into
+    iq3s_grid (4 magnitudes each), explicit sign bytes, 4-bit subscale per
+    32 elements: db = d*(1+2s) (ggml-quants.c dequantize_row_iq3_s)."""
+    from .iq_grids import IQ3S_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:2 + QK_K // 4].astype(np.uint16)            # [n, 64]
+    qh = b[:, 2 + QK_K // 4:2 + QK_K // 4 + QK_K // 32]     # [n, 8]
+    sgn = b[:, 2 + QK_K // 4 + QK_K // 32:
+            2 + QK_K // 4 + QK_K // 32 + QK_K // 8]         # [n, 32]
+    sub = _split_nibbles(b[:, 2 + QK_K // 4 + QK_K // 32 + QK_K // 8:], 1)
+    db = d * (1.0 + 2.0 * sub.astype(np.float32))           # [n, 8]
+    hibit = (((qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1)
+             .astype(np.uint16).reshape(n, QK_K // 4))
+    idx = (qs | (hibit << 8)).astype(np.int64)
+    mags = IQ3S_GRID[idx].copy().view(np.uint8)
+    mags = mags.astype(np.float32).reshape(n, QK_K // 4, 4)
+    bits = (sgn[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1
+    signs = np.where(bits != 0, np.float32(-1), np.float32(1))
+    vals = (mags * signs.reshape(n, QK_K // 4, 4)).reshape(n, QK_K // 32, 32)
+    return (db[:, :, None] * vals).reshape(n, QK_K)
+
+
+# IQ1 ternary-grid offset (ggml-quants.c IQ1S_DELTA; IQ1_M shares it)
+_IQ1_DELTA = np.float32(0.125)
+
+
+def _deq_iq1_s(b: np.ndarray) -> np.ndarray:
+    """IQ1_S: 11-bit indices into the ternary iq1s_grid (8 elements in
+    {-1,0,1} each), per-32-group 3-bit scale dl = d*(2s+1) and signed
+    delta offset from qh bit 15 (ggml-quants.c dequantize_row_iq1_s)."""
+    from .iq_grids import IQ1S_GRID
+
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:2 + QK_K // 8].astype(np.uint16)            # [n, 32]
+    qh = np.ascontiguousarray(b[:, 2 + QK_K // 8:]).view("<u2")  # [n, 8]
+    dl = d * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0)   # [n, 8]
+    delta = np.where((qh & np.uint16(0x8000)) == 0, _IQ1_DELTA, -_IQ1_DELTA)
+    hi = ((qh[:, :, None] >> np.array([0, 3, 6, 9], dtype=np.uint16)[None, None, :])
+          & np.uint16(7)).reshape(n, QK_K // 8)
+    idx = (qs | (hi << 8)).astype(np.int64)
+    g = IQ1S_GRID[idx].copy().view(np.int8).astype(np.float32)
+    g = g.reshape(n, QK_K // 32, 32)
+    return (dl[:, :, None] * (g + delta[:, :, None])).reshape(n, QK_K)
+
+
+def _deq_iq1_m(b: np.ndarray) -> np.ndarray:
+    """IQ1_M: iq1s_grid indices with 3-bit highs in qh nibbles (nibble bit
+    3 is the delta sign), 3-bit subscales packed in a u16 quad whose top
+    nibbles reassemble the f16 super-scale
+    (ggml-quants.c dequantize_row_iq1_m)."""
+    from .iq_grids import IQ1S_GRID
+
+    n = b.shape[0]
+    qs = b[:, :QK_K // 8].astype(np.uint16)                 # [n, 32]
+    qh = b[:, QK_K // 8:QK_K // 8 + QK_K // 16]             # [n, 16]
+    sc = np.ascontiguousarray(b[:, QK_K // 8 + QK_K // 16:]).view("<u2")
+    dbits = ((sc & np.uint16(0xF000))
+             >> np.array([12, 8, 4, 0], dtype=np.uint16)[None, :])
+    d16 = (dbits[:, 0] | dbits[:, 1] | dbits[:, 2] | dbits[:, 3])
+    d = d16.astype(np.uint16).view(np.float16).astype(np.float32)[:, None]
+    sub = ((sc[:, :, None] >> np.array([0, 3, 6, 9], dtype=np.uint16)[None, None, :])
+           & np.uint16(7)).reshape(n, 16).astype(np.float32)
+    dl = d * (2.0 * sub + 1.0)                              # [n, 16]
+    nib = _split_nibbles(qh, 1)                             # [n, 32]
+    idx = (qs | ((nib & np.uint8(7)).astype(np.uint16) << 8)).astype(np.int64)
+    delta = np.where((nib & np.uint8(8)) == 0, _IQ1_DELTA, -_IQ1_DELTA)
+    g = IQ1S_GRID[idx].copy().view(np.int8).astype(np.float32)
+    g = g.reshape(n, QK_K // 8, 8)
+    vals = (g + delta[:, :, None]).reshape(n, QK_K // 16, 16)
+    return (dl[:, :, None] * vals).reshape(n, QK_K)
+
+
 def _deq_tq1_0(b: np.ndarray) -> np.ndarray:
     """TQ1_0 (BitNet ternary): 5 trits packed per byte in base 3 via the
     fixed-point law trit_k = ((q*3^k mod 256)*3) >> 8 in {0,1,2} -> {-1,0,1};
@@ -612,7 +714,11 @@ _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.IQ4_XS: _deq_iq4_xs,
     GGMLType.IQ2_XXS: _deq_iq2_xxs,
     GGMLType.IQ2_XS: _deq_iq2_xs,
+    GGMLType.IQ2_S: _deq_iq2_s,
     GGMLType.IQ3_XXS: _deq_iq3_xxs,
+    GGMLType.IQ3_S: _deq_iq3_s,
+    GGMLType.IQ1_S: _deq_iq1_s,
+    GGMLType.IQ1_M: _deq_iq1_m,
     GGMLType.TQ1_0: _deq_tq1_0,
     GGMLType.TQ2_0: _deq_tq2_0,
     GGMLType.MXFP4: _deq_mxfp4,

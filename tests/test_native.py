@@ -235,7 +235,8 @@ def test_f16_subnormal_scale_block(ensure_native):
 
 
 IQ_FORMATS = [GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
-              GGMLType.IQ3_XXS]
+              GGMLType.IQ3_XXS, GGMLType.IQ2_S, GGMLType.IQ3_S,
+              GGMLType.IQ1_S]
 
 
 @pytest.mark.parametrize("t", IQ_FORMATS, ids=lambda t: t.name)
@@ -257,7 +258,7 @@ def test_iquant_dequantize_bit_exact(ensure_native, t):
 
 
 TAIL_FORMATS = [GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.IQ2_XS,
-                GGMLType.MXFP4]
+                GGMLType.MXFP4, GGMLType.IQ1_M]
 
 
 @pytest.mark.parametrize("t", TAIL_FORMATS, ids=lambda t: t.name)
@@ -275,6 +276,8 @@ def test_ternary_mx_dequantize_bit_exact(ensure_native, t):
     elif t is GGMLType.IQ2_XS:
         d = (rng.random(32).astype(np.float16) + 0.25)
         raw[:, :2] = d[:, None].view(np.uint8).reshape(32, 2)
+    elif t is GGMLType.IQ1_M:
+        raw[:, -8:] &= 0x7F  # keep the scattered f16 super-scale finite
     else:  # MXFP4: e8m0 exponent byte, keep mid-range
         raw[:, 0] = rng.integers(100, 150, 32, dtype=np.uint8)
     raw = raw.reshape(-1)

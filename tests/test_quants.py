@@ -87,7 +87,8 @@ def test_block_geometry():
 
 
 IQ_FORMATS = [GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
-              GGMLType.IQ3_XXS]
+              GGMLType.IQ3_XXS, GGMLType.IQ2_S, GGMLType.IQ3_S,
+              GGMLType.IQ1_S]
 
 
 @pytest.mark.parametrize("qtype", IQ_FORMATS, ids=lambda p: p.name)
@@ -110,9 +111,10 @@ def test_iquant_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
     np.testing.assert_array_equal(ours, theirs)
 
 
-# trailing-scale (ternary) and e8m0-scale formats: scale byte offset differs
+# trailing-scale (ternary), nibble-packed-scale and e8m0-scale formats:
+# the scale byte offset differs from the IQ convention
 TAIL_FORMATS = [GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.IQ2_XS,
-                GGMLType.MXFP4]
+                GGMLType.MXFP4, GGMLType.IQ1_M]
 
 
 @pytest.mark.parametrize("qtype", TAIL_FORMATS, ids=lambda p: p.name)
@@ -134,6 +136,10 @@ def test_ternary_mx_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
         d = (rng.random((rows, blocks_per_row)).astype(np.float16) + 0.25)
         raw[:, :, :2] = d[..., None].view(np.uint8).reshape(
             rows, blocks_per_row, 2)
+    elif qtype is GGMLType.IQ1_M:
+        # f16 super-scale is scattered across the top nibbles of the 4
+        # trailing scale words — keep those nibbles in a finite range
+        raw[:, :, -8:] &= 0x7F  # clear each word's high nibble top bit
     else:  # MXFP4: single e8m0 exponent byte, keep it mid-range
         raw[:, :, 0] = rng.integers(100, 150, (rows, blocks_per_row),
                                     dtype=np.uint8)
