@@ -33,6 +33,10 @@ RECIPES = {
     "Q8_0": GGMLType.Q8_0,
     "Q4_0": GGMLType.Q4_0,
     "Q5_0": GGMLType.Q5_0,
+    # ternary (BitNet-style) and OCP microscaling targets
+    "TQ1_0": GGMLType.TQ1_0,
+    "TQ2_0": GGMLType.TQ2_0,
+    "MXFP4": GGMLType.MXFP4,
 }
 
 

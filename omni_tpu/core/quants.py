@@ -699,6 +699,51 @@ def _deq_mxfp4(b: np.ndarray) -> np.ndarray:
     return d * _MXFP4_KVALUES[idx]
 
 
+def _q_tq1_0(x: np.ndarray) -> np.ndarray:
+    """TQ1_0 encoder: round to {-1,0,1} against the block absmax, then
+    pack 5 trits per byte base-243 with the ceil-rescale to the 0..255
+    fixed-point domain ((q*256 + 242) // 243)."""
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    t = (_round_half_away(x * _safe_inv(d)).astype(np.int8) + 1).astype(np.uint8)
+    n = x.shape[0]
+    p5 = np.array([81, 27, 9, 3, 1], dtype=np.uint8).reshape(1, 1, 5, 1)
+    q0 = (t[:, :160].reshape(n, -1, 5, 32) * p5).sum(axis=-2, dtype=np.uint8)
+    q1 = (t[:, 160:240].reshape(n, -1, 5, 16) * p5).sum(axis=-2, dtype=np.uint8)
+    p4 = np.array([81, 27, 9, 3], dtype=np.uint8).reshape(1, 1, 4, 1)
+    qh = (t[:, 240:].reshape(n, -1, 4, 4) * p4).sum(axis=-2, dtype=np.uint8)
+    q = np.concatenate([q0.reshape(n, -1), q1.reshape(n, -1),
+                        qh.reshape(n, -1)], axis=-1)
+    q = ((q.astype(np.uint16) * 256 + 242) // 243).astype(np.uint8)
+    return np.concatenate([q, _to_f16_bytes(d)], axis=-1)
+
+
+def _q_tq2_0(x: np.ndarray) -> np.ndarray:
+    """TQ2_0 encoder: round to {-1,0,1}, pack 4 trits per byte as 2-bit
+    fields over 32-element planes."""
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    t = (_round_half_away(x * _safe_inv(d)).astype(np.int8) + 1).astype(np.uint8)
+    n = x.shape[0]
+    sh = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
+    q = t.reshape(n, -1, 4, 32) << sh
+    q = (q[:, :, 0] | q[:, :, 1] | q[:, :, 2] | q[:, :, 3]).reshape(n, -1)
+    return np.concatenate([q, _to_f16_bytes(d)], axis=-1)
+
+
+def _q_mxfp4(x: np.ndarray) -> np.ndarray:
+    """MXFP4 encoder: e8m0 scale = floor(log2(absmax)) - 2 (biased), then
+    nearest-codebook-entry per element."""
+    n = x.shape[0]
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore"):
+        e = np.where(d > 0, np.floor(np.log2(d)) - 2 + 127, 0).astype(np.uint8)
+    scale = _e8m0_half(e)
+    errs = np.abs(scale[:, :, None] * _MXFP4_KVALUES[None, None, :]
+                  - x[:, :, None])
+    best = np.argmin(errs, axis=-1).astype(np.uint8)  # [n, 32]
+    q = best.reshape(n, 2, 16)
+    return np.concatenate([e, q[:, 0] | (q[:, 1] << np.uint8(4))], axis=-1)
+
+
 _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q4_0: _deq_q4_0,
     GGMLType.Q4_1: _deq_q4_1,
@@ -735,6 +780,9 @@ _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q4_K: _q_q4_k,
     GGMLType.Q5_K: _q_q5_k,
     GGMLType.Q6_K: _q_q6_k,
+    GGMLType.TQ1_0: _q_tq1_0,
+    GGMLType.TQ2_0: _q_tq2_0,
+    GGMLType.MXFP4: _q_mxfp4,
 }
 
 

@@ -49,6 +49,20 @@ def test_dequant_bit_exact_vs_oracle(qtype, _, oracle, rng):
     np.testing.assert_array_equal(ours, theirs.astype(np.float32))
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.TQ1_0, GGMLType.TQ2_0,
+                                   GGMLType.MXFP4],
+                         ids=lambda p: p.name)
+def test_ternary_mx_quantize_bit_exact_vs_oracle(qtype, oracle, rng):
+    """TQ1_0/TQ2_0/MXFP4 encoders match the reference numpy codec
+    bit-for-bit (order-independent arithmetic, no imatrix needed)."""
+    from gguf.constants import GGMLQuantizationType as OT
+
+    x = (rng.standard_normal(8 * 256) * 0.1).astype(np.float32)
+    ours = quants.quantize(x, qtype)
+    theirs = oracle.quantize(x, OT(int(qtype)))
+    np.testing.assert_array_equal(ours.reshape(-1), theirs.reshape(-1))
+
+
 @pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
                                    GGMLType.Q5_1, GGMLType.Q8_0],
                          ids=lambda p: p.name)
