@@ -770,6 +770,73 @@ void deq_mxfp4(const uint8_t *b, float *y) {
     }
 }
 
+void q_tq1_0(const float *x, uint8_t *b) {
+    float amax = 0;
+    for (int j = 0; j < 256; ++j) amax = std::max(amax, std::fabs(x[j]));
+    float inv = safe_inv(amax);
+    uint8_t t[256];
+    for (int j = 0; j < 256; ++j)
+        t[j] = (uint8_t)((int8_t)round_half_away(x[j] * inv) + 1);
+    static const uint16_t p5[5] = {81, 27, 9, 3, 1};
+    for (int j = 0; j < 32; ++j) {
+        uint16_t acc = 0;
+        for (int k = 0; k < 5; ++k) acc += t[32 * k + j] * p5[k];
+        b[j] = (uint8_t)((acc * 256 + 242) / 243);
+    }
+    for (int j = 0; j < 16; ++j) {
+        uint16_t acc = 0;
+        for (int k = 0; k < 5; ++k) acc += t[160 + 16 * k + j] * p5[k];
+        b[32 + j] = (uint8_t)((acc * 256 + 242) / 243);
+    }
+    for (int j = 0; j < 4; ++j) {
+        uint16_t acc = 0;
+        for (int k = 0; k < 4; ++k) acc += t[240 + 4 * k + j] * p5[k];
+        b[48 + j] = (uint8_t)((acc * 256 + 242) / 243);
+    }
+    uint16_t h = f32_to_f16(amax);
+    std::memcpy(b + 52, &h, 2);
+}
+
+void q_tq2_0(const float *x, uint8_t *b) {
+    float amax = 0;
+    for (int j = 0; j < 256; ++j) amax = std::max(amax, std::fabs(x[j]));
+    float inv = safe_inv(amax);
+    for (int g = 0; g < 2; ++g)
+        for (int j = 0; j < 32; ++j) {
+            uint8_t byte = 0;
+            for (int k = 0; k < 4; ++k) {
+                uint8_t t = (uint8_t)((int8_t)round_half_away(
+                                          x[(4 * g + k) * 32 + j] * inv) + 1);
+                byte |= (uint8_t)(t << (2 * k));
+            }
+            b[32 * g + j] = byte;
+        }
+    uint16_t h = f32_to_f16(amax);
+    std::memcpy(b + 64, &h, 2);
+}
+
+void q_mxfp4(const float *x, uint8_t *b) {
+    float amax = 0;
+    for (int j = 0; j < 32; ++j) amax = std::max(amax, std::fabs(x[j]));
+    uint8_t e = amax > 0
+        ? (uint8_t)(int)(std::floor(std::log2(amax)) - 2.0f + 127.0f) : 0;
+    uint32_t bits = e < 2 ? (0x00200000u << e) : ((uint32_t)(e - 1u) << 23);
+    float d;
+    std::memcpy(&d, &bits, 4);
+    uint8_t q[32];
+    for (int j = 0; j < 32; ++j) {
+        float best = std::fabs(d * MXFP4_KVALUES[0] - x[j]);
+        int bi = 0;
+        for (int k = 1; k < 16; ++k) {
+            float err = std::fabs(d * MXFP4_KVALUES[k] - x[j]);
+            if (err < best) { best = err; bi = k; }
+        }
+        q[j] = (uint8_t)bi;
+    }
+    b[0] = e;
+    for (int j = 0; j < 16; ++j) b[1 + j] = q[j] | (uint8_t)(q[16 + j] << 4);
+}
+
 using DeqFn = void (*)(const uint8_t *, float *);
 using QFn = void (*)(const float *, uint8_t *);
 
@@ -813,6 +880,9 @@ QFn q_fn(int t) {
         case 12: return q_q4_k;
         case 13: return q_q5_k;
         case 14: return q_q6_k;
+        case 34: return q_tq1_0;
+        case 35: return q_tq2_0;
+        case 39: return q_mxfp4;
         default: return nullptr;
     }
 }

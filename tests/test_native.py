@@ -40,7 +40,8 @@ ALL_FORMATS = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
                GGMLType.Q5_K, GGMLType.Q6_K]
 # quantizers whose arithmetic is order-independent => bit-exact with numpy
 EXACT_QUANT = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-               GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K]
+               GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K,
+               GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.MXFP4]
 
 
 
