@@ -23,6 +23,11 @@ FORMATS = [
     (GGMLType.Q4_K, 0.10),
     (GGMLType.Q5_K, 0.05),
     (GGMLType.Q6_K, 0.03),
+    # ternary: N(0,1) data rounds to {-d,0,d} against the block absmax, so
+    # the bound is inherently coarse (BitNet models are trained ternary)
+    (GGMLType.TQ1_0, 0.85),
+    (GGMLType.TQ2_0, 0.85),
+    (GGMLType.MXFP4, 0.15),
 ]
 
 
