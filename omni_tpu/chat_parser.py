@@ -12,11 +12,32 @@ Formats (marker syntax per common/chat.cpp):
                 Qwen2/3; chat.cpp:2142-2249)
 - mistral_nemo: [TOOL_CALLS][{"name":…,"arguments":{…},"id":…}, …]
                 (chat.cpp:978-1065)
+- magistral   : [THINK]…[/THINK] reasoning + mistral_nemo calls
+                (chat.cpp:1057-1065)
 - llama_3_x   : {"name":…,"parameters":{…}} bare JSON, or the builtin
                 <|python_tag|>name.call(k=v,…) form (chat.cpp:1201-1267)
 - deepseek_r1 : <｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>
                 NAME\n```json\nARGS\n```<｜tool▁call▁end｜>… (chat.cpp:1509-1596)
+                (DeepSeek V3.1 uses the same call-block syntax)
 - functionary_v3_2: >>>NAME\nARGS_JSON (chat.cpp)
+- functionary_v3_1: <function=NAME>{ARGS}</function>, <|python_tag|>CODE
+                (chat.cpp:1994-2065)
+- firefunction_v2: " functools[{"name":…,"arguments":{…}},…]"
+                (chat.cpp:1952-1991)
+- command_r7b : <|START_THINKING|>…<|END_THINKING|> reasoning,
+                <|START_ACTION|>[{tool_name, tool_call_id, parameters}]
+                <|END_ACTION|>, <|START_RESPONSE|>…<|END_RESPONSE|>
+                (chat.cpp:1149-1179)
+- granite     : <think>…</think>, <response>…</response>,
+                <|tool_call|>[{name, arguments}] (chat.cpp:2397-2441)
+- nemotron_v2 : <think>…</think> + <TOOLCALL>[{name, arguments}]</TOOLCALL>
+                (chat.cpp:2444-2499)
+- seed_oss    : <seed:think>…</seed:think> +
+                <seed:tool_call><function=NAME><parameter=K>V</parameter>…
+                </function></seed:tool_call> (chat.cpp:2502-2560)
+- gpt_oss     : harmony channels — header…<|message|>body<|end|> segments;
+                analysis→reasoning, final→content, "to=functions.NAME"
+                header→tool call (chat.cpp:1817-1905)
 - generic     : one JSON object {"name":…,"arguments":{…}} or
                 {"tool_calls":[…]} (the grammar-forced fallback)
 - content_only: no tool syntax.
@@ -37,14 +58,30 @@ def detect_format(template: str | None) -> str:
     heuristics of common_chat_templates_apply)."""
     if not template:
         return "content_only"
+    if "<|START_ACTION|>" in template or "<|START_THINKING|>" in template:
+        return "command_r7b"
+    if "<seed:think>" in template or "<seed:tool_call>" in template:
+        return "seed_oss"
+    if "<|channel|>" in template:
+        return "gpt_oss"
+    if "<TOOLCALL>" in template:
+        return "nemotron_v2"
+    if " functools[" in template or "functools[" in template:
+        return "firefunction_v2"
+    if "<|tool_call|>" in template:
+        return "granite"
     if "<tool_call>" in template:
         return "hermes"
+    if "[THINK]" in template and "[/THINK]" in template:
+        return "magistral"
     if "[TOOL_CALLS]" in template:
         return "mistral_nemo"
     if "tool▁calls▁begin" in template or "tool_calls_begin" in template:
         return "deepseek_r1"
     if ">>>all" in template:
         return "functionary_v3_2"
+    if "<function=" in template:
+        return "functionary_v3_1"
     if "<|python_tag|>" in template or "ipython" in template:
         return "llama_3_x"
     return "generic"
@@ -72,6 +109,27 @@ def _try_json_prefix(s: str):
         return val, s[end:]
     except Exception:  # noqa: BLE001
         return None, s
+
+
+def _parse_mistral_calls(text: str) -> tuple[list[dict], str]:
+    """[TOOL_CALLS] JSON-array syntax -> (calls, remaining content)."""
+    calls: list[dict] = []
+    at = text.find("[TOOL_CALLS]")
+    if at == -1:
+        return calls, text
+    arr, rest = _try_json_prefix(text[at + len("[TOOL_CALLS]"):].strip())
+    if isinstance(arr, dict):
+        arr = [arr]
+    for obj in arr or []:
+        if isinstance(obj, dict) and "name" in obj:
+            calls.append(_mk_call(obj["name"], obj.get("arguments", {})))
+    return calls, ((text[:at] + rest).strip() if calls else text)
+
+
+def _coerce_param(v: str):
+    """seed_oss <parameter> values: JSON if it parses, else raw string."""
+    j = _try_json(v.strip())
+    return j if j is not None else v.strip()
 
 
 _THINK_RE = re.compile(r"<think>(.*?)</think>\s*", re.S)
@@ -103,16 +161,13 @@ def parse_response(text: str, fmt: str = "generic") -> dict:
                                       obj.get("arguments", obj.get("parameters", {}))))
         content = _HERMES_RE.sub("", text).strip()
     elif fmt == "mistral_nemo":
-        at = text.find("[TOOL_CALLS]")
-        if at != -1:
-            arr, rest = _try_json_prefix(
-                text[at + len("[TOOL_CALLS]"):].strip())
-            if isinstance(arr, dict):
-                arr = [arr]
-            for obj in arr or []:
-                if isinstance(obj, dict) and "name" in obj:
-                    calls.append(_mk_call(obj["name"], obj.get("arguments", {})))
-            content = ((text[:at] + rest).strip() if calls else text)
+        calls, content = _parse_mistral_calls(text)
+    elif fmt == "magistral":
+        m = re.search(r"\[THINK\](.*?)\[/THINK\]\s*", text, re.S)
+        if m:
+            reasoning = m.group(1).strip()
+            text = text[:m.start()] + text[m.end():]
+        calls, content = _parse_mistral_calls(text)
     elif fmt == "deepseek_r1":
         for m in _DSR1_CALL_RE.finditer(text):
             args = _try_json(m.group(2))
@@ -149,6 +204,109 @@ def parse_response(text: str, fmt: str = "generic") -> dict:
                 calls.append(_mk_call(m.group(1), args))
         if calls:
             content = text[: text.find(">>>")].strip()
+    elif fmt == "command_r7b":
+        m = re.search(r"<\|START_THINKING\|>(.*?)<\|END_THINKING\|>\s*",
+                      text, re.S)
+        if m:
+            reasoning = m.group(1).strip()
+            text = text[:m.start()] + text[m.end():]
+        m = re.search(r"<\|START_ACTION\|>(.*?)(?:<\|END_ACTION\|>|$)",
+                      text, re.S)
+        if m:
+            for obj in _try_json(m.group(1)) or []:
+                if isinstance(obj, dict):
+                    calls.append(_mk_call(obj.get("tool_name", ""),
+                                          obj.get("parameters", {})))
+            content = (text[:m.start()] + text[m.end():]).strip()
+        else:
+            r = re.search(r"<\|START_RESPONSE\|>(.*?)(?:<\|END_RESPONSE\|>|$)",
+                          text, re.S)
+            content = r.group(1).strip() if r else text.strip()
+    elif fmt == "granite":
+        r = re.search(r"<response>(.*?)(?:</response>|$)", text, re.S)
+        resp = r.group(1).strip() if r else None
+        mt = re.search(r"<\|tool_call\|>\s*(\[.*)", text, re.S)
+        if mt:
+            arr, _ = _try_json_prefix(mt.group(1))
+            for obj in arr or []:
+                if isinstance(obj, dict) and "name" in obj:
+                    calls.append(_mk_call(obj["name"],
+                                          obj.get("arguments", {})))
+            content = resp if resp is not None else text[:mt.start()].strip()
+        else:
+            content = resp if resp is not None else text.strip()
+    elif fmt == "nemotron_v2":
+        m = re.search(r"<TOOLCALL>(.*?)(?:</TOOLCALL>|$)", text, re.S)
+        if m:
+            for obj in _try_json(m.group(1)) or []:
+                if isinstance(obj, dict) and "name" in obj:
+                    calls.append(_mk_call(obj["name"],
+                                          obj.get("arguments", {})))
+            content = (text[:m.start()] + text[m.end():]).strip()
+    elif fmt == "seed_oss":
+        m = re.search(r"<seed:think>(.*?)</seed:think>\s*", text, re.S)
+        if m:
+            reasoning = m.group(1).strip()
+            text = text[:m.start()] + text[m.end():]
+        for tc in re.finditer(r"<seed:tool_call>(.*?)</seed:tool_call>",
+                              text, re.S):
+            fm = re.search(r"<function=([^>]+)>(.*?)(?:</function>|$)",
+                           tc.group(1), re.S)
+            if fm:
+                args = {k: _coerce_param(v) for k, v in re.findall(
+                    r"<parameter=([^>]+)>(.*?)</parameter>",
+                    fm.group(2), re.S)}
+                calls.append(_mk_call(fm.group(1), args))
+        content = re.sub(r"<seed:tool_call>.*?</seed:tool_call>", "",
+                         text, flags=re.S).strip()
+    elif fmt == "firefunction_v2":
+        at = text.find("functools[")
+        if at != -1:
+            arr, rest = _try_json_prefix(text[at + len("functools"):])
+            for obj in arr or []:
+                if isinstance(obj, dict) and "name" in obj:
+                    calls.append(_mk_call(obj["name"],
+                                          obj.get("arguments", {})))
+            if calls:
+                content = (text[:at].rstrip() + rest).strip()
+    elif fmt == "functionary_v3_1":
+        for m in re.finditer(r"<function=([^>]+)>\s*(\{.*?\})\s*</function>",
+                             text, re.S):
+            args = _try_json(m.group(2))
+            if args is not None:
+                calls.append(_mk_call(m.group(1), args))
+        text2 = re.sub(r"<function=[^>]+>\s*\{.*?\}\s*</function>", "",
+                       text, flags=re.S)
+        m = re.search(r"<\|python_tag\|>(.*)$", text2, re.S)
+        if m:  # builtin code-interpreter call (chat.cpp:2046-2059)
+            calls.append(_mk_call("python", {"code": m.group(1).strip()}))
+            text2 = text2[: m.start()]
+        content = text2.strip()
+    elif fmt == "gpt_oss":
+        if "<|message|>" not in text:
+            content = text.strip()
+        else:
+            reasoning_parts: list[str] = []
+            content_parts: list[str] = []
+            # harmony segments: header<|message|>body, terminated by
+            # <|end|> / the next <|start|>assistant / end-of-text
+            for m in re.finditer(
+                    r"(?:^|<\|start\|>assistant)(?P<hdr>.*?)<\|message\|>"
+                    r"(?P<body>.*?)(?=<\|end\|>|<\|start\|>|$)", text, re.S):
+                hdr, body = m.group("hdr"), m.group("body")
+                fn = re.search(r"to=functions\.([^<\s]+)", hdr)
+                if fn:
+                    args = _try_json(body.strip())
+                    calls.append(_mk_call(fn.group(1),
+                                          args if args is not None
+                                          else body.strip()))
+                elif "<|channel|>analysis" in hdr:
+                    reasoning_parts.append(body.strip())
+                else:  # final / commentary preamble
+                    content_parts.append(body.strip())
+            if reasoning_parts:
+                reasoning = "\n".join(reasoning_parts)
+            content = "\n".join(p for p in content_parts if p)
     elif fmt == "generic":
         obj = _try_json(text.strip())
         if isinstance(obj, dict):

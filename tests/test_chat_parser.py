@@ -170,3 +170,92 @@ def test_mistral_nemo_trailing_text():
     assert _one_call(p, "sum") == {"a": 1}
     assert "[TOOL_CALLS]" not in p["content"]
     assert "Done." in p["content"]
+
+
+def test_detect_format_round2_families():
+    assert detect_format("<|START_THINKING|><|START_ACTION|>") == "command_r7b"
+    assert detect_format("x <seed:think> y") == "seed_oss"
+    assert detect_format("<|channel|>final<|message|>") == "gpt_oss"
+    assert detect_format("<TOOLCALL>[...]</TOOLCALL>") == "nemotron_v2"
+    assert detect_format("say functools[ stuff") == "firefunction_v2"
+    assert detect_format("<|tool_call|>[]") == "granite"
+    assert detect_format("[THINK]x[/THINK]") == "magistral"
+    assert detect_format("call <function=foo> now") == "functionary_v3_1"
+
+
+def test_command_r7b_parse():
+    text = ("<|START_THINKING|>plan the call<|END_THINKING|>"
+            '<|START_ACTION|>[{"tool_call_id": "0", "tool_name": "get_time",'
+            ' "parameters": {"tz": "UTC"}}]<|END_ACTION|>')
+    p = parse_response(text, "command_r7b")
+    assert p["reasoning_content"] == "plan the call"
+    assert _one_call(p, "get_time") == {"tz": "UTC"}
+    # plain response path
+    p = parse_response("<|START_RESPONSE|>hey there<|END_RESPONSE|>",
+                       "command_r7b")
+    assert p["content"] == "hey there" and not p["tool_calls"]
+
+
+def test_granite_parse():
+    text = ('<think>hmm</think><response>done</response>'
+            '<|tool_call|>[{"name": "lookup", "arguments": {"q": "x"}}]')
+    p = parse_response(text, "granite")
+    assert p["reasoning_content"] == "hmm"
+    assert _one_call(p, "lookup") == {"q": "x"}
+    assert p["content"] == "done"
+
+
+def test_nemotron_v2_parse():
+    text = ('<think>t</think>ok '
+            '<TOOLCALL>[{"name": "add", "arguments": {"a": 2}}]</TOOLCALL>')
+    p = parse_response(text, "nemotron_v2")
+    assert p["reasoning_content"] == "t"
+    assert _one_call(p, "add") == {"a": 2}
+    assert p["content"] == "ok"
+
+
+def test_seed_oss_parse():
+    text = ("<seed:think>reason</seed:think>calling now "
+            "<seed:tool_call><function=search>"
+            "<parameter=query>cats</parameter>"
+            "<parameter=limit>3</parameter>"
+            "</function></seed:tool_call>")
+    p = parse_response(text, "seed_oss")
+    assert p["reasoning_content"] == "reason"
+    assert _one_call(p, "search") == {"query": "cats", "limit": 3}
+    assert p["content"] == "calling now"
+
+
+def test_firefunction_v2_parse():
+    text = ' functools[{"name": "ping", "arguments": {"host": "a"}}]'
+    p = parse_response(text, "firefunction_v2")
+    assert _one_call(p, "ping") == {"host": "a"}
+    assert p["content"] == ""
+
+
+def test_functionary_v3_1_parse():
+    text = ('hi <function=mul>{"x": 4}</function>')
+    p = parse_response(text, "functionary_v3_1")
+    assert _one_call(p, "mul") == {"x": 4}
+    assert p["content"] == "hi"
+    p = parse_response("<|python_tag|>print(1)", "functionary_v3_1")
+    assert _one_call(p, "python") == {"code": "print(1)"}
+
+
+def test_magistral_parse():
+    text = ('[THINK]let me[/THINK]'
+            '[TOOL_CALLS][{"name": "f", "arguments": {"k": 1}}]')
+    p = parse_response(text, "magistral")
+    assert p["reasoning_content"] == "let me"
+    assert _one_call(p, "f") == {"k": 1}
+
+
+def test_gpt_oss_parse():
+    text = ("<|channel|>analysis<|message|>think hard<|end|>"
+            "<|start|>assistant to=functions.get_weather<|channel|>"
+            'commentary json<|message|>{"city": "SF"}<|end|>'
+            "<|start|>assistant<|channel|>final<|message|>It is sunny.")
+    p = parse_response(text, "gpt_oss")
+    assert p["reasoning_content"] == "think hard"
+    assert _one_call(p, "get_weather") == {"city": "SF"}
+    assert p["content"] == "It is sunny."
