@@ -28,6 +28,7 @@ def mixed_attention(
     mask_pool: jax.Array,  # [T, S] (current-batch cells excluded)
     mask_cur: jax.Array,  # [T, T] causal+same-seq within the batch
     scale: float | None = None,
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Attention over pool ∪ current batch with ONE joint softmax — the
     deferred-write decode path: the pool is read pre-write, the batch's own
@@ -48,6 +49,9 @@ def mixed_attention(
                          preferred_element_type=jnp.float32) * scale
     sc_cur = jnp.einsum("hrd,hjd->hrj", qh, kc,
                         preferred_element_type=jnp.float32) * scale
+    if logit_softcap > 0.0:  # Gemma-2 attn logit soft-capping
+        sc_pool = jnp.tanh(sc_pool / logit_softcap) * logit_softcap
+        sc_cur = jnp.tanh(sc_cur / logit_softcap) * logit_softcap
     mp = jnp.repeat(mask_pool, g, axis=0)  # [T*G, S]
     mc = jnp.repeat(mask_cur, g, axis=0)  # [T*G, T]
     sc_pool = jnp.where(mp[None], sc_pool, NEG_INF)
@@ -63,19 +67,25 @@ def mixed_attention(
             .reshape(t, hq, d))
 
 
-def pool_attention(q: jax.Array, cache, layer: int,
-                   mask: jax.Array) -> jax.Array:
+def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
+                   scale: float | None = None,
+                   logit_softcap: float = 0.0) -> jax.Array:
     """Attention over one layer of the KV cell pool, picking the best
     kernel for the storage dtype: int8 KV on TPU goes through the Pallas
     flash kernel (in-register dequant, half the HBM traffic); bf16 uses
-    XLA's fused attention (faster on v5e — docs/PERF.md)."""
-    if cache.quantized and jax.default_backend() == "tpu":
+    XLA's fused attention (faster on v5e — docs/PERF.md). Soft-capped
+    scores (Gemma-2) always take the XLA path — the flash kernel has no
+    tanh stage."""
+    if (cache.quantized and logit_softcap == 0.0
+            and jax.default_backend() == "tpu"):
         from .flash_attention import flash_decode
 
         k, v, ks, vs = cache.layer_planes(layer)
-        return flash_decode(q, k, v, mask, k_scale=ks, v_scale=vs)
+        return flash_decode(q, k, v, mask, k_scale=ks, v_scale=vs,
+                            scale=scale)
     kc, vc = cache.read_layer(layer)
-    return cache_attention(q, kc, vc, mask)
+    return cache_attention(q, kc, vc, mask, scale=scale,
+                           logit_softcap=logit_softcap)
 
 
 def cache_attention(

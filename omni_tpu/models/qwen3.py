@@ -48,6 +48,24 @@ class Qwen3Config:
     # MoE (qwen3moe/mixtral-style): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
+    # --- Gemma-family knobs (reference llm_build_gemma3_iswa /
+    # llm_build_gemma2_iswa, llama-model.cpp:1157-1204) ---
+    emb_scale: float = 1.0       # token embeddings × sqrt(d_model)
+    act: str = "silu"            # "gelu" = tanh-approx GELU (LLM_FFN_GELU)
+    sandwich_norms: bool = False  # post-attention + post-ffw RMS norms
+    attn_scale: float | None = None  # None = 1/sqrt(head_dim)
+    attn_softcap: float = 0.0    # Gemma-2 attn logit capping
+    final_softcap: float = 0.0   # Gemma-2 final logit capping
+    # interleaved sliding-window attention: layer il is windowed iff
+    # swa_every > 0 and il % swa_every < swa_every - 1 (set_swa_pattern
+    # with dense_first=false); windowed layers rope at rope_base_swa
+    swa_window: int = 0
+    swa_every: int = 0
+    rope_base_swa: float = 10000.0
+
+    def is_swa_layer(self, il: int) -> bool:
+        return (self.swa_every > 0 and self.swa_window > 0
+                and il % self.swa_every < self.swa_every - 1)
 
     @staticmethod
     def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
@@ -55,13 +73,21 @@ class Qwen3Config:
         g = lambda key, default=None: kv.get(f"{arch}.{key}", default)
         n_heads = int(g("attention.head_count"))
         d_model = int(g("embedding_length"))
+        head_dim = int(g("attention.key_length", d_model // n_heads))
+        gemma = arch.startswith("gemma")
+        # Gemma 27B variants scale queries by 1/sqrt(d_model/n_heads)
+        # instead of 1/sqrt(head_dim) (llama-model.cpp:1175-1178/1201-1204;
+        # 46 layers = gemma2-27B, 62 = gemma3-27B)
+        attn_scale = None
+        if (arch, int(g("block_count"))) in (("gemma2", 46), ("gemma3", 62)):
+            attn_scale = 1.0 / (d_model / n_heads) ** 0.5
         return Qwen3Config(
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts"),
             n_layers=int(g("block_count")),
             d_model=d_model,
             n_heads=n_heads,
             n_kv_heads=int(g("attention.head_count_kv", n_heads)),
-            head_dim=int(g("attention.key_length", d_model // n_heads)),
+            head_dim=head_dim,
             d_ff=int(g("feed_forward_length")),
             n_vocab=len(kv["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in kv
             else int(g("vocab_size")),
@@ -69,6 +95,21 @@ class Qwen3Config:
             rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
+            emb_scale=float(d_model) ** 0.5 if gemma else 1.0,
+            act="gelu" if gemma else "silu",
+            sandwich_norms=arch in ("gemma2", "gemma3"),
+            attn_scale=attn_scale,
+            attn_softcap=float(g("attn_logit_softcapping", 50.0))
+            if arch == "gemma2" else 0.0,
+            final_softcap=float(g("final_logit_softcapping", 30.0))
+            if arch == "gemma2" else 0.0,
+            swa_window=int(g("attention.sliding_window",
+                             4096 if arch == "gemma2" else 0))
+            if gemma else 0,
+            # gemma2 alternates SWA/full (pattern 2); gemma3 runs 5 SWA +
+            # 1 full (pattern 6) — llama-model.cpp set_swa_pattern calls
+            swa_every=(2 if arch == "gemma2" else
+                       6 if arch == "gemma3" else 0),
         )
 
 
@@ -134,6 +175,11 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
             "ffn_norm": get(p + "ffn_norm.weight"),
+            # Gemma-2/3 sandwich norms (post_attention_norm / post_ffw_norm)
+            "attn_post_norm": get(p + "post_attention_norm.weight",
+                                  required=False),
+            "ffn_post_norm": get(p + "post_ffw_norm.weight",
+                                 required=False),
         })
         lp = params["layers"][-1]
         if f"{p}ffn_gate_inp.weight" in reader.tensors:
@@ -202,6 +248,8 @@ def forward(
     (reference tools/omni/omni.cpp:345-403), updated cache)."""
     t = x.shape[0]
     h = x.astype(jnp.bfloat16)
+    if cfg.emb_scale != 1.0:  # Gemma: embeddings × sqrt(d_model)
+        h = h * jnp.bfloat16(cfg.emb_scale)
 
     if write_mask is None:
         write_mask = jnp.ones((t,), bool)
@@ -226,6 +274,17 @@ def forward(
         # commit metadata first so intra-batch causal attention sees it
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
         mask = cache.attn_mask(pos, seq_id)  # [T, S]
+        mask_cur = None
+
+    # interleaved SWA (Gemma-2/3): windowed layers additionally require
+    # key_pos > q_pos - window (llama_kv_cache_iswa's mask term; the
+    # dual-pool memory optimisation lives in runtime/swa.py)
+    has_swa = cfg.swa_window > 0 and cfg.swa_every > 0
+    if has_swa:
+        w = cfg.swa_window
+        mask_swa = mask & (cache.pos[None, :] > pos[:, None] - w)
+        mask_cur_swa = (mask_cur & (pos[None, :] > pos[:, None] - w)
+                        if mask_cur is not None else None)
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -245,36 +304,52 @@ def forward(
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, pos, cfg.rope_base, neox=cfg.rope_neox)
-        k = apply_rope(k, pos, cfg.rope_base, neox=cfg.rope_neox)
+        swa_l = has_swa and cfg.is_swa_layer(li)
+        base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
+        q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
+        k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
+        mask_l = mask_swa if swa_l else mask
         if deferred:
             kc, vc = cache.read_layer(li)
-            attn = mixed_attention(q, kc, vc, k, v, mask, mask_cur)
+            attn = mixed_attention(q, kc, vc, k, v, mask_l,
+                                   mask_cur_swa if swa_l else mask_cur,
+                                   scale=cfg.attn_scale,
+                                   logit_softcap=cfg.attn_softcap)
             new_ks.append(k)
             new_vs.append(v)
         else:
             # padding rows write into their (unowned) slots: metadata stays
             # free, so garbage K/V is never attended to
             cache = cache.write(li, slots, k, v)
-            attn = pool_attention(q, cache, li, mask)
-        h = h_in + matmul(attn.reshape(t, -1), lp["wo"])
+            attn = pool_attention(q, cache, li, mask_l,
+                                  scale=cfg.attn_scale,
+                                  logit_softcap=cfg.attn_softcap)
+        attn_out = matmul(attn.reshape(t, -1), lp["wo"])
+        if cfg.sandwich_norms:  # Gemma post-attention norm
+            attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
+        h = h_in + attn_out
 
         h_in = h
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
+        act = (jax.nn.silu if cfg.act == "silu"
+               else lambda z: jax.nn.gelu(z, approximate=True))
         if lp.get("gate_inp") is not None:
-            h = h_in + moe_ffn(lp, cfg, hn)
+            ffn_out = moe_ffn(lp, cfg, hn)
         elif "w_gateup" in lp:
             gu = matmul(hn, lp["w_gateup"])
             gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
-            h = h_in + matmul(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+            ffn_out = matmul(
+                act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
                 lp["w_down"])
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])
-            h = h_in + matmul(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+            ffn_out = matmul(
+                act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
                 lp["w_down"])
+        if cfg.sandwich_norms:  # Gemma post-ffw norm
+            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
+        h = h_in + ffn_out
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
 
@@ -291,6 +366,8 @@ def forward(
         logits = jnp.zeros((t, 1), jnp.float32)
     else:
         logits = matmul(hidden, head, out_dtype=jnp.float32)
+        if cfg.final_softcap > 0.0:  # Gemma-2 final logit capping
+            logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
     return logits, hidden.astype(jnp.float32), cache
 
 

@@ -567,12 +567,6 @@ class OmniPipeline:
             return packed, hiddens
 
         pending = None  # (packed, hiddens) device handles awaiting fetch
-        # Tunnel transfers complete in-order behind queued compute, so a
-        # speculative scan issued before the FIRST chunk's fetch would
-        # delay that fetch by a whole scan (~100 ms on the first audio
-        # window). Run the turn's first chunk unoverlapped when TTS is
-        # active — TTFT beats one ~35 ms overlap; steady state speculates.
-        first_fetch = self.cfg.use_tts and self.tts_ctx is not None
 
         def drain(handle):
             """Account an in-flight scan's committed tokens without
@@ -602,14 +596,12 @@ class OmniPipeline:
             b_spec = feed_budget(n_new + STEP_SIZE,
                                  segment_tokens + STEP_SIZE)
             spec = None
-            if (not first_fetch
-                    and b_now >= STEP_SIZE and b_spec >= STEP_SIZE
+            if (b_now >= STEP_SIZE and b_spec >= STEP_SIZE
                     and llm.cache.size - llm.cells_used - inflight[0]
                     >= STEP_SIZE):
                 spec = issue(b_spec)
 
             packed_np = np.asarray(pending[0])  # ONE fetch: toks+fed
-            first_fetch = False
             toks_np, fed_np = packed_np[0], packed_np[1]
             hid_np = (np.asarray(pending[1])
                       if (self.cfg.use_tts and self.tts_ctx is not None)

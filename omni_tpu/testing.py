@@ -95,6 +95,8 @@ def write_tiny_qwen3(
     byte_tokenizer: bool = False,
     arch: str = "qwen3",
     extra_tensors: dict | None = None,
+    extra_kv: dict | None = None,
+    sandwich_norms: bool = False,
 ) -> None:
     """Random Qwen3-architecture GGUF (llama.cpp tensor naming).
 
@@ -114,6 +116,8 @@ def write_tiny_qwen3(
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
     w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
     w.add_kv(f"{arch}.context_length", 4096)
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(f"{arch}.{k}", v)
     w.add_kv("tokenizer.ggml.model", "gpt2")
     w.add_kv("tokenizer.ggml.pre", "qwen2")
     if byte_tokenizer:
@@ -166,6 +170,9 @@ def write_tiny_qwen3(
         if qk_norm:
             t(p + "attn_q_norm.weight", (head_dim,), 1.0)
             t(p + "attn_k_norm.weight", (head_dim,), 1.0)
+        if sandwich_norms:  # Gemma-2/3 post-attention / post-ffw norms
+            t(p + "post_attention_norm.weight", (d_model,), 1.0)
+            t(p + "post_ffw_norm.weight", (d_model,), 1.0)
         t(p + "ffn_norm.weight", (d_model,), 1.0)
         t(p + "ffn_gate.weight", (d_ff, d_model))
         t(p + "ffn_up.weight", (d_ff, d_model))
