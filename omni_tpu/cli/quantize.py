@@ -37,6 +37,9 @@ RECIPES = {
     "TQ1_0": GGMLType.TQ1_0,
     "TQ2_0": GGMLType.TQ2_0,
     "MXFP4": GGMLType.MXFP4,
+    # non-linear 4-bit codebook targets (no-imatrix encoder path)
+    "IQ4_NL": GGMLType.IQ4_NL,
+    "IQ4_XS": GGMLType.IQ4_XS,
 }
 
 

@@ -699,6 +699,86 @@ def _deq_mxfp4(b: np.ndarray) -> np.ndarray:
     return d * _MXFP4_KVALUES[idx]
 
 
+def _best_iq4_index(al: np.ndarray) -> np.ndarray:
+    """Nearest IQ4 codebook index per element (the values are sorted, so
+    nearest-neighbour over the 16-entry table; ggml best_index_int8)."""
+    vals = _IQ4NL_KVALUES.astype(np.float32)
+    # searchsorted gives the first v >= al; compare with the left neighbour
+    mu = np.clip(np.searchsorted(vals, al), 1, 15)
+    left_closer = (al - vals[mu - 1]) < (vals[mu] - al)
+    return np.where(al <= vals[0], 0,
+                    np.where(al >= vals[15], 15,
+                             np.where(left_closer, mu - 1, mu)))
+
+
+def _iq4_fit_scales(xb: np.ndarray, ntry: int = 7) -> np.ndarray:
+    """Per-32-block weighted-LS scale fit over the IQ4 codebook
+    (semantics of ggml quantize_row_iq4_nl_impl's candidate search:
+    initial d = -max/vals[0] plus 2*ntry+1 grid candidates, keep the one
+    maximizing sumqx^2/sumq2 with first-wins ties). xb: [n, 32]."""
+    vals = _IQ4NL_KVALUES.astype(np.float32)
+    n = xb.shape[0]
+    w = xb * xb  # weight = x^2 (no imatrix)
+    am = np.argmax(np.abs(xb), axis=-1)
+    mx = xb[np.arange(n), am]  # signed value of the abs-max element
+    amax = np.abs(mx)
+    dead = amax < 1e-15  # GROUP_MAX_EPS
+    safe_mx = np.where(dead, 1.0, mx)
+
+    # candidate inverse scales: [n, 1 + 2*ntry + 1] (slot 0 = initial fit)
+    itry = np.arange(-ntry, ntry + 1, dtype=np.float32)
+    ids = np.concatenate([
+        (1.0 / (-safe_mx / vals[0]))[:, None],
+        (itry[None, :] + vals[0]) / safe_mx[:, None],
+    ], axis=1)  # [n, C]
+    q = vals[_best_iq4_index(ids[:, :, None] * xb[:, None, :])]  # [n,C,32]
+    sumqx = (w[:, None, :] * q * xb[:, None, :]).sum(-1)
+    sumq2 = (w[:, None, :] * q * q).sum(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        obj = np.where(sumq2 > 0, sumqx * sumqx / sumq2, -np.inf)
+        # slot 0 is the least-squares refit of the initial rounding (the
+        # pre-loop d = sumqx/sumq2), which always participates
+        best = np.argmax(obj, axis=1)  # first-wins on ties, like the loop
+        d = sumqx[np.arange(n), best] / sumq2[np.arange(n), best]
+    return np.where(dead, 0.0, d).astype(np.float32)
+
+
+def _q_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """IQ4_NL encoder (no-imatrix path of ggml quantize_iq4_nl): per-32
+    block, candidate-search scale fit + nearest-codebook rounding."""
+    d = _iq4_fit_scales(x)
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    idx = _best_iq4_index(inv[:, None] * x).astype(np.uint8)  # [n, 32]
+    q4 = idx[:, :16] | (idx[:, 16:] << np.uint8(4))
+    return np.concatenate([_to_f16_bytes(d[:, None]), q4], axis=-1)
+
+
+def _q_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """IQ4_XS encoder: the IQ4_NL per-32-group fit, then 6-bit sub-scales
+    against the super-scale d = -max_scale/32 (ggml quantize_iq4_xs)."""
+    n = x.shape[0]
+    xg = x.reshape(n * (QK_K // 32), 32)
+    scales = _iq4_fit_scales(xg).reshape(n, QK_K // 32)
+    mix = np.argmax(np.abs(scales), axis=-1)
+    max_scale = scales[np.arange(n), mix]
+    d = -max_scale / 32.0
+    inv_d = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    l = np.clip(np.rint(inv_d[:, None] * scales).astype(np.int32), -32, 31)
+    dl = d[:, None] * l
+    idl = np.where(dl != 0, 1.0 / np.where(dl == 0, 1.0, dl), 0.0)
+    idx = _best_iq4_index(idl[:, :, None]
+                          * x.reshape(n, QK_K // 32, 32)).astype(np.uint8)
+    lq = (l + 32).astype(np.uint16)
+    sl = _pack_nibbles((lq & 0xF).astype(np.uint8), 1)  # [n, 4]
+    sh = np.zeros(n, np.uint16)
+    for g in range(QK_K // 32):
+        sh |= (lq[:, g] >> 4) << np.uint16(2 * g)
+    qs = (idx[:, :, :16] | (idx[:, :, 16:] << np.uint8(4))).reshape(n, -1)
+    return np.concatenate([
+        _to_f16_bytes(d[:, None]), sh[:, None].copy().view(np.uint8),
+        sl, qs], axis=-1)
+
+
 def _q_tq1_0(x: np.ndarray) -> np.ndarray:
     """TQ1_0 encoder: round to {-1,0,1} against the block absmax, then
     pack 5 trits per byte base-243 with the ceil-rescale to the 0..255
@@ -783,6 +863,8 @@ _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.TQ1_0: _q_tq1_0,
     GGMLType.TQ2_0: _q_tq2_0,
     GGMLType.MXFP4: _q_mxfp4,
+    GGMLType.IQ4_NL: _q_iq4_nl,
+    GGMLType.IQ4_XS: _q_iq4_xs,
 }
 
 

@@ -493,6 +493,10 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
     f32 logits. Used for training/finetuning (the capability of the
     reference's ggml-opt + examples/training) and perplexity evaluation.
     Requires dense (non-QTensor) parameters for differentiability."""
+    if cfg.sandwich_norms or cfg.emb_scale != 1.0:
+        raise NotImplementedError(
+            "forward_train covers the qwen3/llama graph; Gemma's sandwich "
+            "norms / embedding scaling are inference-only for now")
     b, t = tokens.shape
     h = params["token_embd"][tokens].astype(jnp.bfloat16)  # [B, T, d]
     pos = jnp.arange(t, dtype=jnp.int32)

@@ -28,6 +28,9 @@ FORMATS = [
     (GGMLType.TQ1_0, 0.85),
     (GGMLType.TQ2_0, 0.85),
     (GGMLType.MXFP4, 0.15),
+    # non-linear 4-bit codebook encoders (candidate-search scale fit)
+    (GGMLType.IQ4_NL, 0.09),
+    (GGMLType.IQ4_XS, 0.09),
 ]
 
 
@@ -166,3 +169,16 @@ def test_ternary_mx_dequant_bit_exact_vs_oracle(qtype, oracle, rng):
     theirs = oracle.dequantize(raw, OT(int(qtype))).astype(np.float32)
     ours = quants.dequantize(raw, qtype, theirs.shape)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_iq4_encoder_beats_q4_0(rng):
+    """The IQ4_NL non-linear codebook fit must beat linear Q4_0 on N(0,1)
+    data — the point of the format (ggml quantize_iq4_nl)."""
+    x = rng.standard_normal(16 * 256).astype(np.float32)
+
+    def rmse(t):
+        y = quants.dequantize(quants.quantize(x, t), t, x.shape)
+        return float(np.sqrt(np.mean((x - y) ** 2)))
+
+    assert rmse(GGMLType.IQ4_NL) < rmse(GGMLType.Q4_0)
+    assert rmse(GGMLType.IQ4_XS) < rmse(GGMLType.Q4_0)
