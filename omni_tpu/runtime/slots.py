@@ -48,6 +48,7 @@ class Slot:
     stop_tokens: tuple = ()
     on_token: Callable | None = None  # streaming callback(token_id, text_done)
     grammar: Any = None  # omni_tpu.grammar.Grammar (constrained decoding)
+    infill: bool = False  # FIM EOG-merge sampler (llama_sampler_infill)
     n_probs: int = 0  # top-n token logprobs per step (server n_probs)
     probs_out: list = dataclasses.field(default_factory=list)
     n_keep: int = 0  # positions protected from context shift
@@ -78,7 +79,8 @@ class SlotScheduler:
     def launch(self, prompt_tokens, max_new: int = 128,
                sampler: SamplerParams | None = None,
                stop_tokens: tuple = (), on_token=None,
-               grammar=None, n_probs: int = 0) -> Slot | None:
+               grammar=None, n_probs: int = 0,
+               infill: bool = False) -> Slot | None:
         """Assign a request to a free slot (launch_slot_with_task)."""
         if len(prompt_tokens) >= self.n_ctx_slot:
             raise ValueError(
@@ -103,6 +105,7 @@ class SlotScheduler:
                 s.stop_tokens = tuple(stop_tokens)
                 s.on_token = on_token
                 s.grammar = grammar.copy() if grammar is not None else None
+                s.infill = infill
                 s.n_probs = n_probs
                 s.probs_out = []
                 s.t_start = time.time()
@@ -196,7 +199,21 @@ class SlotScheduler:
                 if not allowed:  # parse complete and nothing else legal
                     allowed = list(s.stop_tokens) or [0]
                 lg = apply_allowed_mask(lg, jnp.asarray(allowed, jnp.int32))
-            tok = sample(lg, sub, s.sampler, s.prev_tokens)
+            if s.infill and self.token_text is not None:
+                from .sampler import apply_infill_host
+
+                ids, probs = apply_infill_host(
+                    np.asarray(lg), set(s.stop_tokens),
+                    self.token_text,
+                    top_k=s.sampler.top_k if s.sampler.top_k > 0 else 40)
+                if s.sampler.greedy or s.sampler.temp <= 0:
+                    tok = jnp.int32(int(ids[int(np.argmax(probs))]))
+                else:
+                    pick = jax.random.choice(sub, len(ids),
+                                             p=jnp.asarray(probs))
+                    tok = jnp.int32(int(ids[int(pick)]))
+            else:
+                tok = sample(lg, sub, s.sampler, s.prev_tokens)
             s.prev_tokens = update_prev_tokens(s.prev_tokens, tok)
             tok = int(tok)
             if s.n_probs > 0:  # top-n logprobs (llama-server n_probs)

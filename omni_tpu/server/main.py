@@ -162,10 +162,10 @@ class ServerState:
 
     # ---- scheduler-backed completion ---------------------------------
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
-                 grammar=None, n_probs=0):
+                 grammar=None, n_probs=0, infill=False):
         # speculative fast path (greedy-exact; reference server --draft):
         # the draft proposes, the target verifies in one batched decode
-        if (self.draft_ctx is not None and grammar is None
+        if (self.draft_ctx is not None and grammar is None and not infill
                 and (sampler.greedy or sampler.temp <= 0)):
             from ..runtime.speculative import speculative_generate
 
@@ -206,7 +206,8 @@ class ServerState:
         # 16 tokens instead of 2 per token) through the slot machinery so
         # prompt-cache/slot-save contracts hold; falls back to the
         # step-scheduler for grammar/n_probs/mirostat requests
-        if (grammar is None and n_probs == 0 and sampler.mirostat == 0):
+        if (grammar is None and n_probs == 0 and sampler.mirostat == 0
+                and not infill):  # FIM needs the host-side EOG-merge sampler
             from ..runtime.context import KVCacheFull
             from ..runtime.loop import fused_generate
             from ..runtime.slots import SlotState
@@ -284,7 +285,7 @@ class ServerState:
                                      sampler=sampler,
                                      stop_tokens=self._stop_ids(),
                                      on_token=on_token, grammar=grammar,
-                                     n_probs=n_probs)
+                                     n_probs=n_probs, infill=infill)
             if slot is None:
                 return None
         while not done.is_set():
@@ -730,7 +731,8 @@ def make_handler(state: ServerState):
                 toks = state.tok.encode(pre + suf)
             out, timing = state.complete(
                 np.asarray(toks, np.int32),
-                int(body.get("n_predict", 64)), self._sampler_from(body))
+                int(body.get("n_predict", 64)), self._sampler_from(body),
+                infill=True)
             self._json(200, {"content": state.tok.decode(out),
                              "tokens_predicted": timing["n_decoded"]})
 

@@ -216,3 +216,49 @@ def test_grammar_constrained_sampling_end_to_end():
         if g.exhausted:
             break
     assert text in ("yes", "no", "yes".strip())
+
+
+class TestInfillSampler:
+    """llama_sampler_infill semantics (llama-sampling.cpp:2408-2560)."""
+
+    @staticmethod
+    def _lg(pairs, n_vocab=32):
+        import numpy as np
+        lg = np.full(n_vocab, -50.0, np.float32)
+        for tid, logit in pairs:
+            lg[tid] = logit
+        return lg
+
+    def test_eog_dominance_keeps_only_eog(self):
+        import numpy as np
+        from omni_tpu.runtime.sampler import apply_infill_host
+
+        # EOG (id 0) holds substantial mass -> 3*p_eog*n > p_txt trips
+        lg = self._lg([(0, 5.0), (1, 4.0), (2, 3.0)])
+        ids, probs = apply_infill_host(lg, {0}, lambda i: f"t{i}", top_k=8)
+        assert list(ids) == [0]
+        assert probs[0] == 1.0
+
+    def test_prefix_merge_combines_mass(self):
+        import numpy as np
+        from omni_tpu.runtime.sampler import apply_infill_host
+
+        texts = {1: "fo", 2: "foo", 3: "bar"}
+        # no EOG mass in the set; "fo" is a prefix of "foo" -> merged into
+        # the higher-p candidate; both above the 0.2 threshold
+        lg = self._lg([(1, 5.0), (2, 4.8), (3, 4.9)])
+        ids, probs = apply_infill_host(lg, {31}, lambda i: texts.get(i, "z"),
+                                       top_k=4)
+        m = dict(zip(ids.tolist(), probs.tolist()))
+        assert 2 not in m  # lower-p "foo" merged into "fo"
+        assert m[1] > m[3]  # merged mass exceeds bar's
+
+    def test_threshold_collapses_to_eog(self):
+        import numpy as np
+        from omni_tpu.runtime.sampler import apply_infill_host
+
+        # many tiny non-EOG candidates, none reaching p=0.2, no EOG mass in
+        # the top-k -> collapse to the single EOG token
+        lg = self._lg([(i, 1.0) for i in range(1, 9)])
+        ids, probs = apply_infill_host(lg, {0}, lambda i: f"w{i}", top_k=8)
+        assert list(ids) == [0] and probs[0] == 1.0
