@@ -48,6 +48,13 @@ class Slot:
     stop_tokens: tuple = ()
     on_token: Callable | None = None  # streaming callback(token_id, text_done)
     grammar: Any = None  # omni_tpu.grammar.Grammar (constrained decoding)
+    # lazy grammar (reference grammar_triggers, common/chat.cpp): the
+    # constraint stays dormant until a trigger word appears in the output,
+    # then activates from the trigger's first character
+    grammar_lazy: bool = False
+    grammar_triggers: tuple = ()
+    grammar_active: bool = True
+    grammar_buf: str = ""
     infill: bool = False  # FIM EOG-merge sampler (llama_sampler_infill)
     n_probs: int = 0  # top-n token logprobs per step (server n_probs)
     probs_out: list = dataclasses.field(default_factory=list)
@@ -55,6 +62,18 @@ class Slot:
     n_shifted: int = 0  # total positions discarded by context shifts
     t_start: float = 0.0
     t_first_token: float = 0.0
+
+
+def check_lazy_trigger(buf: str, triggers: tuple) -> int | None:
+    """Earliest index in `buf` where any trigger word starts, or None.
+    The grammar activates FROM the trigger itself (the reference's
+    COMMON_GRAMMAR_TRIGGER_TYPE_WORD semantics)."""
+    best = None
+    for t in triggers:
+        at = buf.find(t)
+        if at != -1 and (best is None or at < best):
+            best = at
+    return best
 
 
 class SlotScheduler:
@@ -80,7 +99,9 @@ class SlotScheduler:
                sampler: SamplerParams | None = None,
                stop_tokens: tuple = (), on_token=None,
                grammar=None, n_probs: int = 0,
-               infill: bool = False) -> Slot | None:
+               infill: bool = False,
+               grammar_lazy: bool = False,
+               grammar_triggers: tuple = ()) -> Slot | None:
         """Assign a request to a free slot (launch_slot_with_task)."""
         if len(prompt_tokens) >= self.n_ctx_slot:
             raise ValueError(
@@ -105,6 +126,10 @@ class SlotScheduler:
                 s.stop_tokens = tuple(stop_tokens)
                 s.on_token = on_token
                 s.grammar = grammar.copy() if grammar is not None else None
+                s.grammar_lazy = grammar_lazy
+                s.grammar_triggers = tuple(grammar_triggers)
+                s.grammar_active = not grammar_lazy
+                s.grammar_buf = ""
                 s.infill = infill
                 s.n_probs = n_probs
                 s.probs_out = []
@@ -188,7 +213,8 @@ class SlotScheduler:
         for s, row in want_logits:
             s.key, sub = jax.random.split(s.key)
             lg = jnp.asarray(logits[row])
-            if s.grammar is not None and self.vocab_trie is not None:
+            if (s.grammar is not None and s.grammar_active
+                    and self.vocab_trie is not None):
                 from .sampler import apply_allowed_mask
 
                 trie = (self.vocab_trie() if callable(self.vocab_trie)
@@ -224,7 +250,16 @@ class SlotScheduler:
                      for i, v in zip(np.asarray(top_i), np.asarray(top_v))])
             if (s.grammar is not None and self.token_text is not None
                     and tok not in s.stop_tokens):
-                s.grammar.accept(self.token_text(tok))
+                if s.grammar_active:
+                    s.grammar.accept(self.token_text(tok))
+                else:  # dormant: watch the emitted text for a trigger
+                    s.grammar_buf += self.token_text(tok)
+                    hit = check_lazy_trigger(s.grammar_buf,
+                                             s.grammar_triggers)
+                    if hit is not None:
+                        s.grammar_active = True
+                        s.grammar.accept(s.grammar_buf[hit:])
+                        s.grammar_buf = ""
             if s.n_decoded == 0:
                 s.t_first_token = time.time()
             s.n_decoded += 1

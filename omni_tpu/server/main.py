@@ -162,7 +162,8 @@ class ServerState:
 
     # ---- scheduler-backed completion ---------------------------------
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
-                 grammar=None, n_probs=0, infill=False):
+                 grammar=None, n_probs=0, infill=False,
+                 grammar_lazy=False, grammar_triggers=()):
         # speculative fast path (greedy-exact; reference server --draft):
         # the draft proposes, the target verifies in one batched decode
         if (self.draft_ctx is not None and grammar is None and not infill
@@ -285,7 +286,9 @@ class ServerState:
                                      sampler=sampler,
                                      stop_tokens=self._stop_ids(),
                                      on_token=on_token, grammar=grammar,
-                                     n_probs=n_probs, infill=infill)
+                                     n_probs=n_probs, infill=infill,
+                                     grammar_lazy=grammar_lazy,
+                                     grammar_triggers=grammar_triggers)
             if slot is None:
                 return None
         while not done.is_set():
@@ -538,6 +541,24 @@ def make_handler(state: ServerState):
             } for f in fns]
             return calls[0] if len(calls) == 1 else {"anyOf": calls}
 
+        def _hermes_tool_grammar(self, tools, tool_choice):
+            """<tool_call>{...}</tool_call> grammar for hermes/qwen-format
+            models (the reference's per-format tool grammars with lazy
+            triggers, common/chat.cpp:2142-2249). Returns (Grammar,
+            trigger words)."""
+            import re as _re
+
+            from ..grammar import json_schema_to_gbnf, parse_gbnf
+
+            body = json_schema_to_gbnf(self._tools_schema(tools, tool_choice))
+            body = _re.sub(r"\broot\b", "tc-obj", body)
+            # single optional whitespace char around the payload: unbounded
+            # [ \t\n]* lets a weak/greedy model meander in whitespace
+            # forever instead of closing the call
+            gbnf = (body + '\nnlsp ::= [ \\t\\n]?\n'
+                    'root ::= "<tool_call>" nlsp tc-obj nlsp "</tool_call>"\n')
+            return parse_gbnf(gbnf), ("<tool_call>",)
+
         def _parse_tool_call(self, text):
             try:
                 obj = json.loads(text)
@@ -583,15 +604,24 @@ def make_handler(state: ServerState):
                                    'JSON {"name": ..., "arguments": {...}}:\n'
                                    + tool_desc})
                 prompt = apply_chat_template(messages)
+            grammar_lazy, grammar_triggers = False, ()
+            tool_grammar = None
             if force_tool and chat_fmt == "generic":
                 body = dict(body)
                 body["json_schema"] = self._tools_schema(tools, tool_choice)
                 body.pop("response_format", None)
+            elif tools and tool_choice != "none" and chat_fmt == "hermes":
+                # hermes/qwen native syntax: grammar constrains the call;
+                # with "auto" choice it stays DORMANT until the model emits
+                # the <tool_call> trigger, so plain-text answers flow free
+                tool_grammar, grammar_triggers = self._hermes_tool_grammar(
+                    tools, tool_choice)
+                grammar_lazy = not force_tool
             toks = np.asarray(
                 state.tok.encode(prompt, parse_special=True), np.int32)
             max_new = int(body.get("max_tokens", 128))
             sampler = self._sampler_from(body)
-            grammar = self._grammar_from(body)
+            grammar = self._grammar_from(body) or tool_grammar
             rid = f"chatcmpl-{int(time.time()*1000)}"
             if body.get("stream"):
                 self._sse_start()
@@ -611,7 +641,8 @@ def make_handler(state: ServerState):
                     })
 
                 state.complete(toks, max_new, sampler, stream_cb=cb,
-                               grammar=grammar)
+                               grammar=grammar, grammar_lazy=grammar_lazy,
+                               grammar_triggers=grammar_triggers)
                 if parse_tools:
                     # tool-enabled stream: parse the buffered output and
                     # deliver either tool_calls deltas or the content
@@ -640,7 +671,9 @@ def make_handler(state: ServerState):
                 self._sse_done()
             else:
                 out, timing = state.complete(toks, max_new, sampler,
-                                             grammar=grammar)
+                                             grammar=grammar,
+                                             grammar_lazy=grammar_lazy,
+                                             grammar_triggers=grammar_triggers)
                 content = state.tok.decode(out, skip_special=True)
                 # parse the model-native tool-call syntax (chat-parser role)
                 from ..chat_parser import parse_response

@@ -259,3 +259,63 @@ def test_gpt_oss_parse():
     assert p["reasoning_content"] == "think hard"
     assert _one_call(p, "get_weather") == {"city": "SF"}
     assert p["content"] == "It is sunny."
+
+
+def test_server_hermes_forced_tool_call(tmp_path):
+    """End-to-end: a hermes-format template + tool_choice=required makes
+    the server apply the <tool_call> wrapper grammar — the (random) model
+    is FORCED to emit a well-formed call that parses into tool_calls."""
+    import threading
+    import urllib.request
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from omni_tpu.core import GGMLType, GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Context
+    from omni_tpu.server.main import ServerState, serve
+    from omni_tpu.testing import write_tiny_qwen3
+    from omni_tpu.tokenizer import build_tokenizer
+
+    hermes_tmpl = (CHATML_TMPL.replace(
+        "{% for message in messages %}",
+        "{% if tools %}<tool_call></tool_call>{% endif %}"
+        "{% for message in messages %}"))
+    path = tmp_path / "m.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     byte_tokenizer=True)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward, qwen3.embed,
+                  n_ctx=1024)
+    state = ServerState(ctx, build_tokenizer(reader.kv), n_slots=2,
+                        chat_template=hermes_tmpl)
+    assert state.chat_format == "hermes"
+    httpd = serve(state, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        json.dumps({
+            "messages": [{"role": "user", "content": "add 2 and 3"}],
+            "max_tokens": 96,
+            "tools": [{"type": "function", "function": {
+                "name": "add",
+                "parameters": {"type": "object",
+                               "properties": {"a": {"type": "integer"}},
+                               "required": ["a"],
+                               "additionalProperties": False}}}],
+            "tool_choice": "required",
+        }).encode(),
+        {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    msg = out["choices"][0]["message"]
+    assert msg["tool_calls"], out
+    assert msg["tool_calls"][0]["function"]["name"] == "add"
+    args = json.loads(msg["tool_calls"][0]["function"]["arguments"])
+    assert isinstance(args.get("a"), int)
+    httpd.shutdown()

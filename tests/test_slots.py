@@ -132,3 +132,44 @@ def test_streaming_callback(ctx_factory):
     sched.run_until_done()
     assert len(got) == 4
     assert got[-1][1] is True and all(not d for _, d in got[:-1])
+
+
+def test_check_lazy_trigger():
+    from omni_tpu.runtime.slots import check_lazy_trigger
+
+    assert check_lazy_trigger("hello", ("<tool_call>",)) is None
+    assert check_lazy_trigger("say <tool_call>{", ("<tool_call>",)) == 4
+    # earliest of several triggers wins
+    assert check_lazy_trigger("b then a", ("a", "then")) == 2
+    assert check_lazy_trigger("", ()) is None
+
+
+def test_lazy_grammar_dormant_then_activates(ctx_factory):
+    """A lazy grammar must not constrain sampling before its trigger
+    appears, and must constrain from the trigger onward (the reference's
+    grammar_triggers / COMMON_GRAMMAR_TRIGGER_TYPE_WORD behavior)."""
+    from omni_tpu.grammar import VocabTrie, parse_gbnf
+
+    # token texts: every id maps to a single letter (a..d cycling)
+    letters = ["a", "b", "c", "d"]
+    token_text = lambda t: letters[t % 4]
+    trie = VocabTrie((i, letters[i % 4]) for i in range(127))
+    # grammar: after trigger "b", only "a" tokens are legal
+    g = parse_gbnf('root ::= "b" "a"*\n')
+
+    ctx = ctx_factory()
+    sched = SlotScheduler(ctx, n_slots=1, n_batch=32,
+                          vocab_trie=trie, token_text=token_text)
+    s = sched.launch(np.array([3, 1, 4], np.int32), max_new=8,
+                     sampler=SamplerParams(greedy=True), stop_tokens=(127,),
+                     grammar=g, grammar_lazy=True, grammar_triggers=("b",))
+    assert not s.grammar_active  # dormant at launch
+    sched.run_until_done()
+    out_text = "".join(token_text(t) for t in s.out_tokens)
+    if "b" in out_text:
+        # everything after the first trigger char must satisfy the grammar
+        assert set(out_text[out_text.index("b") + 1:]) <= {"a"}
+        assert s.grammar_active
+    else:  # never triggered: stayed dormant, output was unconstrained
+        assert not s.grammar_active
+    sched.release(s)
