@@ -77,6 +77,26 @@ _LLM_LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+# Gemma-2/3 (sandwich norms): HF post_attention_layernorm maps to the
+# POST-attention norm (not ffn_norm), pre_feedforward takes the ffn_norm
+# slot, post_feedforward becomes post_ffw_norm
+# (reference convert_hf_to_gguf.py Gemma2Model/Gemma3Model)
+_GEMMA_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 
 def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                 out_path: str, qtype: GGMLType = GGMLType.F16,
@@ -103,12 +123,27 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.context_length",
              int(config.get("max_position_embeddings", 4096)))
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    gemma = arch.startswith("gemma")
+    if gemma:
+        if config.get("sliding_window"):
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config["sliding_window"]))
+        if config.get("attn_logit_softcapping"):
+            w.add_kv(f"{arch}.attn_logit_softcapping",
+                     float(config["attn_logit_softcapping"]))
+        if config.get("final_logit_softcapping"):
+            w.add_kv(f"{arch}.final_logit_softcapping",
+                     float(config["final_logit_softcapping"]))
     for k, v in (tokenizer_kv or {}).items():
         w.add_kv(k, v)
 
     written = []
 
     def put(name, arr, q=qtype):
+        # Gemma RMS norms store (weight + 1) on disk — the zero-centered
+        # HF convention vs the gguf one (convert_hf_to_gguf.py GemmaModel)
+        if gemma and name.endswith("norm.weight"):
+            arr = _np(arr).astype(np.float32) + 1.0
         _add(w, name, arr, q)
         written.append(name)
 
@@ -117,12 +152,13 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
         put("output.weight", state["lm_head.weight"])
     n_layers = int(config["num_hidden_layers"])
+    layer_map = _GEMMA_LAYER_MAP if gemma else _LLM_LAYER_MAP
     for i in range(n_layers):
-        for hf, gg in _LLM_LAYER_MAP.items():
+        for hf, gg in layer_map.items():
             key = f"layers.{i}.{hf}"
             if key not in state:
                 if "norm" in hf:
-                    continue  # q/k norm optional (llama has none)
+                    continue  # q/k norm optional (llama/gemma2 have none)
                 raise KeyError(f"missing {key}")
             is_norm = "norm" in hf
             put(f"blk.{i}.{gg}", state[key], None if is_norm else qtype)

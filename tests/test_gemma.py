@@ -114,50 +114,13 @@ def _tiny_gemma2_hf():
 
 
 def _hf_to_gguf(model, hcfg, path):
-    """Map HF Gemma2 weights to reference GGUF naming (+1 on RMS norms,
-    the gguf convention — convert_hf_to_gguf.py GemmaModel)."""
-    from omni_tpu.core.gguf import GGUFWriter
+    """Convert through the REAL converter (convert/hf_to_gguf.convert_llm
+    gemma path: sandwich-norm layer map, +1 on RMS norms, softcap/window
+    kv)."""
+    from omni_tpu.convert.hf_to_gguf import convert_llm
 
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    w = GGUFWriter(path)
-    arch = "gemma2"
-    w.add_kv("general.architecture", arch)
-    w.add_kv(f"{arch}.block_count", hcfg.num_hidden_layers)
-    w.add_kv(f"{arch}.embedding_length", hcfg.hidden_size)
-    w.add_kv(f"{arch}.feed_forward_length", hcfg.intermediate_size)
-    w.add_kv(f"{arch}.attention.head_count", hcfg.num_attention_heads)
-    w.add_kv(f"{arch}.attention.head_count_kv", hcfg.num_key_value_heads)
-    w.add_kv(f"{arch}.attention.key_length", hcfg.head_dim)
-    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hcfg.rms_eps
-             if hasattr(hcfg, "rms_eps") else hcfg.rms_norm_eps)
-    w.add_kv(f"{arch}.rope.freq_base", hcfg.rope_theta)
-    w.add_kv(f"{arch}.attention.sliding_window", hcfg.sliding_window)
-    w.add_kv(f"{arch}.attn_logit_softcapping", hcfg.attn_logit_softcapping)
-    w.add_kv(f"{arch}.final_logit_softcapping", hcfg.final_logit_softcapping)
-    w.add_kv(f"{arch}.vocab_size", hcfg.vocab_size)
-
-    def norm(name):
-        return sd[name].astype(np.float32) + 1.0
-
-    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"])
-    w.add_tensor("output_norm.weight", norm("model.norm.weight"))
-    for i in range(hcfg.num_hidden_layers):
-        hp, p = f"model.layers.{i}.", f"blk.{i}."
-        w.add_tensor(p + "attn_norm.weight", norm(hp + "input_layernorm.weight"))
-        w.add_tensor(p + "attn_q.weight", sd[hp + "self_attn.q_proj.weight"])
-        w.add_tensor(p + "attn_k.weight", sd[hp + "self_attn.k_proj.weight"])
-        w.add_tensor(p + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
-        w.add_tensor(p + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
-        w.add_tensor(p + "post_attention_norm.weight",
-                     norm(hp + "post_attention_layernorm.weight"))
-        w.add_tensor(p + "ffn_norm.weight",
-                     norm(hp + "pre_feedforward_layernorm.weight"))
-        w.add_tensor(p + "post_ffw_norm.weight",
-                     norm(hp + "post_feedforward_layernorm.weight"))
-        w.add_tensor(p + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
-        w.add_tensor(p + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
-        w.add_tensor(p + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
-    w.write()
+    convert_llm(sd, hcfg.to_dict(), path, arch="gemma2")
 
 
 def test_gemma2_logits_match_transformers(tmp_path):
