@@ -150,3 +150,54 @@ def test_gemma2_logits_match_transformers(tmp_path):
     for i in range(len(toks)):
         assert np.argmax(ours[i]) == np.argmax(ref[i]), i
     np.testing.assert_allclose(ours, ref, rtol=0.1, atol=0.15)
+
+
+def test_gemma3_logits_match_transformers(tmp_path):
+    """Gemma-3 gold parity vs HF eager: exercises the per-layer rope base
+    (SWA layers at 10k, the global layer at 1M) and the 5-sliding:1-global
+    interleave with the sequence exceeding the window."""
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    torch.manual_seed(0)
+    hcfg = Gemma3TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        sliding_window=6, sliding_window_pattern=6,
+        query_pre_attn_scalar=8,  # == head_dim (the non-27B rule)
+        attn_implementation="eager", tie_word_embeddings=True,
+    )
+    model = Gemma3ForCausalLM(hcfg).eval()
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "g3.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="gemma3")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.swa_window == 6 and cfg.swa_every == 6
+    assert cfg.attn_softcap == 0.0  # gemma3 dropped the softcaps
+    assert cfg.rope_base == pytest.approx(1000000.0)
+    assert cfg.rope_base_swa == pytest.approx(10000.0)
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2, 17, 23, 31, 9], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+
+    # tight absolute agreement everywhere; argmax only where the top-2
+    # margin exceeds the numeric tolerance (random tiny-model logits are
+    # nearly flat, so exact ties are luck, not correctness)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.02:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
