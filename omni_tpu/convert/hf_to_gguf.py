@@ -98,11 +98,25 @@ _GEMMA_LAYER_MAP = {
 }
 
 
+def _permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split rotary layout -> GGUF adjacent-pair (NORM) layout for
+    llama-arch q/k projections (reference convert_hf_to_gguf.py
+    LlamaModel.permute): per head, rows [r0..r_{d/2-1}, i0..i_{d/2-1}]
+    interleave to [r0, i0, r1, i1, ...]."""
+    w = _np(w)
+    return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2).reshape(w.shape))
+
+
 def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                 out_path: str, qtype: GGMLType = GGMLType.F16,
                 arch: str = "qwen3",
                 tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
-    """HF Qwen3/LLaMA-style state dict + config.json dict -> GGUF."""
+    """HF Qwen3/LLaMA-style state dict + config.json dict -> GGUF.
+
+    llama/minicpm archs rope with adjacent pairs (NORM) on disk while HF
+    checkpoints store the half-split layout, so their q/k projections are
+    permuted during conversion — exactly like the reference converter."""
     state = _strip(state, "model.")
     w = GGUFWriter(out_path)
     n_heads = int(config["num_attention_heads"])
@@ -153,6 +167,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         put("output.weight", state["lm_head.weight"])
     n_layers = int(config["num_hidden_layers"])
     layer_map = _GEMMA_LAYER_MAP if gemma else _LLM_LAYER_MAP
+    n_kv = int(config.get("num_key_value_heads", n_heads))
+    permute_qk = arch in ("llama", "minicpm", "minicpmtts")  # NORM rope
     for i in range(n_layers):
         for hf, gg in layer_map.items():
             key = f"layers.{i}.{hf}"
@@ -161,7 +177,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                     continue  # q/k norm optional (llama/gemma2 have none)
                 raise KeyError(f"missing {key}")
             is_norm = "norm" in hf
-            put(f"blk.{i}.{gg}", state[key], None if is_norm else qtype)
+            arr = state[key]
+            if permute_qk and gg == "attn_q.weight":
+                arr = _permute_rope(arr, n_heads)
+            elif permute_qk and gg == "attn_k.weight":
+                arr = _permute_rope(arr, n_kv)
+            put(f"blk.{i}.{gg}", arr, None if is_norm else qtype)
     w.write()
     return written
 
