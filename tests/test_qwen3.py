@@ -169,3 +169,42 @@ def test_fused_quantized_runs(tmp_path):
                   qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=np.array([1, 2, 3], np.int32)))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_qwen3_logits_match_transformers(tmp_path):
+    """Gold parity vs HF eager Qwen3ForCausalLM (independent implementation):
+    NeoX rope needs NO q/k permute, per-head q/k RMS norms included."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    torch.manual_seed(0)
+    hcfg = Qwen3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=True,
+    )
+    model = Qwen3ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "q3.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="qwen3")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is True
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.02:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
