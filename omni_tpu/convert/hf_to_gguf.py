@@ -137,6 +137,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.context_length",
              int(config.get("max_position_embeddings", 4096)))
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if config.get("num_experts"):
+        w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(config.get("num_experts_per_tok", 2)))
     gemma = arch.startswith("gemma")
     if gemma:
         if config.get("sliding_window"):
@@ -170,11 +174,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts")  # NORM rope
     for i in range(n_layers):
+        moe = f"layers.{i}.mlp.experts.0.gate_proj.weight" in state
         for hf, gg in layer_map.items():
             key = f"layers.{i}.{hf}"
             if key not in state:
-                if "norm" in hf:
-                    continue  # q/k norm optional (llama/gemma2 have none)
+                if "norm" in hf or (moe and hf.startswith("mlp.")):
+                    continue  # q/k norm optional; MoE layers lack dense ffn
                 raise KeyError(f"missing {key}")
             is_norm = "norm" in hf
             arr = state[key]
@@ -183,6 +188,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             elif permute_qk and gg == "attn_k.weight":
                 arr = _permute_rope(arr, n_kv)
             put(f"blk.{i}.{gg}", arr, None if is_norm else qtype)
+        if moe:  # qwen3moe/mixtral-style expert stacks
+            n_exp = int(config["num_experts"])
+            put(f"blk.{i}.ffn_gate_inp.weight",
+                state[f"layers.{i}.mlp.gate.weight"], None)
+            for hfp, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                stack = np.stack([
+                    _np(state[f"layers.{i}.mlp.experts.{e}.{hfp}.weight"])
+                    for e in range(n_exp)])
+                put(f"blk.{i}.{gg}.weight", stack, qtype)
     w.write()
     return written
 

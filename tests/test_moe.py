@@ -168,3 +168,53 @@ def test_moe_q4k_experts(tmp_path):
                   sampler=SamplerParams(greedy=True))
     out = ctx.generate(np.array([3, 5], np.int32), max_new=3)
     assert len(out) == 3
+
+
+def test_qwen3moe_logits_match_transformers(tmp_path):
+    """Gold parity vs HF eager Qwen3MoeForCausalLM: top-k routing with
+    normalized weights, expert stacks converted from per-expert HF
+    projections — both the decode gather path (T*k small) and the
+    capacity-dispatch path (prefill) must match the oracle."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Qwen3MoeConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=True, max_position_embeddings=128,
+        rope_theta=10000.0, attn_implementation="eager",
+        tie_word_embeddings=True, mlp_only_layers=[],
+    )
+    model = Qwen3MoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "q3moe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="qwen3moe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    # prefill (capacity dispatch, T=8)
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    # token-by-token (decode gather path, T=1)
+    ctx2 = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    outs = []
+    for t in toks:
+        lg, _ = ctx2.decode(Batch(tokens=np.array([t], np.int32)))
+        outs.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(outs), ref, atol=0.03)
