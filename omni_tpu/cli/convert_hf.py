@@ -1,0 +1,100 @@
+"""omni-convert-hf: HuggingFace checkpoint directory -> GGUF.
+
+Counterpart of the reference's convert_hf_to_gguf.py script for the LLM
+architectures this framework serves (qwen3, qwen3moe, llama/minicpm with
+the rope permute, gemma2/gemma3 with sandwich-norm mapping and +1 RMS
+norms). Reads config.json + *.safetensors (single- or multi-shard via
+model.safetensors.index.json) with the dependency-free reader.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from ..core.dtypes import GGMLType
+
+ARCHES = ("qwen3", "qwen3moe", "llama", "minicpm", "gemma2", "gemma3")
+
+_HF_ARCH_MAP = {
+    "Qwen3ForCausalLM": "qwen3",
+    "Qwen3MoeForCausalLM": "qwen3moe",
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+    "MiniCPMForCausalLM": "minicpm",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Gemma3ForConditionalGeneration": "gemma3",
+}
+
+
+def load_hf_dir(model_dir: str) -> tuple[dict, dict]:
+    """-> (state_dict, config) from a HF checkpoint directory."""
+    from ..convert.lora import read_safetensors
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        config = json.load(f)
+    # multimodal wrappers nest the text config
+    if "text_config" in config:
+        config = {**config, **config["text_config"]}
+
+    idx_path = os.path.join(model_dir, "model.safetensors.index.json")
+    state: dict = {}
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        for s in shards:
+            state.update(read_safetensors(os.path.join(model_dir, s)))
+    else:
+        files = sorted(fn for fn in os.listdir(model_dir)
+                       if fn.endswith(".safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+        for fn in files:
+            state.update(read_safetensors(os.path.join(model_dir, fn)))
+    return state, config
+
+
+def detect_arch(config: dict) -> str:
+    for a in config.get("architectures") or []:
+        if a in _HF_ARCH_MAP:
+            return _HF_ARCH_MAP[a]
+    mt = config.get("model_type", "")
+    for a in ARCHES:
+        if mt.replace("_", "") == a or mt == a:
+            return a
+    raise SystemExit(f"unsupported architecture: "
+                     f"{config.get('architectures')} / {mt!r}; "
+                     f"supported: {', '.join(ARCHES)}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="omni-convert-hf",
+        description="Convert a HF LLM checkpoint directory to GGUF")
+    ap.add_argument("model_dir")
+    ap.add_argument("out_path")
+    ap.add_argument("--arch", choices=ARCHES, default=None,
+                    help="override architecture autodetection")
+    ap.add_argument("--outtype", choices=("f32", "f16", "q8_0", "q4_k"),
+                    default="f16")
+    args = ap.parse_args(argv)
+
+    from ..convert.hf_to_gguf import convert_llm
+
+    state, config = load_hf_dir(args.model_dir)
+    arch = args.arch or detect_arch(config)
+    qtype = {"f32": GGMLType.F32, "f16": GGMLType.F16,
+             "q8_0": GGMLType.Q8_0, "q4_k": GGMLType.Q4_K}[args.outtype]
+    written = convert_llm(state, config, args.out_path, qtype=qtype,
+                          arch=arch)
+    size = os.path.getsize(args.out_path) / 1e6
+    print(f"wrote {args.out_path}: arch={arch} {len(written)} tensors "
+          f"({args.outtype}), {size:.1f} MB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

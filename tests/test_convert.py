@@ -310,3 +310,36 @@ def test_convert_tts_runs_decode(tmp_path):
     logits = tts_mod.audio_logits(extras, jnp.asarray(hidden[-1]))
     assert logits.shape == (96,)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_hf_cli_end_to_end(tmp_path):
+    """omni-convert-hf drives a real HF save_pretrained directory through
+    autodetection + conversion, and the result loads and decodes."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from omni_tpu.cli.convert_hf import main as convert_main
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Qwen3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, tie_word_embeddings=True)
+    model = Qwen3ForCausalLM(hcfg)
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    out = tmp_path / "m.gguf"
+    assert convert_main([str(hf_dir), str(out)]) == 0
+
+    reader = GGUFReader(out)
+    assert reader.kv["general.architecture"] == "qwen3"
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                  qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=np.array([1, 2, 3], np.int32)))
+    assert np.isfinite(np.asarray(logits)).all()
