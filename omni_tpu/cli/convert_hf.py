@@ -16,7 +16,8 @@ import sys
 
 from ..core.dtypes import GGMLType
 
-ARCHES = ("qwen3", "qwen3moe", "llama", "minicpm", "gemma2", "gemma3")
+ARCHES = ("qwen3", "qwen3moe", "llama", "minicpm", "gemma2", "gemma3",
+          "phi3")
 
 _HF_ARCH_MAP = {
     "Qwen3ForCausalLM": "qwen3",
@@ -27,6 +28,7 @@ _HF_ARCH_MAP = {
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
     "Gemma3ForConditionalGeneration": "gemma3",
+    "Phi3ForCausalLM": "phi3",
 }
 
 

@@ -173,6 +173,18 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     layer_map = _GEMMA_LAYER_MAP if gemma else _LLM_LAYER_MAP
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts")  # NORM rope
+    if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
+        state = dict(state)
+        qd, kvd = n_heads * head_dim, n_kv * head_dim
+        d_ff = int(config["intermediate_size"])
+        for i in range(n_layers):
+            qkv = _np(state.pop(f"layers.{i}.self_attn.qkv_proj.weight"))
+            state[f"layers.{i}.self_attn.q_proj.weight"] = qkv[:qd]
+            state[f"layers.{i}.self_attn.k_proj.weight"] = qkv[qd:qd + kvd]
+            state[f"layers.{i}.self_attn.v_proj.weight"] = qkv[qd + kvd:]
+            gu = _np(state.pop(f"layers.{i}.mlp.gate_up_proj.weight"))
+            state[f"layers.{i}.mlp.gate_proj.weight"] = gu[:d_ff]
+            state[f"layers.{i}.mlp.up_proj.weight"] = gu[d_ff:]
     for i in range(n_layers):
         moe = f"layers.{i}.mlp.experts.0.gate_proj.weight" in state
         for hf, gg in layer_map.items():

@@ -132,3 +132,43 @@ def test_llama_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.02:
             assert np.argmax(ours[i]) == np.argmax(ref[i]), i
+
+
+def test_phi3_logits_match_transformers(tmp_path):
+    """Phi-3 (fused qkv/gate_up split during conversion, NeoX rope) gold
+    parity vs the HF eager implementation."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        attn_implementation="eager")
+    model = Phi3ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "p3.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="phi3")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is True
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.02:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
