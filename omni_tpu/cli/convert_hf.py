@@ -16,10 +16,11 @@ import sys
 
 from ..core.dtypes import GGMLType
 
-ARCHES = ("qwen3", "qwen3moe", "llama", "minicpm", "gemma2", "gemma3",
-          "phi3")
+ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
+          "gemma3", "phi3")
 
 _HF_ARCH_MAP = {
+    "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen3MoeForCausalLM": "qwen3moe",
     "LlamaForCausalLM": "llama",

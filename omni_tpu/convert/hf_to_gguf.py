@@ -67,6 +67,10 @@ _LLM_LAYER_MAP = {
     "self_attn.q_proj.weight": "attn_q.weight",
     "self_attn.k_proj.weight": "attn_k.weight",
     "self_attn.v_proj.weight": "attn_v.weight",
+    # attention biases (qwen2/qwen2.5)
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.o_proj.weight": "attn_output.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
@@ -190,10 +194,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         for hf, gg in layer_map.items():
             key = f"layers.{i}.{hf}"
             if key not in state:
-                if "norm" in hf or (moe and hf.startswith("mlp.")):
-                    continue  # q/k norm optional; MoE layers lack dense ffn
+                if ("norm" in hf or hf.endswith(".bias")
+                        or (moe and hf.startswith("mlp."))):
+                    continue  # q/k norm + biases optional; MoE lacks dense
                 raise KeyError(f"missing {key}")
-            is_norm = "norm" in hf
+            is_norm = "norm" in hf or hf.endswith(".bias")
             arr = state[key]
             if permute_qk and gg == "attn_q.weight":
                 arr = _permute_rope(arr, n_heads)

@@ -127,6 +127,11 @@ def fuse_layer(layer: dict) -> dict:
     out["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
     for k in ("wq", "wk", "wv"):
         del out[k]
+    if layer.get("bq") is not None:  # qwen2-family attention biases
+        out["bqkv"] = jnp.concatenate([layer["bq"], layer["bk"],
+                                       layer["bv"]])
+        for k in ("bq", "bk", "bv"):
+            del out[k]
     if layer.get("w_gate") is not None:  # dense FFN only (MoE keeps experts)
         out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
         for k in ("w_gate", "w_up"):
@@ -174,6 +179,10 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "wo": get(p + "attn_output.weight"),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
+            # attention projection biases (qwen2/qwen2.5 family)
+            "bq": get(p + "attn_q.bias", required=False, keep_q=False),
+            "bk": get(p + "attn_k.bias", required=False, keep_q=False),
+            "bv": get(p + "attn_v.bias", required=False, keep_q=False),
             "ffn_norm": get(p + "ffn_norm.weight"),
             # Gemma-2/3 sandwich norms (post_attention_norm / post_ffw_norm)
             "attn_post_norm": get(p + "post_attention_norm.weight",
@@ -293,13 +302,20 @@ def forward(
         hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
         if "wqkv" in lp:  # fused decode fast path
             qkv = matmul(hn, lp["wqkv"])
+            if lp.get("bqkv") is not None:  # qwen2-family attn biases
+                qkv = qkv + lp["bqkv"].astype(qkv.dtype)
             q = qkv[:, :qd].reshape(t, cfg.n_heads, cfg.head_dim)
             k = qkv[:, qd:qd + kvd].reshape(t, cfg.n_kv_heads, cfg.head_dim)
             v = qkv[:, qd + kvd:].reshape(t, cfg.n_kv_heads, cfg.head_dim)
         else:
-            q = matmul(hn, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
-            k = matmul(hn, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
-            v = matmul(hn, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            q, k, v = (matmul(hn, lp[w]) for w in ("wq", "wk", "wv"))
+            if lp.get("bq") is not None:  # qwen2-family attn biases
+                q = q + lp["bq"].astype(q.dtype)
+                k = k + lp["bk"].astype(k.dtype)
+                v = v + lp["bv"].astype(v.dtype)
+            q = q.reshape(t, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
         if lp["q_norm"] is not None:
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:
@@ -511,9 +527,14 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
     for lp in params["layers"]:
         h_in = h
         hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = lin(hn, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = lin(hn, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = lin(hn, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = (lin(hn, lp[w]) for w in ("wq", "wk", "wv"))
+        if lp.get("bq") is not None:  # qwen2-family attention biases
+            q = q + lp["bq"].astype(q.dtype)
+            k = k + lp["bk"].astype(k.dtype)
+            v = v + lp["bv"].astype(v.dtype)
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         if lp["q_norm"] is not None:
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         if lp["k_norm"] is not None:

@@ -208,3 +208,44 @@ def test_qwen3_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.02:
             assert np.argmax(ours[i]) == np.argmax(ref[i]), i
+
+
+def test_qwen2_logits_match_transformers(tmp_path):
+    """Qwen-2/2.5 family: attention projection BIASES (no q/k norm) — gold
+    parity vs HF eager Qwen2ForCausalLM, both unfused and fused (bqkv)
+    parameter layouts."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    torch.manual_seed(0)
+    hcfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Qwen2ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "q2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="qwen2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["bq"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    for fuse in (False, True):
+        p = qwen3.load_params(reader, fuse=fuse)
+        ctx = Context(cfg, p, qwen3.forward, qwen3.embed, n_ctx=32)
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        ours = np.asarray(logits)
+        np.testing.assert_allclose(ours, ref, atol=0.02)
+        for i in range(len(toks)):
+            top2 = np.sort(ref[i])[-2:]
+            if top2[1] - top2[0] > 0.02:
+                assert np.argmax(ours[i]) == np.argmax(ref[i]), (fuse, i)
