@@ -25,6 +25,7 @@ _HF_ARCH_MAP = {
     "Qwen3MoeForCausalLM": "qwen3moe",
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
+    "MixtralForCausalLM": "llama",
     "MiniCPMForCausalLM": "minicpm",
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",

@@ -122,10 +122,26 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     checkpoints store the half-split layout, so their q/k projections are
     permuted during conversion — exactly like the reference converter."""
     state = _strip(state, "model.")
+    if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
+        # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
+        # w3=up, w2=down; reference convert_hf_to_gguf.py MixtralModel)
+        ren = {"block_sparse_moe.gate.": "mlp.gate.",
+               ".w1.": ".gate_proj.", ".w3.": ".up_proj.",
+               ".w2.": ".down_proj."}
+        out_state = {}
+        for k, v in state.items():
+            k = k.replace("block_sparse_moe.experts.", "mlp.experts.")
+            for a, b in ren.items():
+                k = k.replace(a, b)
+            out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "num_experts": config.get("num_experts")
+                  or config.get("num_local_experts")}
     w = GGUFWriter(out_path)
     n_heads = int(config["num_attention_heads"])
     d_model = int(config["hidden_size"])
-    head_dim = int(config.get("head_dim", d_model // n_heads))
+    head_dim = int(config.get("head_dim") or d_model // n_heads)
     w.add_kv("general.architecture", arch)
     w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
     w.add_kv(f"{arch}.embedding_length", d_model)

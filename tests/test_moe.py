@@ -218,3 +218,39 @@ def test_qwen3moe_logits_match_transformers(tmp_path):
         lg, _ = ctx2.decode(Batch(tokens=np.array([t], np.int32)))
         outs.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(outs), ref, atol=0.03)
+
+
+def test_mixtral_logits_match_transformers(tmp_path):
+    """Mixtral (llama arch + experts: rope permute AND w1/w2/w3 renaming)
+    gold parity vs HF eager."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = MixtralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = MixtralForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "mix.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="llama")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.n_experts == 4 and cfg.rope_neox is False
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
