@@ -161,6 +161,18 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(config.get("num_experts_per_tok", 2)))
+    if arch in ("granite", "granitemoe"):
+        # HF Granite multipliers -> granite kv scales (llama-model.cpp
+        # LLM_KV_{EMBEDDING,RESIDUAL,LOGIT}_SCALE + ATTENTION_SCALE)
+        w.add_kv(f"{arch}.embedding_scale",
+                 float(config.get("embedding_multiplier", 1.0)))
+        w.add_kv(f"{arch}.residual_scale",
+                 float(config.get("residual_multiplier", 1.0)))
+        w.add_kv(f"{arch}.logit_scale",
+                 float(config.get("logits_scaling", 1.0)))
+        if config.get("attention_multiplier"):
+            w.add_kv(f"{arch}.attention.scale",
+                     float(config["attention_multiplier"]))
     gemma = arch.startswith("gemma")
     if gemma:
         if config.get("sliding_window"):
@@ -192,7 +204,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_layers = int(config["num_hidden_layers"])
     layer_map = _GEMMA_LAYER_MAP if gemma else _LLM_LAYER_MAP
     n_kv = int(config.get("num_key_value_heads", n_heads))
-    permute_qk = arch in ("llama", "minicpm", "minicpmtts")  # NORM rope
+    permute_qk = arch in ("llama", "minicpm", "minicpmtts",
+                      "granite", "granitemoe")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim

@@ -51,6 +51,11 @@ class Qwen3Config:
     # --- Gemma-family knobs (reference llm_build_gemma3_iswa /
     # llm_build_gemma2_iswa, llama-model.cpp:1157-1204) ---
     emb_scale: float = 1.0       # token embeddings × sqrt(d_model)
+    # granite/minicpm scales (llm_build_granite, llama-model.cpp:16012):
+    # attn/ffn outputs × residual_scale before the residual add; logits
+    # × 1/logit_scale
+    residual_scale: float = 1.0
+    logit_scale: float = 1.0
     act: str = "silu"            # "gelu" = tanh-approx GELU (LLM_FFN_GELU)
     sandwich_norms: bool = False  # post-attention + post-ffw RMS norms
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
@@ -81,8 +86,27 @@ class Qwen3Config:
         attn_scale = None
         if (arch, int(g("block_count"))) in (("gemma2", 46), ("gemma3", 62)):
             attn_scale = 1.0 / (d_model / n_heads) ** 0.5
+        # minicpm/granite run the granite graph: embedding/residual/logit
+        # scales from kv, with MiniCPM's backward-compatible defaults
+        # (llama-model.cpp:688-706, 1805-1840)
+        emb_scale, residual_scale, logit_scale = 1.0, 1.0, 1.0
+        n_layers_ = int(g("block_count"))
+        if arch == "minicpm":
+            emb_scale = float(g("embedding_scale", 12.0))
+            residual_scale = float(g("residual_scale",
+                                     1.4 / n_layers_ ** 0.5))
+            logit_scale = float(g("logit_scale", 256.0 / d_model))
+        elif arch in ("granite", "granitemoe"):
+            emb_scale = float(g("embedding_scale", 1.0))
+            residual_scale = float(g("residual_scale", 1.0))
+            logit_scale = float(g("logit_scale", 1.0))
+            if g("attention.scale") is not None:
+                attn_scale = float(g("attention.scale"))
+        elif gemma:
+            emb_scale = float(d_model) ** 0.5
         return Qwen3Config(
-            rope_neox=arch not in ("llama", "minicpm", "minicpmtts"),
+            rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
+                                   "granite", "granitemoe"),
             n_layers=int(g("block_count")),
             d_model=d_model,
             n_heads=n_heads,
@@ -95,7 +119,9 @@ class Qwen3Config:
             rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
-            emb_scale=float(d_model) ** 0.5 if gemma else 1.0,
+            emb_scale=emb_scale,
+            residual_scale=residual_scale,
+            logit_scale=logit_scale,
             act="gelu" if gemma else "silu",
             sandwich_norms=arch in ("gemma2", "gemma3"),
             attn_scale=attn_scale,
@@ -343,6 +369,8 @@ def forward(
         attn_out = matmul(attn.reshape(t, -1), lp["wo"])
         if cfg.sandwich_norms:  # Gemma post-attention norm
             attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
+        if cfg.residual_scale != 1.0:  # granite/minicpm
+            attn_out = attn_out * jnp.bfloat16(cfg.residual_scale)
         h = h_in + attn_out
 
         h_in = h
@@ -365,6 +393,8 @@ def forward(
                 lp["w_down"])
         if cfg.sandwich_norms:  # Gemma post-ffw norm
             ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
+        if cfg.residual_scale != 1.0:  # granite/minicpm
+            ffn_out = ffn_out * jnp.bfloat16(cfg.residual_scale)
         h = h_in + ffn_out
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
@@ -384,6 +414,8 @@ def forward(
         logits = matmul(hidden, head, out_dtype=jnp.float32)
         if cfg.final_softcap > 0.0:  # Gemma-2 final logit capping
             logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+        if cfg.logit_scale != 1.0:  # granite/minicpm: logits / scale
+            logits = logits / cfg.logit_scale
     return logits, hidden.astype(jnp.float32), cache
 
 

@@ -172,3 +172,48 @@ def test_phi3_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.02:
             assert np.argmax(ours[i]) == np.argmax(ref[i]), i
+
+
+def test_granite_logits_match_transformers(tmp_path):
+    """Granite (the builder MiniCPM also runs on): embedding/residual/
+    logit multipliers + attention scale, NORM-rope permute — gold parity
+    vs HF eager GraniteForCausalLM."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GraniteConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        logits_scaling=8.0, attention_multiplier=0.3,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = GraniteForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "gr.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="granite")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is False
+    assert cfg.emb_scale == 12.0 and cfg.logit_scale == 8.0
+    assert cfg.attn_scale == pytest.approx(0.3)
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.02:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
