@@ -45,6 +45,10 @@ def _layer_rules() -> dict[str, str]:
         "wqkv": "col", "w_gateup": "col",  # fused decode layout
         "attn_norm": "rep", "ffn_norm": "rep",
         "q_norm": "rep", "k_norm": "rep",
+        "attn_post_norm": "rep", "ffn_post_norm": "rep",  # gemma sandwich
+        # qwen2 attention biases ride with their column-parallel weights
+        "bq": "bias_col", "bk": "bias_col", "bv": "bias_col",
+        "bqkv": "bias_col",
         # MoE: shard the EXPERT axis over tp (expert parallelism, §2.8)
         "gate_exps": "ep", "up_exps": "ep", "down_exps": "ep",
         "gate_inp": "rep",
@@ -55,6 +59,8 @@ def _spec_for(value: Any, orientation: str) -> Any:
     """PartitionSpec pytree matching the structure of `value`."""
     if orientation == "ep":  # [E, ...] expert stacks: shard experts on tp
         return P(*(("tp",) + (None,) * (value.ndim - 1)))
+    if orientation == "bias_col":  # 1-D bias of a col-parallel projection
+        return P("tp")
     if orientation == "rep":
         return P() if not isinstance(value, QTensor) else jax.tree.map(
             lambda _: P(), value)
