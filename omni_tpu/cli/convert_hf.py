@@ -17,7 +17,7 @@ import sys
 from ..core.dtypes import GGMLType
 
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
-          "gemma3", "phi3", "granite")
+          "gemma3", "phi3", "granite", "gpt-oss")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -32,6 +32,7 @@ _HF_ARCH_MAP = {
     "Gemma3ForConditionalGeneration": "gemma3",
     "Phi3ForCausalLM": "phi3",
     "GraniteForCausalLM": "granite",
+    "GptOssForCausalLM": "gpt-oss",
 }
 
 

@@ -72,6 +72,7 @@ _LLM_LAYER_MAP = {
     "self_attn.k_proj.bias": "attn_k.bias",
     "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
     "input_layernorm.weight": "attn_norm.weight",
@@ -157,6 +158,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.context_length",
              int(config.get("max_position_embeddings", 4096)))
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if arch == "gpt-oss":
+        config = {**config, "num_experts": config.get("num_experts")
+                  or config.get("num_local_experts")}
+        if config.get("sliding_window"):
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config["sliding_window"]))
     if config.get("num_experts"):
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -219,7 +226,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             state[f"layers.{i}.mlp.gate_proj.weight"] = gu[:d_ff]
             state[f"layers.{i}.mlp.up_proj.weight"] = gu[d_ff:]
     for i in range(n_layers):
-        moe = f"layers.{i}.mlp.experts.0.gate_proj.weight" in state
+        moe = (f"layers.{i}.mlp.experts.0.gate_proj.weight" in state
+               or arch == "gpt-oss")
         for hf, gg in layer_map.items():
             key = f"layers.{i}.{hf}"
             if key not in state:
@@ -234,7 +242,32 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             elif permute_qk and gg == "attn_k.weight":
                 arr = _permute_rope(arr, n_kv)
             put(f"blk.{i}.{gg}", arr, None if is_norm else qtype)
-        if moe:  # qwen3moe/mixtral-style expert stacks
+        if arch == "gpt-oss":
+            # fused+interleaved expert tensors: gate_up_proj [E, d, 2F]
+            # (even cols = gate, odd = up — GptOssExperts), down [E, F, d];
+            # GGUF stacks are [E, F, d] / [E, d, F]; plus sinks, router
+            # bias and per-projection expert biases
+            pfx = f"layers.{i}."
+            put(f"blk.{i}.attn_sinks.weight",
+                state[pfx + "self_attn.sinks"], None)
+            put(f"blk.{i}.ffn_gate_inp.weight",
+                state[pfx + "mlp.router.weight"], None)
+            put(f"blk.{i}.ffn_gate_inp.bias",
+                state[pfx + "mlp.router.bias"], None)
+            gu = _np(state[pfx + "mlp.experts.gate_up_proj"])
+            gub = _np(state[pfx + "mlp.experts.gate_up_proj_bias"])
+            put(f"blk.{i}.ffn_gate_exps.weight",
+                np.ascontiguousarray(gu[..., ::2].transpose(0, 2, 1)), None)
+            put(f"blk.{i}.ffn_up_exps.weight",
+                np.ascontiguousarray(gu[..., 1::2].transpose(0, 2, 1)), None)
+            put(f"blk.{i}.ffn_gate_exps.bias", gub[:, ::2], None)
+            put(f"blk.{i}.ffn_up_exps.bias", gub[:, 1::2], None)
+            dn = _np(state[pfx + "mlp.experts.down_proj"])
+            put(f"blk.{i}.ffn_down_exps.weight",
+                np.ascontiguousarray(dn.transpose(0, 2, 1)), None)
+            put(f"blk.{i}.ffn_down_exps.bias",
+                state[pfx + "mlp.experts.down_proj_bias"], None)
+        elif moe:  # qwen3moe/mixtral-style expert stacks
             n_exp = int(config["num_experts"])
             put(f"blk.{i}.ffn_gate_inp.weight",
                 state[f"layers.{i}.mlp.gate.weight"], None)

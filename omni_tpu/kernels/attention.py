@@ -29,6 +29,7 @@ def mixed_attention(
     mask_cur: jax.Array,  # [T, T] causal+same-seq within the batch
     scale: float | None = None,
     logit_softcap: float = 0.0,
+    sinks: jax.Array | None = None,  # [Hq] learned sink logits (gpt-oss)
 ) -> jax.Array:
     """Attention over pool ∪ current batch with ONE joint softmax — the
     deferred-write decode path: the pool is read pre-write, the batch's own
@@ -57,7 +58,15 @@ def mixed_attention(
     sc_pool = jnp.where(mp[None], sc_pool, NEG_INF)
     sc_cur = jnp.where(mc[None], sc_cur, NEG_INF)
     sc = jnp.concatenate([sc_pool, sc_cur], axis=-1)
-    p = jax.nn.softmax(sc, axis=-1).astype(cdtype)
+    if sinks is not None:
+        # per-head sink logit joins the softmax and its mass is dropped
+        # (ggml_soft_max_add_sinks semantics); q-head h = hkv_idx*g + g_idx
+        sk = (jnp.broadcast_to(sinks.reshape(hkv, 1, g), (hkv, t, g))
+              .reshape(hkv, t * g, 1).astype(jnp.float32))
+        p = jax.nn.softmax(jnp.concatenate([sc, sk], axis=-1),
+                           axis=-1)[..., :-1].astype(cdtype)
+    else:
+        p = jax.nn.softmax(sc, axis=-1).astype(cdtype)
     s = k_pool.shape[1]
     out = jnp.einsum("hrs,hsd->hrd", p[..., :s], v_pool.astype(cdtype),
                      preferred_element_type=jnp.float32)
@@ -69,14 +78,15 @@ def mixed_attention(
 
 def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
                    scale: float | None = None,
-                   logit_softcap: float = 0.0) -> jax.Array:
+                   logit_softcap: float = 0.0,
+                   sinks: jax.Array | None = None) -> jax.Array:
     """Attention over one layer of the KV cell pool, picking the best
     kernel for the storage dtype: int8 KV on TPU goes through the Pallas
     flash kernel (in-register dequant, half the HBM traffic); bf16 uses
     XLA's fused attention (faster on v5e — docs/PERF.md). Soft-capped
     scores (Gemma-2) always take the XLA path — the flash kernel has no
     tanh stage."""
-    if (cache.quantized and logit_softcap == 0.0
+    if (cache.quantized and logit_softcap == 0.0 and sinks is None
             and jax.default_backend() == "tpu"):
         from .flash_attention import flash_decode
 
@@ -85,7 +95,7 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
                             scale=scale)
     kc, vc = cache.read_layer(layer)
     return cache_attention(q, kc, vc, mask, scale=scale,
-                           logit_softcap=logit_softcap)
+                           logit_softcap=logit_softcap, sinks=sinks)
 
 
 def cache_attention(
@@ -95,6 +105,7 @@ def cache_attention(
     mask: jax.Array,  # [T, S] bool
     scale: float | None = None,
     logit_softcap: float = 0.0,
+    sinks: jax.Array | None = None,  # [Hq] learned sink logits (gpt-oss)
 ) -> jax.Array:
     t, hq, d = q.shape
     hkv, s, _ = k.shape
@@ -114,7 +125,13 @@ def cache_attention(
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     mask_r = jnp.repeat(mask, g, axis=0)  # [T*G, S]
     scores = jnp.where(mask_r[None], scores, NEG_INF)
-    p = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:  # gpt-oss sink column, dropped after softmax
+        sk = (jnp.broadcast_to(sinks.reshape(hkv, 1, g), (hkv, t, g))
+              .reshape(hkv, t * g, 1).astype(jnp.float32))
+        p = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1),
+                           axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hrs,hsd->hrd", p.astype(cdtype), v.astype(cdtype),
                      preferred_element_type=jnp.float32)
     return (out.reshape(hkv, t, g, d).transpose(1, 0, 2, 3)

@@ -57,6 +57,9 @@ class Qwen3Config:
     residual_scale: float = 1.0
     logit_scale: float = 1.0
     act: str = "silu"            # "gelu" = tanh-approx GELU (LLM_FFN_GELU)
+    # MoE expert activation: "swiglu_oai" = gpt-oss clamped swiglu
+    # (ggml_swiglu_oai: alpha=1.702, limit=7.0)
+    moe_act: str = "silu"
     sandwich_norms: bool = False  # post-attention + post-ffw RMS norms
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
     attn_softcap: float = 0.0    # Gemma-2 attn logit capping
@@ -107,6 +110,7 @@ class Qwen3Config:
         return Qwen3Config(
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe"),
+            moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
             d_model=d_model,
             n_heads=n_heads,
@@ -131,11 +135,13 @@ class Qwen3Config:
             if arch == "gemma2" else 0.0,
             swa_window=int(g("attention.sliding_window",
                              4096 if arch == "gemma2" else 0))
-            if gemma else 0,
-            # gemma2 alternates SWA/full (pattern 2); gemma3 runs 5 SWA +
-            # 1 full (pattern 6) — llama-model.cpp set_swa_pattern calls
-            swa_every=(2 if arch == "gemma2" else
+            if (gemma or arch == "gpt-oss") else 0,
+            # gemma2 and gpt-oss alternate SWA/full (pattern 2); gemma3
+            # runs 5 SWA + 1 full (pattern 6) — set_swa_pattern calls
+            swa_every=(2 if arch in ("gemma2", "gpt-oss") else
                        6 if arch == "gemma3" else 0),
+            rope_base_swa=(float(g("rope.freq_base", 10000.0))
+                           if arch == "gpt-oss" else 10000.0),
         )
 
 
@@ -205,11 +211,15 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "wo": get(p + "attn_output.weight"),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
-            # attention projection biases (qwen2/qwen2.5 family)
+            # attention projection biases (qwen2/qwen2.5, gpt-oss)
             "bq": get(p + "attn_q.bias", required=False, keep_q=False),
             "bk": get(p + "attn_k.bias", required=False, keep_q=False),
             "bv": get(p + "attn_v.bias", required=False, keep_q=False),
-            "ffn_norm": get(p + "ffn_norm.weight"),
+            "bo": get(p + "attn_output.bias", required=False, keep_q=False),
+            # learned attention-sink logits (gpt-oss, blk.N.attn_sinks)
+            "sinks": get(p + "attn_sinks.weight", required=False,
+                         keep_q=False),
+            "ffn_norm": get(p + "ffn_norm.weight", required=False),
             # Gemma-2/3 sandwich norms (post_attention_norm / post_ffw_norm)
             "attn_post_norm": get(p + "post_attention_norm.weight",
                                   required=False),
@@ -217,6 +227,14 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                  required=False),
         })
         lp = params["layers"][-1]
+        if lp["ffn_norm"] is None and lp["attn_post_norm"] is not None:
+            # gpt-oss names its (only) pre-ffn norm "post_attention_norm";
+            # without a separate ffn_norm it takes that slot and the graph
+            # is plain pre-norm (llm_build_openai_moe_iswa)
+            lp["ffn_norm"] = lp["attn_post_norm"]
+            lp["attn_post_norm"] = None
+        elif lp["ffn_norm"] is None:
+            raise KeyError(f"missing tensor {p}ffn_norm.weight")
         if f"{p}ffn_gate_inp.weight" in reader.tensors:
             # MoE FFN (reference blk.N.ffn_{gate_inp,gate_exps,up_exps,
             # down_exps}): quantized 3-D expert stacks stay quantized as a
@@ -224,11 +242,16 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             # dispatched expert batch); dense sources load as bf16 stacks
             # whose expert axis is EP-shardable
             lp["gate_inp"] = get(p + "ffn_gate_inp.weight", keep_q=False)
+            # gpt-oss routed-expert biases (router + per-projection)
+            lp["gate_inp_b"] = get(p + "ffn_gate_inp.bias", required=False,
+                                   keep_q=False)
             for nm, key in (("ffn_gate_exps", "gate_exps"),
                             ("ffn_up_exps", "up_exps"),
                             ("ffn_down_exps", "down_exps")):
                 lp[key] = _load_expert_stack(reader, p + nm + ".weight",
                                              keep_quantized)
+                lp[key + "_b"] = get(p + nm + ".bias", required=False,
+                                     keep_q=False)
             lp["w_gate"] = lp["w_up"] = lp["w_down"] = None
         else:
             lp["w_gate"] = get(p + "ffn_gate.weight")
@@ -356,7 +379,8 @@ def forward(
             attn = mixed_attention(q, kc, vc, k, v, mask_l,
                                    mask_cur_swa if swa_l else mask_cur,
                                    scale=cfg.attn_scale,
-                                   logit_softcap=cfg.attn_softcap)
+                                   logit_softcap=cfg.attn_softcap,
+                                   sinks=lp.get("sinks"))
             new_ks.append(k)
             new_vs.append(v)
         else:
@@ -365,8 +389,11 @@ def forward(
             cache = cache.write(li, slots, k, v)
             attn = pool_attention(q, cache, li, mask_l,
                                   scale=cfg.attn_scale,
-                                  logit_softcap=cfg.attn_softcap)
+                                  logit_softcap=cfg.attn_softcap,
+                                  sinks=lp.get("sinks"))
         attn_out = matmul(attn.reshape(t, -1), lp["wo"])
+        if lp.get("bo") is not None:  # gpt-oss output-projection bias
+            attn_out = attn_out + lp["bo"].astype(attn_out.dtype)
         if cfg.sandwich_norms:  # Gemma post-attention norm
             attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_scale != 1.0:  # granite/minicpm
@@ -445,6 +472,8 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
 
     router = jnp.einsum("td,ed->te", hn.astype(jnp.float32),
                         lp["gate_inp"].astype(jnp.float32))
+    if lp.get("gate_inp_b") is not None:  # gpt-oss router bias
+        router = router + lp["gate_inp_b"].astype(jnp.float32)
     probs = jax.nn.softmax(router, axis=-1)  # [T, E]
     top_w, top_i = jax.lax.top_k(probs, k)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_topk_prob
@@ -467,9 +496,11 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
                               preferred_element_type=jnp.float32)
             up = jnp.einsum("td,tkdf->tkf", hb, wu,
                             preferred_element_type=jnp.float32)
-            act = (jax.nn.silu(gate) * up).astype(bf)
+            gate, up = _moe_bias(lp, top_i, gate, up)
+            act = _moe_mix(gate, up, cfg.moe_act).astype(bf)
             out = jnp.einsum("tkf,tkfd->tkd", act, wd,
                              preferred_element_type=jnp.float32)
+            out = _moe_down_bias(lp, top_i, out)
             return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
         wg = lp["gate_exps"][top_i].astype(bf)  # [T, k, F, D]
         wu = lp["up_exps"][top_i].astype(bf)
@@ -478,11 +509,39 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
                           preferred_element_type=jnp.float32)
         up = jnp.einsum("td,tkfd->tkf", hb, wu,
                         preferred_element_type=jnp.float32)
-        act = (jax.nn.silu(gate) * up).astype(bf)
+        gate, up = _moe_bias(lp, top_i, gate, up)
+        act = _moe_mix(gate, up, cfg.moe_act).astype(bf)
         out = jnp.einsum("tkf,tkdf->tkd", act, wd,
                          preferred_element_type=jnp.float32)  # [T, k, d]
+        out = _moe_down_bias(lp, top_i, out)
         return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
     return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=quant)
+
+
+def _moe_mix(gate: jax.Array, up: jax.Array, moe_act: str) -> jax.Array:
+    """Expert gate/up combination. swiglu_oai is gpt-oss's clamped variant
+    (ggml_swiglu_oai: gate<=limit, |up|<=limit, gate*sigmoid(1.702*gate) *
+    (up+1), limit=7)."""
+    if moe_act == "swiglu_oai":
+        g = jnp.minimum(gate, 7.0)
+        u = jnp.clip(up, -7.0, 7.0)
+        return (g * jax.nn.sigmoid(1.702 * g)) * (u + 1.0)
+    return jax.nn.silu(gate) * up
+
+
+def _moe_bias(lp: dict, top_i: jax.Array, gate: jax.Array,
+              up: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Gathered per-expert gate/up biases for the decode path."""
+    if lp.get("gate_exps_b") is not None:
+        gate = gate + lp["gate_exps_b"][top_i].astype(jnp.float32)
+        up = up + lp["up_exps_b"][top_i].astype(jnp.float32)
+    return gate, up
+
+
+def _moe_down_bias(lp: dict, top_i: jax.Array, out: jax.Array) -> jax.Array:
+    if lp.get("down_exps_b") is not None:
+        out = out + lp["down_exps_b"][top_i].astype(out.dtype)
+    return out
 
 
 def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
@@ -514,11 +573,16 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
 
         outs = []
         for i in range(e):  # E is static; each is a fused-kernel matmul
-            gate = qmm(xe[i], lp["gate_exps"].expert(i))
-            up = qmm(xe[i], lp["up_exps"].expert(i))
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   .astype(jnp.bfloat16) * up.astype(jnp.bfloat16))
-            outs.append(qmm(act, lp["down_exps"].expert(i)))
+            gate = qmm(xe[i], lp["gate_exps"].expert(i)).astype(jnp.float32)
+            up = qmm(xe[i], lp["up_exps"].expert(i)).astype(jnp.float32)
+            if lp.get("gate_exps_b") is not None:
+                gate = gate + lp["gate_exps_b"][i].astype(jnp.float32)
+                up = up + lp["up_exps_b"][i].astype(jnp.float32)
+            act = _moe_mix(gate, up, cfg.moe_act).astype(jnp.bfloat16)
+            y_i = qmm(act, lp["down_exps"].expert(i))
+            if lp.get("down_exps_b") is not None:
+                y_i = y_i + lp["down_exps_b"][i].astype(y_i.dtype)
+            outs.append(y_i)
         y = jnp.stack(outs)  # [E, C, d]
     else:
         bf = jnp.bfloat16
@@ -526,9 +590,14 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
                           preferred_element_type=jnp.float32)
         up = jnp.einsum("ecd,efd->ecf", xe, lp["up_exps"].astype(bf),
                         preferred_element_type=jnp.float32)
-        act = (jax.nn.silu(gate) * up).astype(bf)
+        if lp.get("gate_exps_b") is not None:
+            gate = gate + lp["gate_exps_b"][:, None, :].astype(jnp.float32)
+            up = up + lp["up_exps_b"][:, None, :].astype(jnp.float32)
+        act = _moe_mix(gate, up, cfg.moe_act).astype(bf)
         y = jnp.einsum("ecf,edf->ecd", act, lp["down_exps"].astype(bf),
                        preferred_element_type=jnp.float32)  # [E, C, d]
+        if lp.get("down_exps_b") is not None:
+            y = y + lp["down_exps_b"][:, None, :].astype(y.dtype)
 
     # combine: out[t] = Σ_j w_j · y[e_j, pos_j]
     y_pairs = jnp.where(keep[:, None], y[flat_e, pos_c], 0)  # [T*k, d]

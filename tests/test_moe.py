@@ -254,3 +254,55 @@ def test_mixtral_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_gpt_oss_logits_match_transformers(tmp_path):
+    """GPT-OSS gold parity vs HF eager: attention sinks, q/k/v/o biases,
+    alternating sliding-window layers, router bias, fused+interleaved
+    expert tensors de-interleaved at conversion, clamped swiglu_oai with
+    per-projection expert biases — on both MoE dispatch paths."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GptOssConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=6, max_position_embeddings=128, rope_theta=10000.0,
+        rope_scaling=None, attn_implementation="eager",
+        tie_word_embeddings=True)
+    assert hcfg.layer_types[0] == "sliding_attention"
+    model = GptOssForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "oss.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="gpt-oss")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.moe_act == "swiglu_oai"
+    assert cfg.swa_window == 6 and cfg.swa_every == 2
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["sinks"] is not None
+    assert params["layers"][0]["gate_inp_b"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2, 17, 23], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    # prefill (capacity dispatch)
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    # token-by-token (decode gather path + SWA past the window)
+    ctx2 = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    outs = []
+    for t in toks:
+        lg, _ = ctx2.decode(Batch(tokens=np.array([t], np.int32)))
+        outs.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(outs), ref, atol=0.03)
