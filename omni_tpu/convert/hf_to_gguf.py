@@ -103,6 +103,24 @@ _GEMMA_LAYER_MAP = {
 }
 
 
+# OLMo-2 post-norm topology: no pre-norms; post_attention/post_feedforward
+# norms apply to the sublayer outputs (reference convert_hf_to_gguf.py
+# Olmo2Model); q/k norms span the full projection width
+_OLMO2_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
 def _permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
     """HF half-split rotary layout -> GGUF adjacent-pair (NORM) layout for
     llama-arch q/k projections (reference convert_hf_to_gguf.py
@@ -209,7 +227,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
         put("output.weight", state["lm_head.weight"])
     n_layers = int(config["num_hidden_layers"])
-    layer_map = _GEMMA_LAYER_MAP if gemma else _LLM_LAYER_MAP
+    layer_map = (_GEMMA_LAYER_MAP if gemma else
+                 _OLMO2_LAYER_MAP if arch == "olmo2" else
+                 _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",
                       "granite", "granitemoe")  # NORM rope

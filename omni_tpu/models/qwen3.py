@@ -61,6 +61,9 @@ class Qwen3Config:
     # (ggml_swiglu_oai: alpha=1.702, limit=7.0)
     moe_act: str = "silu"
     sandwich_norms: bool = False  # post-attention + post-ffw RMS norms
+    # False = OLMo-2 post-norm topology: NO pre-norms, the sandwich norms
+    # normalize each sublayer's OUTPUT before the residual add
+    pre_norm: bool = True
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
     attn_softcap: float = 0.0    # Gemma-2 attn logit capping
     final_softcap: float = 0.0   # Gemma-2 final logit capping
@@ -127,7 +130,8 @@ class Qwen3Config:
             residual_scale=residual_scale,
             logit_scale=logit_scale,
             act="gelu" if gemma else "silu",
-            sandwich_norms=arch in ("gemma2", "gemma3"),
+            sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
+            pre_norm=arch != "olmo2",
             attn_scale=attn_scale,
             attn_softcap=float(g("attn_logit_softcapping", 50.0))
             if arch == "gemma2" else 0.0,
@@ -201,10 +205,11 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     params["cls_out_b"] = get("cls.output.bias", required=False, keep_q=False)
 
     i = 0
-    while f"blk.{i}.attn_norm.weight" in reader.tensors:
+    while (f"blk.{i}.attn_norm.weight" in reader.tensors
+           or f"blk.{i}.post_attention_norm.weight" in reader.tensors):
         p = f"blk.{i}."
         params["layers"].append({
-            "attn_norm": get(p + "attn_norm.weight"),
+            "attn_norm": get(p + "attn_norm.weight", required=False),
             "wq": get(p + "attn_q.weight"),
             "wk": get(p + "attn_k.weight"),
             "wv": get(p + "attn_v.weight"),
@@ -227,13 +232,14 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                  required=False),
         })
         lp = params["layers"][-1]
-        if lp["ffn_norm"] is None and lp["attn_post_norm"] is not None:
+        if (lp["ffn_norm"] is None and lp["attn_post_norm"] is not None
+                and lp["ffn_post_norm"] is None):
             # gpt-oss names its (only) pre-ffn norm "post_attention_norm";
             # without a separate ffn_norm it takes that slot and the graph
             # is plain pre-norm (llm_build_openai_moe_iswa)
             lp["ffn_norm"] = lp["attn_post_norm"]
             lp["attn_post_norm"] = None
-        elif lp["ffn_norm"] is None:
+        elif lp["ffn_norm"] is None and lp["ffn_post_norm"] is None:
             raise KeyError(f"missing tensor {p}ffn_norm.weight")
         if f"{p}ffn_gate_inp.weight" in reader.tensors:
             # MoE FFN (reference blk.N.ffn_{gate_inp,gate_exps,up_exps,
@@ -348,13 +354,19 @@ def forward(
     kvd = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         h_in = h
-        hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        hn = (rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+              if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
         if "wqkv" in lp:  # fused decode fast path
             qkv = matmul(hn, lp["wqkv"])
             if lp.get("bqkv") is not None:  # qwen2-family attn biases
                 qkv = qkv + lp["bqkv"].astype(qkv.dtype)
-            q = qkv[:, :qd].reshape(t, cfg.n_heads, cfg.head_dim)
-            k = qkv[:, qd:qd + kvd].reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            q, k = qkv[:, :qd], qkv[:, qd:qd + kvd]
+            if (lp["q_norm"] is not None
+                    and lp["q_norm"].shape[-1] != cfg.head_dim):
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)  # OLMo-2 width
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            q = q.reshape(t, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
             v = qkv[:, qd + kvd:].reshape(t, cfg.n_kv_heads, cfg.head_dim)
         else:
             q, k, v = (matmul(hn, lp[w]) for w in ("wq", "wk", "wv"))
@@ -362,12 +374,20 @@ def forward(
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
+            # OLMo-2 normalizes the FULL q/k projections (statistics over
+            # n_heads*head_dim, weight that wide) before the head split
+            if (lp["q_norm"] is not None
+                    and lp["q_norm"].shape[-1] != cfg.head_dim):
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             q = q.reshape(t, cfg.n_heads, cfg.head_dim)
             k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
             v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        if lp["q_norm"] is not None:
+        if (lp["q_norm"] is not None
+                and lp["q_norm"].shape[-1] == cfg.head_dim):
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-        if lp["k_norm"] is not None:
+        if (lp["k_norm"] is not None
+                and lp["k_norm"].shape[-1] == cfg.head_dim):
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         swa_l = has_swa and cfg.is_swa_layer(li)
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
@@ -401,7 +421,8 @@ def forward(
         h = h_in + attn_out
 
         h_in = h
-        hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
+        hn = (rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
+              if cfg.pre_norm else h)
         act = (jax.nn.silu if cfg.act == "silu"
                else lambda z: jax.nn.gelu(z, approximate=True))
         if lp.get("gate_inp") is not None:

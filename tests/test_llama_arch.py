@@ -217,3 +217,48 @@ def test_granite_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.02:
             assert np.argmax(ours[i]) == np.argmax(ref[i]), i
+
+
+def test_olmo2_logits_match_transformers(tmp_path):
+    """OLMo-2 post-norm topology (no pre-norms, sublayer-output norms) with
+    full-width q/k RMS norms — gold parity vs HF eager, unfused and fused
+    layouts."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Olmo2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Olmo2ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "ol2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="olmo2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.pre_norm is False and cfg.sandwich_norms
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["attn_norm"] is None
+    assert params["layers"][0]["q_norm"].shape[-1] == 32  # full width
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    for fuse in (False, True):
+        p = qwen3.load_params(reader, fuse=fuse)
+        ctx = Context(cfg, p, qwen3.forward, qwen3.embed, n_ctx=32)
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        ours = np.asarray(logits)
+        np.testing.assert_allclose(ours, ref, atol=0.02)
+        for i in range(len(toks)):
+            top2 = np.sort(ref[i])[-2:]
+            if top2[1] - top2[0] > 0.02:
+                assert np.argmax(ours[i]) == np.argmax(ref[i]), (fuse, i)
