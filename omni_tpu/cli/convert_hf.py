@@ -17,7 +17,7 @@ import sys
 from ..core.dtypes import GGMLType
 
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
-          "gemma3", "phi3", "granite", "gpt-oss", "olmo2")
+          "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -34,6 +34,7 @@ _HF_ARCH_MAP = {
     "GraniteForCausalLM": "granite",
     "GptOssForCausalLM": "gpt-oss",
     "Olmo2ForCausalLM": "olmo2",
+    "CohereForCausalLM": "command-r",
 }
 
 

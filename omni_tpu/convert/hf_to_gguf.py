@@ -186,6 +186,13 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(config.get("num_experts_per_tok", 2)))
+    if arch == "command-r":
+        # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
+        # permute); logit_scale multiplies logits; block norms are
+        # bias-free LayerNorm with layer_norm_eps
+        w.add_kv(f"{arch}.logit_scale", float(config.get("logit_scale", 1.0)))
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("layer_norm_eps", 1e-5)))
     if arch in ("granite", "granitemoe"):
         # HF Granite multipliers -> granite kv scales (llama-model.cpp
         # LLM_KV_{EMBEDDING,RESIDUAL,LOGIT}_SCALE + ATTENTION_SCALE)

@@ -26,7 +26,7 @@ from ..kernels import load_quantized
 from ..kernels.attention import (cache_attention, mixed_attention,
                                  pool_attention)
 from ..kernels.dequant_matmul import matmul
-from ..kernels.norms import rms_norm
+from ..kernels.norms import layer_norm, rms_norm
 from ..kernels.rope import apply_rope
 from ..runtime.kv_cache import KVCache
 
@@ -64,6 +64,10 @@ class Qwen3Config:
     # False = OLMo-2 post-norm topology: NO pre-norms, the sandwich norms
     # normalize each sublayer's OUTPUT before the residual add
     pre_norm: bool = True
+    # Cohere/Command-R: one shared pre-norm, attn and ffn both read it and
+    # both add to the SAME residual (llm_build_command_r)
+    parallel_residual: bool = False
+    norm_type: str = "rms"  # "layer" = bias-free LayerNorm (LLM_NORM)
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
     attn_softcap: float = 0.0    # Gemma-2 attn logit capping
     final_softcap: float = 0.0   # Gemma-2 final logit capping
@@ -112,7 +116,13 @@ class Qwen3Config:
             emb_scale = float(d_model) ** 0.5
         return Qwen3Config(
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
-                                   "granite", "granitemoe"),
+                                   "granite", "granitemoe", "command-r"),
+            parallel_residual=arch == "command-r",
+            norm_type="layer" if arch == "command-r" else "rms",
+            # command-r logit_scale MULTIPLIES logits (build_command_r);
+            # our logit_scale divides (granite semantics) — invert
+            **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
+               if arch == "command-r" else {}),
             moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
             d_model=d_model,
@@ -123,13 +133,16 @@ class Qwen3Config:
             n_vocab=len(kv["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in kv
             else int(g("vocab_size")),
             rope_base=float(g("rope.freq_base", 10000.0)),
-            rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+            rms_eps=float(g("attention.layer_norm_epsilon",
+                            g("attention.layer_norm_rms_epsilon", 1e-6))
+                          if arch == "command-r"
+                          else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            logit_scale=logit_scale,
             act="gelu" if gemma else "silu",
+            **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
             pre_norm=arch != "olmo2",
             attn_scale=attn_scale,
@@ -239,8 +252,8 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             # is plain pre-norm (llm_build_openai_moe_iswa)
             lp["ffn_norm"] = lp["attn_post_norm"]
             lp["attn_post_norm"] = None
-        elif lp["ffn_norm"] is None and lp["ffn_post_norm"] is None:
-            raise KeyError(f"missing tensor {p}ffn_norm.weight")
+        # a missing ffn_norm with no post-norms is the Cohere parallel-
+        # residual layout (one shared pre-norm per layer) — allowed
         if f"{p}ffn_gate_inp.weight" in reader.tensors:
             # MoE FFN (reference blk.N.ffn_{gate_inp,gate_exps,up_exps,
             # down_exps}): quantized 3-D expert stacks stay quantized as a
@@ -354,7 +367,8 @@ def forward(
     kvd = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         h_in = h
-        hn = (rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        bnorm = rms_norm if cfg.norm_type == "rms" else layer_norm
+        hn = (bnorm(h, lp["attn_norm"], cfg.rms_eps)
               if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
         if "wqkv" in lp:  # fused decode fast path
             qkv = matmul(hn, lp["wqkv"])
@@ -418,11 +432,13 @@ def forward(
             attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_scale != 1.0:  # granite/minicpm
             attn_out = attn_out * jnp.bfloat16(cfg.residual_scale)
-        h = h_in + attn_out
-
-        h_in = h
-        hn = (rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-              if cfg.pre_norm else h)
+        if not cfg.parallel_residual:
+            h = h_in + attn_out
+            h_in = h
+            hn = (bnorm(h, lp["ffn_norm"], cfg.rms_eps)
+                  if cfg.pre_norm else h)
+        # Cohere parallel residual: the ffn reads the SAME pre-norm output
+        # and both sublayers add to the original residual stream
         act = (jax.nn.silu if cfg.act == "silu"
                else lambda z: jax.nn.gelu(z, approximate=True))
         if lp.get("gate_inp") is not None:
@@ -444,6 +460,8 @@ def forward(
         if cfg.residual_scale != 1.0:  # granite/minicpm
             ffn_out = ffn_out * jnp.bfloat16(cfg.residual_scale)
         h = h_in + ffn_out
+        if cfg.parallel_residual:
+            h = h + attn_out
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
 
@@ -451,7 +469,8 @@ def forward(
         cache = cache.write_all(slots, jnp.stack(new_ks), jnp.stack(new_vs))
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
 
-    hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
+    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm)(
+        h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
     if head is None:
         # headless decoder (the TTS module: logits come from the external
@@ -679,7 +698,8 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
         gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
         h = h_in + lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
 
-    hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
+    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm)(
+        h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
     return jax.lax.dot_general(
         hidden.astype(jnp.bfloat16), head.astype(jnp.bfloat16),

@@ -262,3 +262,48 @@ def test_olmo2_logits_match_transformers(tmp_path):
             top2 = np.sort(ref[i])[-2:]
             if top2[1] - top2[0] > 0.02:
                 assert np.argmax(ours[i]) == np.argmax(ref[i]), (fuse, i)
+
+
+def test_cohere_command_r_logits_match_transformers(tmp_path):
+    """Cohere/Command-R: parallel attn+ffn residual off one shared
+    bias-free LayerNorm, NORM rope (no permute — HF Cohere is natively
+    interleaved), multiplied logit scale — gold parity vs HF eager."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import CohereConfig, CohereForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = CohereConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        logit_scale=0.0625, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = CohereForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "cr.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="command-r")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.parallel_residual and cfg.norm_type == "layer"
+    assert cfg.rope_neox is False
+    assert cfg.logit_scale == pytest.approx(16.0)  # 1/0.0625 (divisor form)
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["ffn_norm"] is None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.02:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
