@@ -25,13 +25,9 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None,
     return out.astype(x.dtype)
 
 
-def layer_norm(x, weight, eps: float = 1e-5):
-    """Bias-free LayerNorm (mean subtraction + variance normalization,
-    LLM_NORM in the reference; Cohere/Command-R block norms)."""
-    import jax.numpy as jnp
-
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(axis=-1, keepdims=True)
-    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
-    return out.astype(x.dtype)
+def layer_norm_nobias(x: jax.Array, weight: jax.Array,
+                      eps: float = 1e-5) -> jax.Array:
+    """Bias-free LayerNorm (LLM_NORM in the reference; Cohere/Command-R
+    block norms). Positionally signature-compatible with rms_norm so the
+    engine can select between them (`bnorm(x, w, eps)`)."""
+    return layer_norm(x, weight, None, eps)

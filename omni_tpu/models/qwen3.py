@@ -26,7 +26,7 @@ from ..kernels import load_quantized
 from ..kernels.attention import (cache_attention, mixed_attention,
                                  pool_attention)
 from ..kernels.dequant_matmul import matmul
-from ..kernels.norms import layer_norm, rms_norm
+from ..kernels.norms import layer_norm_nobias, rms_norm
 from ..kernels.rope import apply_rope
 from ..runtime.kv_cache import KVCache
 
@@ -367,7 +367,7 @@ def forward(
     kvd = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         h_in = h
-        bnorm = rms_norm if cfg.norm_type == "rms" else layer_norm
+        bnorm = rms_norm if cfg.norm_type == "rms" else layer_norm_nobias
         hn = (bnorm(h, lp["attn_norm"], cfg.rms_eps)
               if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
         if "wqkv" in lp:  # fused decode fast path
@@ -469,7 +469,7 @@ def forward(
         cache = cache.write_all(slots, jnp.stack(new_ks), jnp.stack(new_vs))
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
 
-    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm)(
+    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm_nobias)(
         h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
     if head is None:
@@ -698,7 +698,7 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
         gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
         h = h_in + lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
 
-    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm)(
+    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm_nobias)(
         h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
     return jax.lax.dot_general(

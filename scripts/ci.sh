@@ -11,6 +11,9 @@ echo "== native build =="
 echo "== install =="
 pip install -e . --no-build-isolation --no-deps -q
 
+echo "== lint =="
+python scripts/lint.py
+
 echo "== tests (8-device virtual CPU mesh) =="
 python -m pytest tests/ -q -x
 
