@@ -27,9 +27,33 @@ from ..kernels.norms import rms_norm
 from ..kernels.rope import apply_rope
 
 
-def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()[:n_stages]
-    return Mesh(np.asarray(devices).reshape(n_stages), ("pp",))
+def make_pp_mesh(n_stages: int, n_tp: int = 1, devices=None) -> Mesh:
+    """(pp,) or (pp, tp) mesh. With n_tp > 1 each pipeline stage is itself
+    megatron-TP-sharded (the PP+TP composition the reference cannot express
+    — its LAYER and ROW split modes are mutually exclusive,
+    /root/reference/include/llama.h:190-193)."""
+    n = n_stages * n_tp
+    devices = devices if devices is not None else jax.devices()[:n]
+    if n_tp == 1:
+        return Mesh(np.asarray(devices).reshape(n_stages), ("pp",))
+    return Mesh(np.asarray(devices).reshape(n_stages, n_tp), ("pp", "tp"))
+
+
+# megatron layout within a stage: [S, Lps, out, in] leaves
+_TP_COL = {"wq", "wk", "wv", "w_gate", "w_up"}   # shard out (axis 2)
+_TP_ROW = {"wo", "w_down"}                        # shard in (axis 3)
+
+
+def stage_param_specs(stacked: dict, n_tp: int) -> dict:
+    specs = {}
+    for k in stacked:
+        if n_tp > 1 and k in _TP_COL:
+            specs[k] = P("pp", None, "tp")
+        elif n_tp > 1 and k in _TP_ROW:
+            specs[k] = P("pp", None, None, "tp")
+        else:
+            specs[k] = P("pp")
+    return specs
 
 
 def stack_stage_params(params: dict, n_stages: int) -> dict:
@@ -54,10 +78,15 @@ def stack_stage_params(params: dict, n_stages: int) -> dict:
 
 
 def _block(lp: dict, cfg, h: jax.Array, pos: jax.Array,
-           causal: jax.Array) -> jax.Array:
+           causal: jax.Array, tp_axis: str | None = None) -> jax.Array:
     """One decoder block over [B, T, d] (cache-free; mirrors
-    qwen3.forward_train's layer body)."""
+    qwen3.forward_train's layer body). Head counts come from the local
+    weight shapes, so the same body serves replicated and TP-sharded
+    stages; with `tp_axis`, wo/w_down are row-parallel partial products
+    reduced with a psum over that mesh axis (megatron layout)."""
     b, t, _ = h.shape
+    n_heads = lp["wq"].shape[0] // cfg.head_dim
+    n_kv_heads = lp["wk"].shape[0] // cfg.head_dim
 
     def lin(x, w):
         return jax.lax.dot_general(
@@ -65,19 +94,24 @@ def _block(lp: dict, cfg, h: jax.Array, pos: jax.Array,
             (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
 
+    def reduce_rows(x):
+        if tp_axis is None:
+            return x
+        return jax.lax.psum(x.astype(jnp.float32), tp_axis).astype(x.dtype)
+
     h_in = h
     hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-    q = lin(hn, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-    k = lin(hn, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-    v = lin(hn, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    q = lin(hn, lp["wq"]).reshape(b, t, n_heads, cfg.head_dim)
+    k = lin(hn, lp["wk"]).reshape(b, t, n_kv_heads, cfg.head_dim)
+    v = lin(hn, lp["wv"]).reshape(b, t, n_kv_heads, cfg.head_dim)
     if "q_norm" in lp:
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     if "k_norm" in lp:
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, pos[None, :], cfg.rope_base, neox=cfg.rope_neox)
     k = apply_rope(k, pos[None, :], cfg.rope_base, neox=cfg.rope_neox)
-    g = cfg.n_heads // cfg.n_kv_heads
-    qg = q.reshape(b, t, cfg.n_kv_heads, g, cfg.head_dim)
+    g = n_heads // n_kv_heads
+    qg = q.reshape(b, t, n_kv_heads, g, cfg.head_dim)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,
                         preferred_element_type=jnp.float32)
     scores = jnp.where(causal[None, None, None],
@@ -85,12 +119,12 @@ def _block(lp: dict, cfg, h: jax.Array, pos: jax.Array,
     p = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
     attn = jnp.einsum("bhgts,bshd->bthgd", p, v,
                       preferred_element_type=jnp.float32)
-    attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim).astype(jnp.bfloat16)
-    h = h_in + lin(attn, lp["wo"])
+    attn = attn.reshape(b, t, n_heads * cfg.head_dim).astype(jnp.bfloat16)
+    h = h_in + reduce_rows(lin(attn, lp["wo"]))
     h_in = h
     hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
     gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
-    return h_in + lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
+    return h_in + reduce_rows(lin(gate * lin(hn, lp["w_up"]), lp["w_down"]))
 
 
 def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,
@@ -99,6 +133,8 @@ def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,
     stack. B must divide into n_micro micro-batches; schedule length is
     n_micro + n_stages - 1 steps (the GPipe fill+drain)."""
     n_stages = mesh.shape["pp"]
+    n_tp = mesh.shape.get("tp", 1)
+    tp_axis = "tp" if n_tp > 1 else None
     b, t = tokens.shape
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
@@ -107,10 +143,10 @@ def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,
     h0 = pp_params["token_embd"][tokens].astype(jnp.bfloat16)
     xs = h0.reshape(n_micro, mb, t, -1)
 
-    stage_specs = jax.tree.map(lambda _: P("pp"), pp_params["stages"])
+    stage_specs = stage_param_specs(pp_params["stages"], n_tp)
 
     def stage_fn(stages, xs):
-        # stages: leaves [1, Lps, ...] (this device's stage)
+        # stages: leaves [1, Lps, ...] (this device's stage, tp-local slice)
         s = jax.lax.axis_index("pp")
         lps = jax.tree.map(lambda a: a[0], stages)
         n_layers_stage = next(iter(lps.values())).shape[0]
@@ -118,7 +154,7 @@ def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,
         def apply_stage(h):
             for i in range(n_layers_stage):
                 lp = jax.tree.map(lambda a: a[i], lps)
-                h = _block(lp, cfg, h, pos, causal)
+                h = _block(lp, cfg, h, pos, causal, tp_axis=tp_axis)
             return h
 
         zero = jnp.zeros_like(xs[0])
@@ -161,12 +197,17 @@ def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,
 
 
 def shard_pp_params(pp_params: dict, mesh: Mesh) -> dict:
-    """Place the stage stack on the pp axis; everything else replicated."""
+    """Place the stage stack on the pp (and, if present, tp) axes;
+    everything else replicated."""
+    n_tp = mesh.shape.get("tp", 1)
     out = {}
     for k, v in pp_params.items():
         if k == "stages":
-            out[k] = jax.tree.map(
-                lambda a: jax.device_put(a, NamedSharding(mesh, P("pp"))), v)
+            specs = stage_param_specs(v, n_tp)
+            out[k] = {
+                name: jax.device_put(a, NamedSharding(mesh, specs[name]))
+                for name, a in v.items()
+            }
         elif v is not None:
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
         else:

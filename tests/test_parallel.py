@@ -101,3 +101,41 @@ def test_pipeline_parallel_forward(tmp_path):
     got = np.asarray(pp_forward(pp_params, cfg, tokens, mesh, n_micro=2))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_pipeline_plus_tensor_parallel_forward(tmp_path):
+    """PP(2) x TP(4) combined mesh: stage-split layers whose weights are
+    themselves megatron-sharded (a composition the reference cannot
+    express — LAYER vs ROW split modes are exclusive,
+    /root/reference/include/llama.h:190-193)."""
+    from omni_tpu.parallel.pp import (make_pp_mesh, pp_forward,
+                                      shard_pp_params, stack_stage_params)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    path = tmp_path / "pptp.gguf"
+    write_tiny_qwen3(path, n_layers=4, d_model=64, n_heads=4, n_kv_heads=4,
+                     head_dim=16, d_ff=128, n_vocab=128, qtype=GGMLType.F32,
+                     tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader, keep_quantized=False)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)), jnp.int32)
+    ref = np.asarray(qwen3.forward_train(params, cfg, tokens))
+
+    mesh = make_pp_mesh(2, n_tp=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"pp": 2, "tp": 4}
+    pp_params = shard_pp_params(stack_stage_params(params, 2), mesh)
+    got = np.asarray(pp_forward(pp_params, cfg, tokens, mesh, n_micro=2))
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+    # argmax may flip only on near-ties (bf16 psum reordering): wherever it
+    # differs, the reference's top-2 logit gap must be inside the noise
+    ga, ra = got.argmax(-1), ref.argmax(-1)
+    diff = ga != ra
+    if diff.any():
+        top2 = np.sort(ref, axis=-1)[..., -2:]
+        gap = top2[..., 1] - top2[..., 0]
+        assert (gap[diff] < 5e-2).all(), gap[diff]
