@@ -17,7 +17,8 @@ import sys
 from ..core.dtypes import GGMLType
 
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
-          "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r")
+          "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
+          "deepseek2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -35,6 +36,8 @@ _HF_ARCH_MAP = {
     "GptOssForCausalLM": "gpt-oss",
     "Olmo2ForCausalLM": "olmo2",
     "CohereForCausalLM": "command-r",
+    "DeepseekV2ForCausalLM": "deepseek2",
+    "DeepseekV3ForCausalLM": "deepseek2",
 }
 
 
@@ -70,6 +73,8 @@ def detect_arch(config: dict) -> str:
         if a in _HF_ARCH_MAP:
             return _HF_ARCH_MAP[a]
     mt = config.get("model_type", "")
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        return "deepseek2"
     for a in ARCHES:
         if mt.replace("_", "") == a or mt == a:
             return a

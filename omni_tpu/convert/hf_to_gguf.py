@@ -161,6 +161,14 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_heads = int(config["num_attention_heads"])
     d_model = int(config["hidden_size"])
     head_dim = int(config.get("head_dim") or d_model // n_heads)
+    ds2 = arch == "deepseek2"
+    if ds2:
+        # MLA converts into MQA with one latent head: cache key =
+        # kv_lora_rank + qk_rope_head_dim, value = kv_lora_rank
+        # (reference convert_hf_to_gguf.py DeepseekV2Model)
+        config = {**config, "num_key_value_heads": 1}
+        head_dim = (int(config["kv_lora_rank"])
+                    + int(config["qk_rope_head_dim"]))
     w.add_kv("general.architecture", arch)
     w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
     w.add_kv(f"{arch}.embedding_length", d_model)
@@ -169,7 +177,38 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.attention.head_count_kv",
              int(config.get("num_key_value_heads", n_heads)))
     w.add_kv(f"{arch}.attention.key_length", head_dim)
-    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length",
+             int(config["kv_lora_rank"]) if ds2 else head_dim)
+    if ds2:
+        rope = int(config["qk_rope_head_dim"])
+        nope = int(config["qk_nope_head_dim"])
+        w.add_kv(f"{arch}.attention.kv_lora_rank",
+                 int(config["kv_lora_rank"]))
+        if config.get("q_lora_rank"):
+            w.add_kv(f"{arch}.attention.q_lora_rank",
+                     int(config["q_lora_rank"]))
+        w.add_kv(f"{arch}.attention.key_length_mla", nope + rope)
+        w.add_kv(f"{arch}.attention.value_length_mla",
+                 int(config["v_head_dim"]))
+        w.add_kv(f"{arch}.rope.dimension_count", rope)
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(config.get("first_k_dense_replace", 0)))
+        if config.get("n_routed_experts"):
+            w.add_kv(f"{arch}.expert_count",
+                     int(config["n_routed_experts"]))
+            w.add_kv(f"{arch}.expert_used_count",
+                     int(config.get("num_experts_per_tok", 2)))
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["moe_intermediate_size"]))
+            w.add_kv(f"{arch}.expert_shared_count",
+                     int(config.get("n_shared_experts", 0)))
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(config.get("routed_scaling_factor", 1.0)))
+            w.add_kv(f"{arch}.expert_weights_norm",
+                     bool(config.get("norm_topk_prob", False)))
+            sigmoid_gate = (config.get("scoring_func") == "sigmoid"
+                            or config.get("model_type") == "deepseek_v3")
+            w.add_kv(f"{arch}.expert_gating_func", 2 if sigmoid_gate else 1)
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
              float(config.get("rms_norm_eps", 1e-6)))
     w.add_kv(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
@@ -252,6 +291,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             gu = _np(state.pop(f"layers.{i}.mlp.gate_up_proj.weight"))
             state[f"layers.{i}.mlp.gate_proj.weight"] = gu[:d_ff]
             state[f"layers.{i}.mlp.up_proj.weight"] = gu[d_ff:]
+    if ds2:
+        _put_deepseek2_layers(put, state, config, n_layers, qtype)
+        w.write()
+        return written
     for i in range(n_layers):
         moe = (f"layers.{i}.mlp.experts.0.gate_proj.weight" in state
                or arch == "gpt-oss")
@@ -307,6 +350,72 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                 put(f"blk.{i}.{gg}.weight", stack, qtype)
     w.write()
     return written
+
+
+def _put_deepseek2_layers(put, state: Mapping[str, Any],
+                          config: Mapping[str, Any], n_layers: int,
+                          qtype: GGMLType) -> None:
+    """DeepSeek-V2/V3 MLA + MoE layer tensors (reference
+    convert_hf_to_gguf.py DeepseekV2Model.modify_tensors): kv_b_proj is
+    split into attn_k_b [H, rank, nope] (transposed) and attn_v_b
+    [H, v_dim, rank] for the absorbed-MLA attention path; MoE layers stack
+    routed experts and keep the shared-expert dense branch; V3's
+    e_score_correction bias becomes exp_probs_b."""
+    n_kv_orig = int(config.get("num_attention_heads"))  # MLA: kv == q heads
+    nope = int(config["qk_nope_head_dim"])
+    vdim = int(config["v_head_dim"])
+    for i in range(n_layers):
+        pfx = f"layers.{i}."
+        b = f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "post_attention_layernorm.weight"], None)
+        if pfx + "self_attn.q_proj.weight" in state:  # V2-Lite
+            put(b + "attn_q.weight", state[pfx + "self_attn.q_proj.weight"])
+        else:
+            put(b + "attn_q_a.weight",
+                state[pfx + "self_attn.q_a_proj.weight"])
+            put(b + "attn_q_a_norm.weight",
+                state[pfx + "self_attn.q_a_layernorm.weight"], None)
+            put(b + "attn_q_b.weight",
+                state[pfx + "self_attn.q_b_proj.weight"])
+        put(b + "attn_kv_a_mqa.weight",
+            state[pfx + "self_attn.kv_a_proj_with_mqa.weight"])
+        put(b + "attn_kv_a_norm.weight",
+            state[pfx + "self_attn.kv_a_layernorm.weight"], None)
+        kvb = _np(state[pfx + "self_attn.kv_b_proj.weight"]).astype(np.float32)
+        kvb = kvb.reshape(n_kv_orig, nope + vdim, -1)  # [H, nope+v, rank]
+        put(b + "attn_k_b.weight",
+            np.ascontiguousarray(kvb[:, :nope, :].transpose(0, 2, 1)), None)
+        put(b + "attn_v_b.weight",
+            np.ascontiguousarray(kvb[:, nope:, :]), None)
+        put(b + "attn_output.weight",
+            state[pfx + "self_attn.o_proj.weight"])
+        if pfx + "mlp.gate_proj.weight" in state:  # leading dense layer
+            for hfp, gg in (("gate_proj", "ffn_gate"), ("up_proj", "ffn_up"),
+                            ("down_proj", "ffn_down")):
+                put(b + gg + ".weight", state[pfx + f"mlp.{hfp}.weight"])
+        else:
+            put(b + "ffn_gate_inp.weight", state[pfx + "mlp.gate.weight"],
+                None)
+            if pfx + "mlp.gate.e_score_correction_bias" in state:
+                put(b + "exp_probs_b.bias",
+                    state[pfx + "mlp.gate.e_score_correction_bias"], None)
+            n_exp = int(config["n_routed_experts"])
+            for hfp, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                stack = np.stack([
+                    _np(state[pfx + f"mlp.experts.{e}.{hfp}.weight"])
+                    for e in range(n_exp)])
+                put(b + gg + ".weight", stack, qtype)
+            for hfp, gg in (("gate_proj", "ffn_gate_shexp"),
+                            ("up_proj", "ffn_up_shexp"),
+                            ("down_proj", "ffn_down_shexp")):
+                key = pfx + f"mlp.shared_experts.{hfp}.weight"
+                if key in state:
+                    put(b + gg + ".weight", state[key])
 
 
 # ---------------------------------------------------------------------------

@@ -72,8 +72,9 @@ def mixed_attention(
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("hrj,hjd->hrd", p[..., s:], vc,
                            preferred_element_type=jnp.float32)
-    return (out.reshape(hkv, t, g, d).transpose(1, 0, 2, 3)
-            .reshape(t, hq, d))
+    dv = v_pool.shape[-1]  # may differ from d (MLA latent values)
+    return (out.reshape(hkv, t, g, dv).transpose(1, 0, 2, 3)
+            .reshape(t, hq, dv))
 
 
 def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
@@ -134,5 +135,6 @@ def cache_attention(
         p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hrs,hsd->hrd", p.astype(cdtype), v.astype(cdtype),
                      preferred_element_type=jnp.float32)
-    return (out.reshape(hkv, t, g, d).transpose(1, 0, 2, 3)
-            .reshape(t, hq, d))
+    dv = v.shape[-1]  # may differ from d (MLA latent values)
+    return (out.reshape(hkv, t, g, dv).transpose(1, 0, 2, 3)
+            .reshape(t, hq, dv))

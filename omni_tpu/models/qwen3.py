@@ -48,6 +48,20 @@ class Qwen3Config:
     # MoE (qwen3moe/mixtral-style): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
+    # DeepSeek-V2/V3 MoE extensions (llm_build_deepseek2 / build_moe_ffn,
+    # reference src/llama-model.cpp:13508, llama-graph.cpp:877):
+    moe_gating: str = "softmax"   # "sigmoid" = V3 scoring_func
+    moe_norm_w: bool = True       # norm_topk_prob
+    moe_scale_w: float = 1.0      # routed_scaling_factor
+    n_expert_shared: int = 0      # shared experts added to routed mix
+    # --- MLA attention (deepseek2): KV cache holds ONE latent head of
+    # [rope_dim roped | kv_lora_rank compressed] per position; Q absorbs
+    # wk_b, attention output decompresses through wv_b ---
+    kv_lora_rank: int = 0         # 0 = standard attention
+    q_lora_rank: int = 0          # 0 = direct wq (V2-Lite)
+    rope_dim: int = 0             # qk_rope_head_dim
+    qk_nope_dim: int = 0          # qk_nope_head_dim
+    v_head_dim: int | None = None  # cache value width when != head_dim
     # --- Gemma-family knobs (reference llm_build_gemma3_iswa /
     # llm_build_gemma2_iswa, llama-model.cpp:1157-1204) ---
     emb_scale: float = 1.0       # token embeddings × sqrt(d_model)
@@ -89,6 +103,28 @@ class Qwen3Config:
         n_heads = int(g("attention.head_count"))
         d_model = int(g("embedding_length"))
         head_dim = int(g("attention.key_length", d_model // n_heads))
+        mla_extra = {}
+        if arch == "deepseek2":
+            # MLA geometry (reference convert_hf_to_gguf.py DeepseekV2Model
+            # set_gguf_parameters): cache key = kv_lora_rank + rope_dim,
+            # cache value = kv_lora_rank, score scale = 1/sqrt(key_len_mla)
+            kv_rank = int(g("attention.kv_lora_rank"))
+            rope_dim = int(g("rope.dimension_count"))
+            k_mla = int(g("attention.key_length_mla",
+                          head_dim - kv_rank + rope_dim))
+            gating = int(g("expert_gating_func", 1))  # 1=softmax 2=sigmoid
+            mla_extra = dict(
+                kv_lora_rank=kv_rank,
+                q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
+                rope_dim=rope_dim,
+                qk_nope_dim=k_mla - rope_dim,
+                v_head_dim=int(g("attention.value_length", kv_rank)),
+                attn_scale=1.0 / k_mla ** 0.5,
+                moe_gating="sigmoid" if gating == 2 else "softmax",
+                moe_norm_w=bool(g("expert_weights_norm", False)),
+                moe_scale_w=float(g("expert_weights_scale", 1.0)),
+                n_expert_shared=int(g("expert_shared_count", 0)),
+            )
         gemma = arch.startswith("gemma")
         # Gemma 27B variants scale queries by 1/sqrt(d_model/n_heads)
         # instead of 1/sqrt(head_dim) (llama-model.cpp:1175-1178/1201-1204;
@@ -114,9 +150,12 @@ class Qwen3Config:
                 attn_scale = float(g("attention.scale"))
         elif gemma:
             emb_scale = float(d_model) ** 0.5
+        attn_scale = mla_extra.pop("attn_scale", attn_scale)
         return Qwen3Config(
+            **mla_extra,
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
-                                   "granite", "granitemoe", "command-r"),
+                                   "granite", "granitemoe", "command-r",
+                                   "deepseek2"),
             parallel_residual=arch == "command-r",
             norm_type="layer" if arch == "command-r" else "rms",
             # command-r logit_scale MULTIPLIES logits (build_command_r);
@@ -173,9 +212,10 @@ def fuse_layer(layer: dict) -> dict:
         return jnp.concatenate(ws, axis=0)  # dense [N, K]
 
     out = dict(layer)
-    out["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
-    for k in ("wq", "wk", "wv"):
-        del out[k]
+    if layer.get("wk") is not None:  # MLA layers have no separate k/v proj
+        out["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
+        for k in ("wq", "wk", "wv"):
+            del out[k]
     if layer.get("bq") is not None:  # qwen2-family attention biases
         out["bqkv"] = jnp.concatenate([layer["bq"], layer["bk"],
                                        layer["bv"]])
@@ -221,11 +261,13 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     while (f"blk.{i}.attn_norm.weight" in reader.tensors
            or f"blk.{i}.post_attention_norm.weight" in reader.tensors):
         p = f"blk.{i}."
+        mla = f"{p}attn_kv_a_mqa.weight" in reader.tensors
         params["layers"].append({
             "attn_norm": get(p + "attn_norm.weight", required=False),
-            "wq": get(p + "attn_q.weight"),
-            "wk": get(p + "attn_k.weight"),
-            "wv": get(p + "attn_v.weight"),
+            # MLA (deepseek2) replaces wk/wv with the latent projections
+            "wq": get(p + "attn_q.weight", required=not mla),
+            "wk": get(p + "attn_k.weight", required=not mla),
+            "wv": get(p + "attn_v.weight", required=not mla),
             "wo": get(p + "attn_output.weight"),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
@@ -245,6 +287,25 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                  required=False),
         })
         lp = params["layers"][-1]
+        if mla:
+            # deepseek2 MLA projections (convert_hf_to_gguf.py
+            # DeepseekV2Model modify_tensors: wk_b [H, rank, nope] is the
+            # transposed k half of kv_b_proj, wv_b [H, v_dim, rank])
+            lp["wq_a"] = get(p + "attn_q_a.weight", required=False)
+            lp["wq_b"] = get(p + "attn_q_b.weight", required=False)
+            lp["q_a_norm"] = get(p + "attn_q_a_norm.weight", required=False)
+            lp["wkv_a"] = get(p + "attn_kv_a_mqa.weight")
+            lp["kv_a_norm"] = get(p + "attn_kv_a_norm.weight")
+            # small 3-D per-head factors stay dense bf16 (absorbed einsums)
+            lp["wk_b"] = get(p + "attn_k_b.weight", keep_q=False)
+            lp["wv_b"] = get(p + "attn_v_b.weight", keep_q=False)
+        # DeepSeek shared experts (ffn_*_shexp) + V3 selection bias
+        if f"{p}ffn_gate_shexp.weight" in reader.tensors:
+            lp["gate_shexp"] = get(p + "ffn_gate_shexp.weight")
+            lp["up_shexp"] = get(p + "ffn_up_shexp.weight")
+            lp["down_shexp"] = get(p + "ffn_down_shexp.weight")
+        if f"{p}exp_probs_b.bias" in reader.tensors:
+            lp["exp_probs_b"] = get(p + "exp_probs_b.bias", keep_q=False)
         if (lp["ffn_norm"] is None and lp["attn_post_norm"] is not None
                 and lp["ffn_post_norm"] is None):
             # gpt-oss names its (only) pre-ffn norm "post_attention_norm";
@@ -370,7 +431,39 @@ def forward(
         bnorm = rms_norm if cfg.norm_type == "rms" else layer_norm_nobias
         hn = (bnorm(h, lp["attn_norm"], cfg.rms_eps)
               if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
-        if "wqkv" in lp:  # fused decode fast path
+        mla = cfg.kv_lora_rank > 0
+        if mla:
+            # --- MLA (deepseek2, llm_build_deepseek2 absorbed path):
+            # q: (optionally low-rank) projection -> [nope | rope] heads;
+            # kv: ONE latent head [rope | rank]; q_nope absorbs wk_b so
+            # scores contract in latent space (MQA geometry) ------------
+            if lp.get("wq_a") is not None:
+                qm = matmul(hn, lp["wq_a"])
+                qm = rms_norm(qm, lp["q_a_norm"], cfg.rms_eps)
+                qm = matmul(qm, lp["wq_b"])
+            else:  # V2-Lite: direct q projection
+                qm = matmul(hn, lp["wq"])
+            hk = cfg.qk_nope_dim + cfg.rope_dim
+            qm = qm.reshape(t, cfg.n_heads, hk)
+            q_nope, q_pe = qm[..., :cfg.qk_nope_dim], qm[..., cfg.qk_nope_dim:]
+            kv_a = matmul(hn, lp["wkv_a"])  # [t, rank + rope]
+            kv_cmpr = rms_norm(kv_a[:, :cfg.kv_lora_rank],
+                               lp["kv_a_norm"], cfg.rms_eps)
+            k_pe = kv_a[:, cfg.kv_lora_rank:].reshape(t, 1, cfg.rope_dim)
+            q_pe = apply_rope(q_pe, pos, cfg.rope_base, neox=cfg.rope_neox)
+            k_pe = apply_rope(k_pe, pos, cfg.rope_base, neox=cfg.rope_neox)
+            # absorb: q_abs[t,h,r] = sum_n q_nope[t,h,n] * wk_b[h,r,n]
+            q_abs = jnp.einsum(
+                "thn,hrn->thr", q_nope.astype(jnp.bfloat16),
+                lp["wk_b"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            # rope section FIRST (cache re-rotation rotates [:rope_dim])
+            q = jnp.concatenate([q_pe.astype(jnp.bfloat16), q_abs], -1)
+            k = jnp.concatenate(
+                [k_pe.astype(jnp.bfloat16),
+                 kv_cmpr[:, None, :].astype(jnp.bfloat16)], -1)
+            v = kv_cmpr[:, None, :].astype(jnp.bfloat16)
+        elif "wqkv" in lp:  # fused decode fast path
             qkv = matmul(hn, lp["wqkv"])
             if lp.get("bqkv") is not None:  # qwen2-family attn biases
                 qkv = qkv + lp["bqkv"].astype(qkv.dtype)
@@ -397,16 +490,18 @@ def forward(
             q = q.reshape(t, cfg.n_heads, cfg.head_dim)
             k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
             v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        if (lp["q_norm"] is not None
-                and lp["q_norm"].shape[-1] == cfg.head_dim):
-            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-        if (lp["k_norm"] is not None
-                and lp["k_norm"].shape[-1] == cfg.head_dim):
-            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        if not mla:
+            if (lp["q_norm"] is not None
+                    and lp["q_norm"].shape[-1] == cfg.head_dim):
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            if (lp["k_norm"] is not None
+                    and lp["k_norm"].shape[-1] == cfg.head_dim):
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         swa_l = has_swa and cfg.is_swa_layer(li)
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
-        q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
-        k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
+        if not mla:  # MLA ropes only its q_pe/k_pe sections (above)
+            q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
+            k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
         mask_l = mask_swa if swa_l else mask
         if deferred:
             kc, vc = cache.read_layer(li)
@@ -425,6 +520,13 @@ def forward(
                                   scale=cfg.attn_scale,
                                   logit_softcap=cfg.attn_softcap,
                                   sinks=lp.get("sinks"))
+        if mla:
+            # decompress latent attention output per head through wv_b
+            # [H, v_dim, rank] (build_attn's v_mla argument)
+            attn = jnp.einsum(
+                "thr,hvr->thv", attn.astype(jnp.bfloat16),
+                lp["wv_b"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         attn_out = matmul(attn.reshape(t, -1), lp["wo"])
         if lp.get("bo") is not None:  # gpt-oss output-projection bias
             attn_out = attn_out + lp["bo"].astype(attn_out.dtype)
@@ -443,6 +545,14 @@ def forward(
                else lambda z: jax.nn.gelu(z, approximate=True))
         if lp.get("gate_inp") is not None:
             ffn_out = moe_ffn(lp, cfg, hn)
+            if lp.get("gate_shexp") is not None:
+                # DeepSeek shared experts: a dense SwiGLU branch added to
+                # the routed mix (llm_build_deepseek2 ffn_shexp)
+                sg = matmul(hn, lp["gate_shexp"])
+                su = matmul(hn, lp["up_shexp"])
+                ffn_out = ffn_out + matmul(
+                    act(sg.astype(jnp.float32)).astype(jnp.bfloat16) * su,
+                    lp["down_shexp"]).astype(ffn_out.dtype)
         elif "w_gateup" in lp:
             gu = matmul(hn, lp["w_gateup"])
             gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
@@ -514,9 +624,23 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
                         lp["gate_inp"].astype(jnp.float32))
     if lp.get("gate_inp_b") is not None:  # gpt-oss router bias
         router = router + lp["gate_inp_b"].astype(jnp.float32)
-    probs = jax.nn.softmax(router, axis=-1)  # [T, E]
-    top_w, top_i = jax.lax.top_k(probs, k)
-    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_topk_prob
+    # gating (build_moe_ffn, llama-graph.cpp:877): softmax (default; also
+    # covers gpt-oss's SOFTMAX_WEIGHT — softmax-then-topk-then-renorm ==
+    # softmax over the selected logits) or sigmoid (DeepSeek-V3)
+    if cfg.moe_gating == "sigmoid":
+        probs = jax.nn.sigmoid(router)
+    else:
+        probs = jax.nn.softmax(router, axis=-1)  # [T, E]
+    # V3 expert-selection bias (e_score_correction): biases SELECTION only,
+    # weights come from the unbiased probs
+    sel = (probs + lp["exp_probs_b"].astype(jnp.float32)
+           if lp.get("exp_probs_b") is not None else probs)
+    _, top_i = jax.lax.top_k(sel, k)
+    top_w = jnp.take_along_axis(probs, top_i, axis=-1)
+    if cfg.moe_norm_w:  # norm_topk_prob
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if cfg.moe_scale_w != 1.0:  # routed_scaling_factor
+        top_w = top_w * cfg.moe_scale_w
     hb = hn.astype(jnp.bfloat16)
     quant = isinstance(lp["gate_exps"], QExpertStack)
 

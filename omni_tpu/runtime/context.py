@@ -85,6 +85,10 @@ class Context:
             dtype=kv_dtype,
             rope_base=cfg.rope_base,
             rope_neox=getattr(cfg, "rope_neox", True),
+            # MLA (deepseek2): narrower value plane + partially-roped keys
+            v_head_dim=getattr(cfg, "v_head_dim", None),
+            rope_dim=(getattr(cfg, "rope_dim", 0)
+                      if getattr(cfg, "kv_lora_rank", 0) else 0),
         )
         self.sampler = sampler or SamplerParams()
         self.key = jax.random.PRNGKey(self.sampler.seed)

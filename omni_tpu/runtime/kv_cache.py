@@ -79,23 +79,31 @@ class KVCache:
     seq_mask: jax.Array  # [S] uint32 bitset of owning sequences
     rope_base: float = dataclasses.field(metadata=dict(static=True), default=10000.0)
     rope_neox: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # MLA (deepseek2): keys are [roped rope_dim | compressed latent] and
+    # only the leading rope_dim columns are position-dependent; 0 = the
+    # whole key is roped (standard attention)
+    rope_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     # ---- construction ----------------------------------------------------
     @staticmethod
     def create(n_layers: int, size: int, n_kv_heads: int, head_dim: int,
                dtype=jnp.bfloat16, rope_base: float = 10000.0,
-               rope_neox: bool = True) -> "KVCache":
+               rope_neox: bool = True, v_head_dim: int | None = None,
+               rope_dim: int = 0) -> "KVCache":
         quant = dtype == jnp.int8
         shape = (n_layers, n_kv_heads, size, head_dim)
+        vshape = (n_layers, n_kv_heads, size,
+                  head_dim if v_head_dim is None else v_head_dim)
         return KVCache(
             k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            v=jnp.zeros(vshape, dtype),
             k_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
             v_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
             pos=jnp.full((size,), -1, jnp.int32),
             seq_mask=jnp.zeros((size,), jnp.uint32),
             rope_base=rope_base,
             rope_neox=rope_neox,
+            rope_dim=rope_dim,
         )
 
     @property
@@ -267,8 +275,16 @@ class KVCache:
         on window slides / self-extend)."""
         def rotate(kf):  # [L, H, S, D] bf16 -> rotated
             kc = jnp.swapaxes(kf, 1, 2)  # [L, S, H, D]
-            kc = apply_rope(kc, jnp.broadcast_to(rot[None, :], kc.shape[:2]),
-                            self.rope_base, neox=self.rope_neox)
+            pos2 = jnp.broadcast_to(rot[None, :], kc.shape[:2])
+            if self.rope_dim > 0:
+                # MLA: only the leading rope_dim key columns are roped;
+                # the compressed latent is position-independent
+                head = apply_rope(kc[..., :self.rope_dim], pos2,
+                                  self.rope_base, neox=self.rope_neox)
+                kc = jnp.concatenate([head, kc[..., self.rope_dim:]], -1)
+            else:
+                kc = apply_rope(kc, pos2, self.rope_base,
+                                neox=self.rope_neox)
             return jnp.swapaxes(kc, 1, 2)
 
         if self.quantized:
