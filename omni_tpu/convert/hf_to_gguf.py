@@ -140,6 +140,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     llama/minicpm archs rope with adjacent pairs (NORM) on disk while HF
     checkpoints store the half-split layout, so their q/k projections are
     permuted during conversion — exactly like the reference converter."""
+    if arch == "mamba":
+        return _convert_mamba(state, config, out_path, qtype,
+                              tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -416,6 +419,64 @@ def _put_deepseek2_layers(put, state: Mapping[str, Any],
                 key = pfx + f"mlp.shared_experts.{hfp}.weight"
                 if key in state:
                     put(b + gg + ".weight", state[key])
+
+
+def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
+                   out_path: str, qtype: GGMLType,
+                   tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF MambaForCausalLM -> GGUF arch "mamba" (reference
+    convert_hf_to_gguf.py MambaModel + llm_build_mamba tensor names):
+    ssm_a stores A_log verbatim (the engine applies -exp), conv1d weight
+    drops the depthwise singleton dim."""
+    state = _strip(state, "backbone.")
+    arch = "mamba"
+    d_model = int(config["hidden_size"])
+    tsr = config.get("time_step_rank", "auto")
+    if tsr in (None, "auto"):
+        tsr = -(-d_model // 16)  # ceil, HF MambaConfig "auto" rule
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.ssm.inner_size",
+             int(config.get("intermediate_size") or 2 * d_model))
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("state_size", 16)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", int(tsr))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 1 << 20)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.weight"])
+    put("output_norm.weight", state["norm_f.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(int(config["num_hidden_layers"])):
+        pfx, b = f"layers.{i}.mixer.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[f"layers.{i}.norm.weight"], None)
+        put(b + "ssm_in.weight", state[pfx + "in_proj.weight"])
+        put(b + "ssm_conv1d.weight",
+            _np(state[pfx + "conv1d.weight"])[:, 0, :], None)
+        put(b + "ssm_conv1d.bias", state[pfx + "conv1d.bias"], None)
+        put(b + "ssm_x.weight", state[pfx + "x_proj.weight"])
+        put(b + "ssm_dt.weight", state[pfx + "dt_proj.weight"], None)
+        put(b + "ssm_dt.bias", state[pfx + "dt_proj.bias"], None)
+        put(b + "ssm_a", state[pfx + "A_log"], None)
+        put(b + "ssm_d", state[pfx + "D"], None)
+        put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
 
 
 # ---------------------------------------------------------------------------

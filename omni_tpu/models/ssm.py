@@ -110,8 +110,51 @@ def forward(params: dict, cfg: SSMConfig, tokens: jax.Array,
     cache = cache.advance(seq_id, tokens.shape[0])
 
     hidden = rms_norm(h, params["output_norm"], cfg.rms_eps)
-    logits = hidden @ params["token_embd"].T.astype(hidden.dtype)
+    head = params.get("output", params["token_embd"])
+    logits = hidden @ head.T.astype(hidden.dtype)
     return logits, cache
+
+
+def load_params(reader) -> dict:
+    """GGUF arch "mamba" -> the forward() parameter pytree (tensor names
+    from the reference converter, convert_hf_to_gguf.py MambaModel)."""
+    from ..kernels import load_quantized
+
+    def get(name, required=True):
+        if name not in reader.tensors:
+            if required:
+                raise KeyError(f"missing tensor {name}")
+            return None
+        ti = reader.tensors[name]
+        # the recurrence runs in f32 (VPU-bound, numerically sensitive)
+        return jnp.asarray(load_quantized(ti.data, ti.ggml_type, ti.shape,
+                                          False), jnp.float32)
+
+    params = {
+        "token_embd": get("token_embd.weight"),
+        "output_norm": get("output_norm.weight"),
+        "layers": [],
+    }
+    out = get("output.weight", required=False)
+    if out is not None:
+        params["output"] = out
+    i = 0
+    while f"blk.{i}.ssm_in.weight" in reader.tensors:
+        p = f"blk.{i}."
+        params["layers"].append({
+            "norm": get(p + "attn_norm.weight"),
+            "ssm_in": get(p + "ssm_in.weight"),
+            "ssm_conv1d": get(p + "ssm_conv1d.weight"),
+            "ssm_conv1d_b": get(p + "ssm_conv1d.bias"),
+            "ssm_x": get(p + "ssm_x.weight"),
+            "ssm_dt": get(p + "ssm_dt.weight"),
+            "ssm_dt_b": get(p + "ssm_dt.bias"),
+            "ssm_a": get(p + "ssm_a"),
+            "ssm_d": get(p + "ssm_d"),
+            "ssm_out": get(p + "ssm_out.weight"),
+        })
+        i += 1
+    return params
 
 
 def init_params(cfg: SSMConfig, seed: int = 0) -> dict:

@@ -125,3 +125,49 @@ def test_hybrid_cache_seq_ops(model):
 
     h5 = h2.clear()
     assert int(jnp.sum(h5.kv.seq_mask)) == 0
+
+
+def test_mamba_gguf_logits_match_transformers(tmp_path):
+    """GGUF-loadable Mamba (VERDICT r2 #5): HF MambaForCausalLM ->
+    omni-convert-hf -> ssm.load_params -> logits parity, prefill AND
+    stepwise decode through the RecurrentCache."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import MambaConfig, MambaForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core.gguf import GGUFReader
+
+    torch.manual_seed(0)
+    hcfg = MambaConfig(
+        vocab_size=64, hidden_size=32, state_size=8, num_hidden_layers=2,
+        intermediate_size=64, conv_kernel=4, time_step_rank=4,
+        layer_norm_epsilon=1e-5)
+    model = MambaForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "mamba.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="mamba")
+
+    reader = GGUFReader(path)
+    cfg = ssm.SSMConfig.from_gguf(reader.kv)
+    assert (cfg.d_inner, cfg.d_state, cfg.dt_rank) == (64, 8, 4)
+    params = ssm.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    fwd = jax.jit(ssm.forward, static_argnums=(1,))
+    cache = RecurrentCache.create(cfg.n_layers, 2, cfg.d_conv, cfg.d_inner,
+                                  cfg.d_state)
+    logits, cache2 = fwd(params, cfg, jnp.asarray(toks), cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.02)
+
+    # stepwise decode equals prefill (same scan step fn, state carried)
+    cache_b = RecurrentCache.create(cfg.n_layers, 2, cfg.d_conv, cfg.d_inner,
+                                    cfg.d_state)
+    steps = []
+    for t in toks:
+        lg, cache_b = fwd(params, cfg, jnp.asarray([t]), cache_b, 0)
+        steps.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(steps), np.asarray(logits), atol=1e-4)
