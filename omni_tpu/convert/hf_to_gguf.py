@@ -143,6 +143,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "mamba":
         return _convert_mamba(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
+    if arch == "bert":
+        return _convert_bert(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -475,6 +478,83 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+_BERT_LAYER_MAP = {
+    "attention.self.query": "attn_q",
+    "attention.self.key": "attn_k",
+    "attention.self.value": "attn_v",
+    "attention.output.dense": "attn_output",
+    "attention.output.LayerNorm": "attn_output_norm",
+    "intermediate.dense": "ffn_up",
+    "output.dense": "ffn_down",
+    "output.LayerNorm": "layer_output_norm",
+}
+
+
+def _convert_bert(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF BertModel / BertForSequenceClassification -> GGUF arch "bert"
+    (reference convert_hf_to_gguf.py BertModel): post-norm encoder blocks
+    with biased projections, learned positions + token types, optional
+    rank-classifier cls heads.  Pooling defaults to CLS (2); a
+    single-logit classifier flips it to RANK (4)."""
+    state = _strip(state, "bert.")
+    arch = "bert"
+    w = GGUFWriter(out_path)
+    n_layers = int(config["num_hidden_layers"])
+    pooling = int(config.get("pooling_type", 2))  # LLAMA_POOLING_TYPE_CLS
+    has_cls = "classifier.weight" in state
+    if has_cls:
+        pooling = 4  # RANK (cross-encoder reranker)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", int(config["hidden_size"]))
+    w.add_kv(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count",
+             int(config["num_attention_heads"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_eps", 1e-12)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 512)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.token_type_count", int(config.get("type_vocab_size", 2)))
+    w.add_kv(f"{arch}.pooling_type", pooling)
+    w.add_kv(f"{arch}.activation",
+             str(config.get("hidden_act", "gelu")))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.word_embeddings.weight"])
+    put("position_embd.weight",
+        state["embeddings.position_embeddings.weight"], None)
+    if "embeddings.token_type_embeddings.weight" in state:
+        put("token_types.weight",
+            state["embeddings.token_type_embeddings.weight"], None)
+    put("token_embd_norm.weight", state["embeddings.LayerNorm.weight"], None)
+    put("token_embd_norm.bias", state["embeddings.LayerNorm.bias"], None)
+    for i in range(n_layers):
+        for hf, gg in _BERT_LAYER_MAP.items():
+            for part in ("weight", "bias"):
+                key = f"encoder.layer.{i}.{hf}.{part}"
+                q = qtype if part == "weight" and "Norm" not in hf else None
+                put(f"blk.{i}.{gg}.{part}", state[key], q)
+    if "pooler.dense.weight" in state and has_cls:
+        # rank head: pooler dense (tanh) -> classifier logit
+        put("cls.weight", state["pooler.dense.weight"], None)
+        put("cls.bias", state["pooler.dense.bias"], None)
+    if has_cls:
+        put("cls.output.weight", state["classifier.weight"], None)
+        put("cls.output.bias", state["classifier.bias"], None)
     w.write()
     return written
 

@@ -128,7 +128,8 @@ def load_params(reader) -> dict:
         ti = reader.tensors[name]
         # the recurrence runs in f32 (VPU-bound, numerically sensitive)
         return jnp.asarray(load_quantized(ti.data, ti.ggml_type, ti.shape,
-                                          False), jnp.float32)
+                                          False, dtype=jnp.float32),
+                           jnp.float32)
 
     params = {
         "token_embd": get("token_embd.weight"),

@@ -45,11 +45,18 @@ class ServerState:
                  model_name: str = "omni-tpu", lora_paths: list | None = None,
                  draft_ctx: Context | None = None,
                  slot_save_path: str | None = None,
-                 chat_template: str | None = None):
+                 chat_template: str | None = None,
+                 encoder: tuple | None = None):
         self.ctx = ctx
         self.tok = tokenizer
         self.model_name = model_name
         self._vocab_trie = None
+        # encoder = (bert.BertConfig, params): a BERT-family embedding /
+        # rerank model (reference llm_build_bert); embeddings and rerank
+        # route through it, generation endpoints 400
+        self.encoder = encoder
+        if ctx is None and encoder is None:
+            raise ValueError("ServerState needs a decoder ctx or an encoder")
         # seqs 30 (speculative) and 31 (embedding/rerank scratch) are
         # reserved; the KV bitset caps everything at MAX_SEQS (32)
         from ..runtime import MAX_SEQS
@@ -57,7 +64,8 @@ class ServerState:
         n_slots = max(1, min(n_slots, MAX_SEQS - 2))
         self.sched = SlotScheduler(ctx, n_slots=n_slots,
                                    vocab_trie=self._trie,
-                                   token_text=lambda t: tokenizer.decode([t]))
+                                   token_text=lambda t: tokenizer.decode([t])
+                                   ) if ctx is not None else None
         self.sched_lock = threading.Lock()
         self.omni = None  # OmniPipeline, created by /v1/stream/omni_init
         self.draft_ctx = draft_ctx  # speculative decoding (server --draft)
@@ -74,7 +82,7 @@ class ServerState:
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
         # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
-        self.base_params = ctx.params
+        self.base_params = ctx.params if ctx is not None else encoder[1]
         self.loras = []  # [{"path", "adapter", "scale"}]
         for p in lora_paths or []:
             from ..runtime.adapter import LoraAdapter
@@ -87,6 +95,8 @@ class ServerState:
     def _reapply_loras(self) -> None:
         from ..runtime.adapter import apply_lora
 
+        if self.ctx is None:
+            return
         params = self.base_params
         for entry in self.loras:
             if entry["scale"] != 0.0:
@@ -109,9 +119,22 @@ class ServerState:
         return self._vocab_trie
 
     def embed(self, prompt_tokens) -> np.ndarray:
-        """Mean-pooled L2-normalized embedding (server /embedding contract)."""
+        """L2-normalized embedding (server /embedding contract): BERT
+        encoder pooling when the model is an encoder, otherwise mean-pooled
+        decoder hidden states."""
         from ..runtime.context import Batch
 
+        if self.encoder is not None:
+            import dataclasses
+
+            from ..models import bert
+
+            ecfg, eparams = self.encoder
+            if ecfg.pooling == bert.POOL_RANK:
+                # rank classifiers still serve /embeddings as CLS vectors
+                ecfg = dataclasses.replace(ecfg, pooling=bert.POOL_CLS)
+            with self.sched_lock:
+                return np.asarray(bert.encode(eparams, ecfg, prompt_tokens))
         seq = 31  # reserved scratch sequence, freed right after
         with self.sched_lock:
             _, hidden = self.ctx.decode(Batch(
@@ -139,9 +162,21 @@ class ServerState:
         ids += self.tok.encode(query, add_special=False)
         if v.eos_id is not None:
             ids.append(v.eos_id)
+        n_q = len(ids)
         ids += self.tok.encode(doc, add_special=False)
         if v.eos_id is not None:
             ids.append(v.eos_id)
+        if self.encoder is not None:
+            # cross-encoder: [CLS]query[SEP]doc[SEP] with segment ids
+            from ..models import bert
+
+            ecfg, eparams = self.encoder
+            tt = np.zeros(len(ids), np.int32)
+            tt[n_q:] = 1
+            with self.sched_lock:
+                score = bert.encode(eparams, ecfg, np.asarray(ids, np.int32),
+                                    token_types=tt, normalize=False)
+            return float(np.asarray(score).reshape(-1)[0])
         seq = 31  # scratch
         with self.sched_lock:
             _, hidden = self.ctx.decode(Batch(
@@ -369,8 +404,10 @@ def make_handler(state: ServerState):
             elif self.path == "/props":
                 self._json(200, {
                     "model": state.model_name,
-                    "n_ctx": state.ctx.n_ctx,
-                    "n_slots": len(state.sched.slots),
+                    "n_ctx": (state.ctx.n_ctx if state.ctx is not None
+                              else state.encoder[0].n_ctx),
+                    "n_slots": (len(state.sched.slots)
+                                if state.sched is not None else 0),
                 })
             elif self.path == "/lora-adapters":
                 self._json(200, [{"id": i, "path": e["path"], "scale": e["scale"]}
@@ -379,9 +416,11 @@ def make_handler(state: ServerState):
                 self._json(200, [
                     {"id": s.id, "state": s.state.name,
                      "n_past": s.n_past, "n_decoded": s.n_decoded}
-                    for s in state.sched.slots])
+                    for s in (state.sched.slots
+                              if state.sched is not None else [])])
             elif self.path == "/metrics":
-                m = state.sched.metrics()
+                m = (state.sched.metrics() if state.sched is not None
+                     else {"kv_cells_used": 0, "kv_cells_total": 0})
                 lines = [
                     "# TYPE omni_tpu_requests_total counter",
                     f"omni_tpu_requests_total {state.metrics['n_requests']}",
@@ -406,6 +445,16 @@ def make_handler(state: ServerState):
             try:
                 body = self._body()
                 route = self.path.split("?")[0]
+                gen_routes = ("/completion", "/completions",
+                              "/v1/completions", "/v1/chat/completions",
+                              "/infill")
+                if state.ctx is None and (route in gen_routes
+                                          or route.startswith("/v1/stream/")
+                                          or route.startswith("/slots/")):
+                    self._json(400, {"error": {"message":
+                               "encoder-only model: generation endpoints "
+                               "are unavailable", "type": "invalid_request_error"}})
+                    return
                 if route in ("/completion", "/completions", "/v1/completions"):
                     self._handle_completion(body)
                 elif route == "/v1/chat/completions":
@@ -729,8 +778,15 @@ def make_handler(state: ServerState):
             query = body.get("query", "")
             docs = body.get("documents", [])
             results = []
-            if state.ctx.params.get("cls_out") is not None or \
-                    state.ctx.params.get("cls") is not None:
+            rank_params = (state.encoder[1] if state.encoder is not None
+                           else state.ctx.params)
+            has_rank_head = (rank_params.get("cls_out") is not None
+                             or rank_params.get("cls") is not None)
+            if state.encoder is not None:
+                from ..models import bert as _bert
+                has_rank_head = (has_rank_head and
+                                 state.encoder[0].pooling == _bert.POOL_RANK)
+            if has_rank_head:
                 for i, doc in enumerate(docs):
                     results.append({"index": i,
                                     "relevance_score":
@@ -997,12 +1053,21 @@ def main(argv=None):
     import jax.numpy as jnp
 
     reader = GGUFReader(args.model)
-    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
-    params = qwen3.load_params(reader)
     tok = build_tokenizer(reader.kv)
-    kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
-    ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
-                  n_ctx=args.ctx_size, kv_dtype=kv_dtype)
+    encoder = None
+    ctx = None
+    if reader.kv.get("general.architecture") == "bert":
+        # encoder-only embedding/rerank model (reference llm_build_bert)
+        from ..models import bert
+
+        encoder = (bert.BertConfig.from_gguf(reader.kv),
+                   bert.load_params(reader))
+    else:
+        cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+        params = qwen3.load_params(reader)
+        kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
+        ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
+                      n_ctx=args.ctx_size, kv_dtype=kv_dtype)
     draft_ctx = None
     if args.draft:
         dreader = GGUFReader(args.draft)
@@ -1011,7 +1076,7 @@ def main(argv=None):
                             qwen3.embed, n_ctx=args.ctx_size)
     state = ServerState(ctx, tok, n_slots=args.parallel,
                         lora_paths=args.lora, draft_ctx=draft_ctx,
-                        slot_save_path=args.slot_save_path,
+                        slot_save_path=args.slot_save_path, encoder=encoder,
                         chat_template=reader.kv.get("tokenizer.chat_template"))
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
