@@ -146,6 +146,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "rwkv6":
+        return _convert_rwkv6(state, config, out_path, qtype,
+                              tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -478,6 +481,102 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_rwkv6(state: Mapping[str, Any], config: Mapping[str, Any],
+                   out_path: str, qtype: GGMLType,
+                   tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF Rwkv6ForCausalLM (rwkv.blocks.* remote-code layout) -> GGUF arch
+    "rwkv6" with the reference exporter's layouts (convert_hf_to_gguf.py
+    Rwkv6Model): time_maa_w1/time_decay_w1/time_decay_w2 transposed to
+    [out, in], time_maa_w2 permuted to [5, C, W], the five per-branch lerp
+    vectors fused into time_mix_lerp_fused [5, 1, C] (order w,k,v,r,g),
+    decay/lerps squeezed to [C], and — when rescale_every > 0 —
+    time_mix_output / channel_mix_value pre-divided by 2^(layer//n) to
+    match the runtime's 0.5 residual rescale (llm_build_rwkv6)."""
+    state = _strip(state, "rwkv.")
+    arch = "rwkv6"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    head_size = int(config.get("head_size", 64))
+    rescale = int(config.get("rescale_every", 6))
+    d_ff = int(config.get("intermediate_size")
+               or int(d_model * 3.5) // 32 * 32)
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.wkv.head_size", head_size)
+    w.add_kv(f"{arch}.rescale_every_n_layers", rescale)
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 1 << 20)))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    # reference writes these (unused by the graph; sized per Rwkv6Model)
+    w.add_kv(f"{arch}.time_mix_extra_dim", 64 if d_model == 4096 else 32)
+    w.add_kv(f"{arch}.time_decay_extra_dim", 128 if d_model == 4096 else 64)
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.weight"])
+    put("token_embd_norm.weight", state["blocks.0.pre_ln.weight"], None)
+    put("token_embd_norm.bias", state["blocks.0.pre_ln.bias"], None)
+    put("output_norm.weight", state["ln_out.weight"], None)
+    put("output_norm.bias", state["ln_out.bias"], None)
+    if "head.weight" in state:
+        put("output.weight", state["head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"blocks.{i}.", f"blk.{i}."
+        att, ffn = pfx + "attention.", pfx + "feed_forward."
+        div = float(2 ** (i // rescale)) if rescale > 0 else 1.0
+        put(b + "attn_norm.weight", state[pfx + "ln1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln1.bias"], None)
+        put(b + "attn_norm_2.weight", state[pfx + "ln2.weight"], None)
+        put(b + "attn_norm_2.bias", state[pfx + "ln2.bias"], None)
+        put(b + "time_mix_lerp_x.weight",
+            _np(state[att + "time_maa_x"]).reshape(-1), None)
+        put(b + "time_mix_lerp_fused.weight",
+            np.stack([_np(state[att + f"time_maa_{s}"]).reshape(1, -1)
+                      for s in "wkvrg"]), None)
+        put(b + "time_mix_w1.weight",
+            _np(state[att + "time_maa_w1"]).T, None)
+        put(b + "time_mix_w2.weight",
+            _np(state[att + "time_maa_w2"]).transpose(0, 2, 1), None)
+        put(b + "time_mix_decay.weight",
+            _np(state[att + "time_decay"]).reshape(-1), None)
+        put(b + "time_mix_decay_w1.weight",
+            _np(state[att + "time_decay_w1"]).T, None)
+        put(b + "time_mix_decay_w2.weight",
+            _np(state[att + "time_decay_w2"]).T, None)
+        put(b + "time_mix_first.weight", state[att + "time_faaaa"], None)
+        put(b + "time_mix_key.weight", state[att + "key.weight"])
+        put(b + "time_mix_value.weight", state[att + "value.weight"])
+        put(b + "time_mix_receptance.weight",
+            state[att + "receptance.weight"])
+        put(b + "time_mix_gate.weight", state[att + "gate.weight"])
+        put(b + "time_mix_ln.weight", state[att + "ln_x.weight"], None)
+        put(b + "time_mix_ln.bias", state[att + "ln_x.bias"], None)
+        put(b + "time_mix_output.weight",
+            _np(state[att + "output.weight"]) / div)
+        put(b + "channel_mix_lerp_k.weight",
+            _np(state[ffn + "time_maa_k"]).reshape(-1), None)
+        put(b + "channel_mix_lerp_r.weight",
+            _np(state[ffn + "time_maa_r"]).reshape(-1), None)
+        put(b + "channel_mix_key.weight", state[ffn + "key.weight"])
+        put(b + "channel_mix_value.weight",
+            _np(state[ffn + "value.weight"]) / div)
+        put(b + "channel_mix_receptance.weight",
+            state[ffn + "receptance.weight"])
     w.write()
     return written
 
