@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.dtypes import GGMLType
-from .qformats import QTensor, dequant_t, dequant_tile
+from .qformats import QTensor, dequant_t, dequant_tile, tile_granule
 
 # rows of ONE logical K element per plane, as a fraction: plane_rows = K // div
 _PLANE_DIV = {
@@ -28,6 +28,13 @@ _PLANE_DIV = {
     GGMLType.Q4_K: {"q": 2, "sc": 32, "mn": 32, "d": 256, "dm": 256},
     GGMLType.Q5_K: {"q": 2, "sc": 32, "mn": 32, "d": 256, "dm": 256, "qh": 8},
     GGMLType.Q6_K: {"q": 1, "sc": 16, "d": 256},
+    GGMLType.Q4_0: {"q": 2, "d": 32},
+    GGMLType.Q4_1: {"q": 2, "d": 32, "dm": 32},
+    GGMLType.Q5_0: {"q": 2, "qh": 8, "d": 32},
+    GGMLType.Q5_1: {"q": 2, "qh": 8, "d": 32, "dm": 32},
+    GGMLType.IQ4_NL: {"q": 1, "d": 32},
+    GGMLType.IQ4_XS: {"q": 1, "sc": 32, "d": 256},
+    GGMLType.MXFP4: {"q": 1, "d": 32},
 }
 
 
@@ -96,7 +103,7 @@ def qmatmul_pallas(
         auto_n, auto_k = _auto_tiles(m, n, k)
         block_n = block_n or auto_n
         block_k = block_k or auto_k
-    granule = 32 if qt.ggml_type == GGMLType.Q8_0 else 256
+    granule = tile_granule(qt.ggml_type)
     tm = min(block_m, m)
     tn = min(block_n, n)
     assert k % granule == 0, (k, granule)

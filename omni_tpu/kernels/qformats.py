@@ -38,7 +38,24 @@ import numpy as np
 from ..core.dtypes import GGMLType, QK_K, type_traits
 from ..core import quants as nq
 
-NATIVE_QTYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0)
+NATIVE_QTYPES = (
+    GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
+    # round-3 additions (VERDICT r2 #6): legacy nibble/byte-plane formats
+    # keep their packed nibbles + per-32 scales; the IQ4/MXFP4 codebook
+    # formats repack to int8 VALUE planes (the Q6_K trade: byte loads over
+    # in-kernel gathers), still 2x denser than bf16
+    GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+    GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4,
+)
+
+# minimum K multiple a format needs for the fused kernel's plane layout:
+# nibble planes use superblock-half packing (256); int8-plane formats only
+# need their 32-wide scale groups
+_INT8_PLANE = (GGMLType.Q8_0, GGMLType.IQ4_NL, GGMLType.MXFP4)
+
+
+def tile_granule(t: GGMLType) -> int:
+    return 32 if t in _INT8_PLANE else 256
 
 
 @jax.tree_util.register_pytree_node_class
@@ -148,6 +165,54 @@ def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> Q
         # traded for shift-free int8 sublane loads
         return QTensor(t, shape, T(q), T(scales), None, T(d), None)
 
+    if t in (GGMLType.Q4_0, GGMLType.Q4_1):
+        off = 2 if t == GGMLType.Q4_0 else 4
+        d = nq._f16(b[:, :2]).reshape(n, k // 32)
+        m = (None if t == GGMLType.Q4_0
+             else T(nq._f16(b[:, 2:4]).reshape(n, k // 32)))
+        q = nq._split_nibbles(b[:, off:], 16).reshape(n, k)
+        return QTensor(t, shape, T(_pack_sb_halves(q)), None, None, T(d), m)
+
+    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        off = 2 if t == GGMLType.Q5_0 else 4
+        d = nq._f16(b[:, :2]).reshape(n, k // 32)
+        m = (None if t == GGMLType.Q5_0
+             else T(nq._f16(b[:, 2:4]).reshape(n, k // 32)))
+        hi = nq._qh_bits(b[:, off:off + 4])
+        lo = nq._split_nibbles(b[:, off + 4:], 16)
+        q5 = (lo | (hi << np.uint8(4))).reshape(n, k)
+        qh_plane = T(np.packbits(q5 >> 4, axis=-1, bitorder="little"))
+        return QTensor(t, shape, T(_pack_sb_halves(q5 & np.uint8(0xF))),
+                       None, None, T(d), m, qh=qh_plane)
+
+    if t in (GGMLType.IQ4_NL, GGMLType.MXFP4):
+        # int8 VALUE plane: the 16-entry codebook is applied at load
+        if t == GGMLType.IQ4_NL:
+            d = nq._f16(b[:, :2]).reshape(n, k // 32)
+            idx = nq._split_nibbles(b[:, 2:], 16).astype(np.int64)
+            vals = nq._IQ4NL_KVALUES[idx].reshape(n, k)
+        else:
+            d = nq._e8m0_half(b[:, :1]).reshape(n, k // 32)
+            idx = nq._split_nibbles(b[:, 1:], 16).astype(np.int64)
+            vals = nq._MXFP4_KVALUES[idx].astype(np.int8).reshape(n, k)
+        return QTensor(t, shape, T(vals), None, None,
+                       T(d.astype(np.float32)), None)
+
+    if t == GGMLType.IQ4_XS:
+        d = nq._f16(b[:, :2]).reshape(n, nsb)
+        sh = b[:, 2:4].copy().view("<u2").astype(np.uint32)
+        lo4 = nq._split_nibbles(b[:, 4:4 + QK_K // 64], 1)
+        hi2 = ((sh >> (2 * np.arange(QK_K // 32, dtype=np.uint32)[None, :]))
+               & np.uint32(3)).astype(np.uint8)
+        scales = ((lo4 | (hi2 << np.uint8(4))).astype(np.int8)
+                  .astype(np.int16) - 32).astype(np.int8)  # [-32, 31]
+        idx = nq._split_nibbles(
+            b[:, 4 + QK_K // 64:].reshape(b.shape[0] * (QK_K // 32), 16),
+            16).astype(np.int64)
+        vals = nq._IQ4NL_KVALUES[idx].reshape(n, k)
+        return QTensor(t, shape, T(vals), T(scales.reshape(n, nsb * 8)),
+                       None, T(d), None)
+
     raise NotImplementedError(f"repack: {t.name}")
 
 
@@ -197,6 +262,34 @@ def dequant_tile(t: GGMLType, p: dict[str, jax.Array], dtype=jnp.float32) -> jax
         sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
         dl = _expand_rows(p["d"], 16) * sc  # [K/16, N]
         return (q * _expand_rows(dl, 16)).astype(dtype)
+
+    if t in (GGMLType.Q4_0, GGMLType.Q4_1):
+        q = _unpack_sb_halves(p["q"]).astype(jnp.float32)
+        d = _expand_rows(p["d"], 32)
+        if t == GGMLType.Q4_0:
+            return ((q - 8.0) * d).astype(dtype)
+        return (q * d + _expand_rows(p["dm"], 32)).astype(dtype)
+
+    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        q = _unpack_sb_halves(p["q"]).astype(jnp.float32)
+        qh = _expand_rows(p["qh"].astype(jnp.int32), 8)
+        sh = jax.lax.broadcasted_iota(jnp.int32, qh.shape, 0) % 8
+        q = q + ((qh >> sh) & 1).astype(jnp.float32) * 16.0
+        d = _expand_rows(p["d"], 32)
+        if t == GGMLType.Q5_0:
+            return ((q - 16.0) * d).astype(dtype)
+        return (q * d + _expand_rows(p["dm"], 32)).astype(dtype)
+
+    if t in (GGMLType.IQ4_NL, GGMLType.MXFP4):
+        # int8 value plane: same law as Q8_0
+        q = p["q"].astype(jnp.int32).astype(jnp.float32)
+        return (q * _expand_rows(p["d"], 32)).astype(dtype)
+
+    if t == GGMLType.IQ4_XS:
+        q = p["q"].astype(jnp.int32).astype(jnp.float32)
+        sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
+        dl = _expand_rows(p["d"], 8) * sc  # [K/32, N]
+        return (q * _expand_rows(dl, 32)).astype(dtype)
 
     raise NotImplementedError(t.name)
 
@@ -293,7 +386,23 @@ def load_quantized(blocks: np.ndarray, ggml_type: GGMLType,
     if not tr.is_quantized:
         x = nq.dequantize(blocks, t, shape)
         return jnp.asarray(x, dtype=jnp.float32 if len(shape) == 1 else dtype)
-    if keep_quantized and t in NATIVE_QTYPES and len(shape) == 2:
+    if (keep_quantized and t in NATIVE_QTYPES and len(shape) == 2
+            and shape[1] % tile_granule(t) == 0):
         return repack(blocks, t, shape)  # type: ignore[arg-type]
+    if keep_quantized and len(shape) == 2 and t not in NATIVE_QTYPES:
+        # the reference serves every type from its packed form
+        # (ggml-quants.c vec_dot per type); here the exotic sub-4-bit
+        # codebook formats widen to dense bf16 — ~4x their file size in
+        # HBM. Warn once per type so the cost is visible.
+        if t not in _warned_dense:
+            _warned_dense.add(t)
+            from ..log import warn
+
+            bpw = tr.type_size * 8 / tr.block_size
+            warn(f"{t.name}: no fused TPU kernel — dequantizing to dense "
+                 f"16-bit in HBM (~{16 / bpw:.1f}x file size)")
     x = nq.dequantize(np.asarray(blocks), t, shape)
     return jnp.asarray(x, dtype=jnp.float32 if len(shape) == 1 else dtype)
+
+
+_warned_dense: set = set()

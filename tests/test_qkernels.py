@@ -18,7 +18,9 @@ from omni_tpu.kernels import (
     repack,
 )
 
-NATIVE = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0]
+NATIVE = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
+          GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+          GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4]
 
 
 def _make_qtensor(rng, qtype, n=16, k=512):
