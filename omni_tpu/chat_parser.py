@@ -38,6 +38,9 @@ Formats (marker syntax per common/chat.cpp):
 - gpt_oss     : harmony channels — header…<|message|>body<|end|> segments;
                 analysis→reasoning, final→content, "to=functions.NAME"
                 header→tool call (chat.cpp:1817-1905)
+- apertus     : <|inner_prefix|>…<|inner_suffix|> reasoning +
+                <|tools_prefix|>[{"NAME": {args}}, …]<|tools_suffix|>
+                single-key short-form calls (chat.cpp:2471-2500)
 - generic     : one JSON object {"name":…,"arguments":{…}} or
                 {"tool_calls":[…]} (the grammar-forced fallback)
 - content_only: no tool syntax.
@@ -82,6 +85,8 @@ def detect_format(template: str | None) -> str:
         return "functionary_v3_2"
     if "<function=" in template:
         return "functionary_v3_1"
+    if "<|tools_prefix|>" in template or "<|inner_prefix|>" in template:
+        return "apertus"
     if "<|python_tag|>" in template or "ipython" in template:
         return "llama_3_x"
     return "generic"
@@ -177,6 +182,31 @@ def parse_response(text: str, fmt: str = "generic") -> dict:
             content = text[: text.find("<｜tool▁calls▁begin｜>")
                            if "<｜tool▁calls▁begin｜>" in text else
                            text.find("<｜tool▁call▁begin｜>")].strip()
+    elif fmt == "apertus":
+        # <|inner_prefix|>…<|inner_suffix|> reasoning,
+        # <|tools_prefix|>[{"tool_name": {args}}, …]<|tools_suffix|>
+        # (chat.cpp:2471-2500 common_chat_parse_apertus; calls use the
+        # single-key "short form" of chat-parser.cpp:82)
+        m = re.search(r"<\|inner_prefix\|>(.*?)<\|inner_suffix\|>\s*",
+                      text, re.S)
+        if m:
+            reasoning = m.group(1).strip()
+            text = text[:m.start()] + text[m.end():]
+        at = text.find("<|tools_prefix|>")
+        if at != -1:
+            arr, rest = _try_json_prefix(
+                text[at + len("<|tools_prefix|>"):].strip())
+            if isinstance(arr, list):
+                for obj in arr:
+                    if isinstance(obj, dict) and len(obj) == 1:
+                        name, args = next(iter(obj.items()))
+                        calls.append(_mk_call(name, args))
+            rest = rest.strip()
+            if rest.startswith("<|tools_suffix|>"):
+                rest = rest[len("<|tools_suffix|>"):]
+            content = (text[:at] + rest).strip() if calls else text.strip()
+        else:
+            content = text.strip()
     elif fmt == "llama_3_x":
         m = _PYTAG_RE.search(text)
         if m:  # builtin-tool python-call syntax

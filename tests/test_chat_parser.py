@@ -319,3 +319,30 @@ def test_server_hermes_forced_tool_call(tmp_path):
     args = json.loads(msg["tool_calls"][0]["function"]["arguments"])
     assert isinstance(args.get("a"), int)
     httpd.shutdown()
+
+
+def test_apertus_parse():
+    """Apertus: <|inner_prefix|> reasoning + <|tools_prefix|> single-key
+    short-form calls (chat.cpp:2471-2500)."""
+    text = ("<|inner_prefix|>let me check<|inner_suffix|>sure "
+            '<|tools_prefix|>[{"get_weather": {"city": "Bern"}}, '
+            '{"search": {"q": "x"}}]<|tools_suffix|>')
+    p = parse_response(text, "apertus")
+    assert p["reasoning_content"] == "let me check"
+    assert len(p["tool_calls"]) == 2
+    import json as _json
+    f0 = p["tool_calls"][0]["function"]
+    assert f0["name"] == "get_weather"
+    assert _json.loads(f0["arguments"]) == {"city": "Bern"}
+    assert p["content"] == "sure"
+
+
+def test_apertus_no_tools_passthrough():
+    p = parse_response("plain answer", "apertus")
+    assert p["content"] == "plain answer"
+    assert not p["tool_calls"]
+
+
+def test_apertus_detected_from_template():
+    assert detect_format("...<|tools_prefix|>...") == "apertus"
+    assert detect_format("{% if thinking %}<|inner_prefix|>{% endif %}") == "apertus"
