@@ -40,6 +40,9 @@ class Vocab:
     add_eos: bool
     add_space_prefix: bool
     token_to_id: dict[str, int] = dataclasses.field(default_factory=dict)
+    # UGM (T5-family) normalization extras (llama-vocab.cpp llm_tokenizer_ugm)
+    charsmap: bytes | None = None  # tokenizer.ggml.precompiled_charsmap
+    remove_extra_whitespaces: bool = False
 
     def __post_init__(self):
         if not self.token_to_id:
@@ -92,6 +95,11 @@ def vocab_from_gguf(kv: dict[str, Any]) -> Vocab:
         add_bos=bool(kv.get("tokenizer.ggml.add_bos_token", model == "llama")),
         add_eos=bool(kv.get("tokenizer.ggml.add_eos_token", False)),
         add_space_prefix=bool(kv.get("tokenizer.ggml.add_space_prefix", model == "llama")),
+        charsmap=(bytes(bytearray(int(b) & 0xFF for b in cm))
+                  if (cm := kv.get("tokenizer.ggml.precompiled_charsmap"))
+                  is not None else None),
+        remove_extra_whitespaces=bool(
+            kv.get("tokenizer.ggml.remove_extra_whitespaces", False)),
     )
 
 

@@ -104,3 +104,70 @@ def test_rwkv_greedy_longest_match():
     tok = build_tokenizer(kv)
     assert tok.encode("abc ab a", add_special=False) == [3, 4, 2, 4, 0]
     assert tok.decode([3, 4, 2]) == "abc ab"
+
+
+def _build_charsmap():
+    """Hand-built XCDA blob (llama-vocab.cpp xcda_array_view packing:
+    BASE bits 10-30, LEAF bit 8, LCHECK bits 0-7, value nodes bit 31):
+    maps 'A' (0x41) -> 'a' and U+00C9 'É' (C3 89) -> 'E'."""
+    import struct
+
+    n = 302
+    arr = [0] * n
+    # root: base 0 (entry 0 all zero)
+    # 'A': child at 0^0x41; leaf; value node at 200
+    arr[0x41] = ((0x41 ^ 200) << 10) | (1 << 8) | 0x41
+    arr[200] = (1 << 31) | 0  # replacement offset 0 -> "a"
+    # 'É' C3 89: child at 0xC3 (interior), then W=300 (leaf), value at 301
+    W = 300
+    X = W ^ 0x89
+    arr[0xC3] = ((0xC3 ^ X) << 10) | 0xC3
+    arr[W] = ((W ^ 301) << 10) | (1 << 8) | 0x89
+    arr[301] = (1 << 31) | 2  # replacement offset 2 -> "E"
+    replacements = b"a\x00E\x00"
+    return struct.pack("<I", n * 4) + struct.pack(f"<{n}I", *arr) + replacements
+
+
+def test_ugm_precompiled_charsmap():
+    """UGM charsmap normalization (llama-vocab.cpp:993-1090): XCDA
+    longest-prefix replacement, UTF-8 passthrough, invalid-byte U+FFFD,
+    user-defined token preemption, remove_extra_whitespaces."""
+    from omni_tpu.tokenizer import build_tokenizer
+    from omni_tpu.tokenizer.ugm import Charsmap
+
+    blob = _build_charsmap()
+    cm = Charsmap(blob)
+    assert cm.longest_prefix(b"Ax", 0) == (1, 0)
+    assert cm.replacement(0) == b"a"
+    assert cm.longest_prefix("Éx".encode(), 0) == (2, 2)
+    assert cm.replacement(2) == b"E"
+    assert cm.longest_prefix(b"Zz", 0)[0] == 0
+
+    kv = {
+        "tokenizer.ggml.model": "t5",
+        "tokenizer.ggml.tokens": ["<unk>", "▁", "▁a", "E", "a", "z",
+                                  "<SPECIAL>"],
+        "tokenizer.ggml.scores": [0.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+        "tokenizer.ggml.token_type": [2, 1, 1, 1, 1, 1, 4],
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_space_prefix": True,
+        "tokenizer.ggml.add_bos_token": False,
+        "tokenizer.ggml.remove_extra_whitespaces": True,
+        "tokenizer.ggml.precompiled_charsmap": list(blob),
+    }
+    tok = build_tokenizer(kv)
+    eng = tok.engine
+    # 'A' -> 'a', 'É' -> 'E'; add_space_prefix prepends one ▁
+    assert eng._normalize("A") == "▁a"
+    assert eng._normalize("É") == "▁E"
+    assert eng._normalize("Éa") == "▁Ea"
+    # extra whitespace merging: runs of spaces collapse to single ▁
+    assert eng._normalize("a   z") == "▁a▁z"
+    # invalid UTF-8 byte -> U+FFFD (the reference's \xEF\xBF\xBD fallback)
+    bad = b"a\xffz".decode("utf-8", errors="surrogateescape")
+    assert "�" in eng._normalize(bad)
+    # user-defined token bytes preempt charsmap replacement
+    assert "<SPECIAL>" in eng._normalize("<SPECIAL>A")
+    # end-to-end: encode goes through the charsmap
+    assert tok.encode("A", add_special=False) == [2]  # '▁a'
+    assert tok.decode(tok.encode("É", add_special=False)) == " E"
