@@ -77,7 +77,7 @@ def qffn_pallas(
     down: QTensor,  # [K_out, F]
     *,
     block_m: int = 256,
-    block_f: int = 512,
+    block_f: int | None = None,
     out_dtype=jnp.bfloat16,
     act: str = "silu",
     interpret: bool = False,
@@ -86,6 +86,10 @@ def qffn_pallas(
     two_f, k2 = gu.shape
     n_out, f = down.shape
     assert k == k2 and two_f == 2 * f, (x.shape, gu.shape, down.shape)
+    if block_f is None:
+        # prefill (tall M) shrinks the F tile: the [TM, K] x tile and the
+        # [TM, N] f32 accumulator are VMEM-resident across the whole F axis
+        block_f = 256 if m > 32 else 512
     granule = tile_granule(gu.ggml_type)
     tf = max(granule, min(block_f, f))
     while f % tf != 0:

@@ -554,11 +554,31 @@ def forward(
                     act(sg.astype(jnp.float32)).astype(jnp.bfloat16) * su,
                     lp["down_shexp"]).astype(ffn_out.dtype)
         elif "w_gateup" in lp:
-            gu = matmul(hn, lp["w_gateup"])
-            gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
-            ffn_out = matmul(
-                act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
-                lp["w_down"])
+            from ..kernels.fused_ffn import qffn_pallas
+            from ..kernels.qformats import QTensor
+
+            import os
+
+            if (isinstance(lp["w_gateup"], QTensor)
+                    and isinstance(lp["w_down"], QTensor)
+                    and jax.default_backend() == "tpu"
+                    and cfg.act in ("silu", "gelu")
+                    # default-off until chip-verified (interpret-mode
+                    # parity is covered; Mosaic lowering is not yet)
+                    and os.environ.get("OMNI_FUSED_FFN", "0") == "1"):
+                # whole SwiGLU FFN in ONE pallas dispatch: the [T, 2F]
+                # gate/up intermediate never leaves VMEM (kills one
+                # 15-20 µs pallas-call floor per layer + an XLA
+                # elementwise round-trip — docs/PERF.md megakernel lever)
+                ffn_out = qffn_pallas(
+                    hn, lp["w_gateup"], lp["w_down"],
+                    act="silu" if cfg.act == "silu" else "gelu_tanh")
+            else:
+                gu = matmul(hn, lp["w_gateup"])
+                gate, up = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+                ffn_out = matmul(
+                    act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
+                    lp["w_down"])
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])

@@ -83,3 +83,37 @@ def test_qtensor_is_pytree(rng):
     x = jnp.ones((2, qt.shape[1]), jnp.float32)
     out = f(qt, x)
     assert out.shape == (2, qt.shape[0])
+
+
+@pytest.mark.parametrize("types", [
+    (GGMLType.Q4_K, GGMLType.Q6_K),  # Q4_K_M recipe: down is Q6_K
+    (GGMLType.Q8_0, GGMLType.Q8_0),
+    (GGMLType.Q4_0, GGMLType.Q4_0),
+], ids=lambda t: f"{t[0].name}-{t[1].name}")
+@pytest.mark.parametrize("m", [1, 40], ids=lambda m: f"m{m}")
+@pytest.mark.parametrize("act", ["silu", "gelu_tanh"])
+def test_qffn_fused_matches_composition(types, m, act, rng):
+    """One-dispatch SwiGLU FFN (gate/up/act/down in a single Pallas call,
+    interpret mode) == the two-call qmatmul composition."""
+    from omni_tpu.kernels.fused_ffn import qffn_pallas
+
+    t_gu, t_dn = types
+    k, f = 512, 768
+    gu, gu_ref = _make_qtensor(rng, t_gu, n=2 * f, k=k)
+    dn, dn_ref = _make_qtensor(rng, t_dn, n=k, k=f)
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32) * 0.1,
+                    jnp.bfloat16)
+
+    got = np.asarray(qffn_pallas(x, gu, dn, block_m=32, block_f=256,
+                                 act=act, out_dtype=jnp.float32,
+                                 interpret=True))
+
+    g_u = qmatmul_xla(x, gu, out_dtype=jnp.float32)
+    g, u = g_u[:, :f], g_u[:, f:]
+    if act == "silu":
+        h = jax.nn.silu(g) * u
+    else:
+        h = jax.nn.gelu(g, approximate=True) * u
+    want = np.asarray(qmatmul_xla(h.astype(jnp.bfloat16), dn,
+                                  out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
