@@ -18,7 +18,7 @@ from ..core.dtypes import GGMLType
 
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
-          "deepseek2", "mamba", "bert", "rwkv6")
+          "deepseek2", "mamba", "bert", "rwkv6", "jamba")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -40,6 +40,7 @@ _HF_ARCH_MAP = {
     "DeepseekV3ForCausalLM": "deepseek2",
     "MambaForCausalLM": "mamba",
     "Rwkv6ForCausalLM": "rwkv6",
+    "JambaForCausalLM": "jamba",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",

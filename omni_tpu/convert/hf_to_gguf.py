@@ -149,6 +149,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "rwkv6":
         return _convert_rwkv6(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
+    if arch == "jamba":
+        return _convert_jamba(state, config, out_path, qtype,
+                              tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -481,6 +484,109 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_jamba(state: Mapping[str, Any], config: Mapping[str, Any],
+                   out_path: str, qtype: GGMLType,
+                   tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF JambaForCausalLM -> GGUF arch "jamba" (reference
+    convert_hf_to_gguf.py JambaModel): attention.head_count_kv is a
+    per-layer VECTOR (0 = mamba layer), expert stacks merge to 3-D
+    ffn_*_exps, conv1d drops its depthwise singleton dim."""
+    state = _strip(state, "model.")
+    arch = "jamba"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    n_kv = int(config["num_key_value_heads"])
+    d_inner = int(config.get("mamba_expand", 2)) * d_model
+    dt_rank = config.get("mamba_dt_rank") or -(-d_model // 16)
+    attn_off = int(config.get("attn_layer_offset", 1))
+    attn_per = int(config.get("attn_layer_period", 8))
+    n_exp = int(config.get("num_experts", 0))
+    kv_vec = [n_kv if i >= attn_off and (i - attn_off) % attn_per == 0
+              else 0 for i in range(n_layers)]
+
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kv_vec)
+    w.add_kv(f"{arch}.attention.key_length", d_model // n_heads)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 16)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", int(dt_rank))
+    if n_exp > 1:
+        w.add_kv(f"{arch}.expert_count", n_exp)
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(config.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["final_layernorm.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "ffn_norm.weight", state[pfx + "pre_ff_layernorm.weight"],
+            None)
+        if kv_vec[i] == 0:
+            mm = pfx + "mamba."
+            put(b + "ssm_in.weight", state[mm + "in_proj.weight"])
+            put(b + "ssm_conv1d.weight",
+                _np(state[mm + "conv1d.weight"])[:, 0, :], None)
+            put(b + "ssm_conv1d.bias", state[mm + "conv1d.bias"], None)
+            put(b + "ssm_x.weight", state[mm + "x_proj.weight"])
+            put(b + "ssm_dt.weight", state[mm + "dt_proj.weight"], None)
+            put(b + "ssm_dt.bias", state[mm + "dt_proj.bias"], None)
+            put(b + "ssm_dt_norm.weight", state[mm + "dt_layernorm.weight"],
+                None)
+            put(b + "ssm_b_norm.weight", state[mm + "b_layernorm.weight"],
+                None)
+            put(b + "ssm_c_norm.weight", state[mm + "c_layernorm.weight"],
+                None)
+            put(b + "ssm_a", state[mm + "A_log"], None)
+            put(b + "ssm_d", state[mm + "D"], None)
+            put(b + "ssm_out.weight", state[mm + "out_proj.weight"])
+        else:
+            at = pfx + "self_attn."
+            put(b + "attn_q.weight", state[at + "q_proj.weight"])
+            put(b + "attn_k.weight", state[at + "k_proj.weight"])
+            put(b + "attn_v.weight", state[at + "v_proj.weight"])
+            put(b + "attn_output.weight", state[at + "o_proj.weight"])
+        ff = pfx + "feed_forward."
+        if ff + "router.weight" in state:
+            put(b + "ffn_gate_inp.weight", state[ff + "router.weight"],
+                None)
+            for wid, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                stack = np.stack([
+                    _np(state[f"{ff}experts.{e}.{wid}.weight"])
+                    for e in range(n_exp)])
+                put(b + f"{gg}.weight", stack)
+        else:
+            put(b + "ffn_gate.weight", state[ff + "gate_proj.weight"])
+            put(b + "ffn_up.weight", state[ff + "up_proj.weight"])
+            put(b + "ffn_down.weight", state[ff + "down_proj.weight"])
     w.write()
     return written
 

@@ -69,9 +69,19 @@ def _ssm_step(lp: dict, cfg: SSMConfig, x_t: jax.Array,
 
     # input-dependent (selective) dt, B, C
     dbc = lp["ssm_x"] @ xi  # [dt_rank + 2*d_state]
-    dt = jax.nn.softplus(lp["ssm_dt"] @ dbc[: cfg.dt_rank] + lp["ssm_dt_b"])
+    dtr = dbc[: cfg.dt_rank]
     b = dbc[cfg.dt_rank: cfg.dt_rank + cfg.d_state]
     c = dbc[cfg.dt_rank + cfg.d_state:]
+    if lp.get("dt_norm") is not None:
+        # Jamba / FalconMamba RMS-normalize dt, B, C before the dt
+        # projection (llama-model.cpp:11760-11765 build_mamba_layer)
+        def _rn(v, w):
+            return v * jax.lax.rsqrt(jnp.mean(v * v) + 1e-6) * w
+
+        dtr = _rn(dtr, lp["dt_norm"])
+        b = _rn(b, lp["b_norm"])
+        c = _rn(c, lp["c_norm"])
+    dt = jax.nn.softplus(lp["ssm_dt"] @ dtr + lp["ssm_dt_b"])
 
     a = -jnp.exp(lp["ssm_a"])  # [d_inner, d_state], negative for stability
     da = jnp.exp(dt[:, None] * a)  # [d_inner, d_state]
