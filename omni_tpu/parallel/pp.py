@@ -12,9 +12,10 @@ next stage over ICI/DCN. Embedding and the LM head stay outside (they are
 cheap and replicated); the pipeline covers the transformer stack, which
 is where the memory and FLOPs live.
 
-Intended for prefill/training scale-out across slices (the SURVEY §2.8
-DCN story); decode stays TP (parallel/infer.py) where PP bubbles would
-dominate."""
+Covers prefill/training scale-out across slices (the SURVEY §2.8 DCN
+story); DECODE pipelines too — pp_decode.py streams G groups around the
+ring continuously so the fill bubble amortises over the whole generation
+(the reference scheduler's n_copies overlap, ggml-backend.cpp:700-714)."""
 
 from __future__ import annotations
 
@@ -78,12 +79,15 @@ def stack_stage_params(params: dict, n_stages: int) -> dict:
 
 
 def _block(lp: dict, cfg, h: jax.Array, pos: jax.Array,
-           causal: jax.Array, tp_axis: str | None = None) -> jax.Array:
+           causal: jax.Array, tp_axis: str | None = None,
+           return_kv: bool = False):
     """One decoder block over [B, T, d] (cache-free; mirrors
     qwen3.forward_train's layer body). Head counts come from the local
     weight shapes, so the same body serves replicated and TP-sharded
     stages; with `tp_axis`, wo/w_down are row-parallel partial products
-    reduced with a psum over that mesh axis (megatron layout)."""
+    reduced with a psum over that mesh axis (megatron layout).
+    return_kv=True also hands back the post-rope K/V ([B, T, Hkv, D]) so
+    pipelined decode (pp_decode.py) can seed its stage-local caches."""
     b, t, _ = h.shape
     n_heads = lp["wq"].shape[0] // cfg.head_dim
     n_kv_heads = lp["wk"].shape[0] // cfg.head_dim
@@ -124,7 +128,10 @@ def _block(lp: dict, cfg, h: jax.Array, pos: jax.Array,
     h_in = h
     hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
     gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
-    return h_in + reduce_rows(lin(gate * lin(hn, lp["w_up"]), lp["w_down"]))
+    out = h_in + reduce_rows(lin(gate * lin(hn, lp["w_up"]), lp["w_down"]))
+    if return_kv:
+        return out, (k, v)
+    return out
 
 
 def pp_forward(pp_params: dict, cfg, tokens: jax.Array, mesh: Mesh,

@@ -139,3 +139,48 @@ def test_pipeline_plus_tensor_parallel_forward(tmp_path):
         top2 = np.sort(ref, axis=-1)[..., -2:]
         gap = top2[..., 1] - top2[..., 0]
         assert (gap[diff] < 5e-2).all(), gap[diff]
+
+
+def test_pipelined_decode(tmp_path):
+    """Continuous pipelined DECODE (ggml-backend.cpp:700-714 n_copies
+    overlap counterpart): G=4 groups stream around a 2-stage pp ring in
+    ONE jitted scan — sampled tokens ride the ring back to stage 0 —
+    and the greedy tokens match cache-free single-device decoding."""
+    from omni_tpu.parallel.pp import (make_pp_mesh, shard_pp_params,
+                                      stack_stage_params)
+    from omni_tpu.parallel.pp_decode import pp_decode
+
+    path = tmp_path / "ppd.gguf"
+    write_tiny_qwen3(path, n_layers=4, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=128, qtype=GGMLType.F32,
+                     tied_head=False)
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader, keep_quantized=False)
+
+    rng = np.random.default_rng(3)
+    G, B, T0, N = 4, 2, 6, 5
+    toks = rng.integers(0, 128, (G, B, T0))
+
+    # oracle: cache-free greedy continuation per row via forward_train
+    ref = np.zeros((G, B, N), np.int64)
+    for g in range(G):
+        for b in range(B):
+            seq = list(toks[g, b])
+            for j in range(N):
+                lg = np.asarray(qwen3.forward_train(
+                    params, cfg, jnp.asarray([seq], jnp.int32)))[0, -1]
+                nxt = int(lg.argmax())
+                ref[g, b, j] = nxt
+                seq.append(nxt)
+
+    mesh = make_pp_mesh(2)
+    pp_params = shard_pp_params(stack_stage_params(params, 2), mesh)
+    got = np.asarray(pp_decode(pp_params, cfg,
+                               jnp.asarray(toks, jnp.int32), mesh, N))
+    np.testing.assert_array_equal(got, ref)
+
+    # G < n_stages must be rejected (pipeline would starve)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        pp_decode(pp_params, cfg, jnp.asarray(toks[:1], jnp.int32), mesh, N)
