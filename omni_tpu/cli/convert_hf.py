@@ -18,7 +18,7 @@ from ..core.dtypes import GGMLType
 
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
-          "deepseek2", "mamba", "bert", "rwkv6", "jamba")
+          "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -41,6 +41,7 @@ _HF_ARCH_MAP = {
     "MambaForCausalLM": "mamba",
     "Rwkv6ForCausalLM": "rwkv6",
     "JambaForCausalLM": "jamba",
+    "GPT2LMHeadModel": "gpt2",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",

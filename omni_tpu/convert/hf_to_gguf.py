@@ -152,6 +152,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "jamba":
         return _convert_jamba(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
+    if arch == "gpt2":
+        return _convert_gpt2(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -484,6 +487,64 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_gpt2(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF GPT2LMHeadModel -> GGUF arch "gpt2" (reference
+    convert_hf_to_gguf.py GPT2Model + llm_build_gpt2 names): Conv1D
+    weights ([in, out]) transpose to the GGUF [out, in] layout; QKV ships
+    pre-fused (attn_qkv); learned position embeddings (position_embd)."""
+    state = _strip(state, "transformer.")
+    arch = "gpt2"
+    d_model = int(config["n_embd"])
+    n_layers = int(config["n_layer"])
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("n_inner") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", int(config["n_head"]))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("n_positions", config.get("n_ctx", 1024))))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("position_embd.weight", state["wpe.weight"])
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "ln_1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln_1.bias"], None)
+        put(b + "attn_qkv.weight", _np(state[pfx + "attn.c_attn.weight"]).T)
+        put(b + "attn_qkv.bias", state[pfx + "attn.c_attn.bias"], None)
+        put(b + "attn_output.weight",
+            _np(state[pfx + "attn.c_proj.weight"]).T)
+        put(b + "attn_output.bias", state[pfx + "attn.c_proj.bias"], None)
+        put(b + "ffn_norm.weight", state[pfx + "ln_2.weight"], None)
+        put(b + "ffn_norm.bias", state[pfx + "ln_2.bias"], None)
+        put(b + "ffn_up.weight", _np(state[pfx + "mlp.c_fc.weight"]).T)
+        put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
+        put(b + "ffn_down.weight", _np(state[pfx + "mlp.c_proj.weight"]).T)
+        put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
     w.write()
     return written
 

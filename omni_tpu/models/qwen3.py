@@ -26,7 +26,7 @@ from ..kernels import load_quantized
 from ..kernels.attention import (cache_attention, mixed_attention,
                                  pool_attention)
 from ..kernels.dequant_matmul import matmul
-from ..kernels.norms import layer_norm_nobias, rms_norm
+from ..kernels.norms import layer_norm, layer_norm_nobias, rms_norm
 from ..kernels.rope import apply_rope
 from ..runtime.kv_cache import KVCache
 
@@ -82,6 +82,10 @@ class Qwen3Config:
     # both add to the SAME residual (llm_build_command_r)
     parallel_residual: bool = False
     norm_type: str = "rms"  # "layer" = bias-free LayerNorm (LLM_NORM)
+    # GPT-2 family: biased LayerNorms, learned absolute position
+    # embeddings (params["position_embd"]), no rope (llm_build_gpt2)
+    norm_bias: bool = False
+    use_rope: bool = True
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
     attn_softcap: float = 0.0    # Gemma-2 attn logit capping
     final_softcap: float = 0.0   # Gemma-2 final logit capping
@@ -157,7 +161,9 @@ class Qwen3Config:
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2"),
             parallel_residual=arch == "command-r",
-            norm_type="layer" if arch == "command-r" else "rms",
+            norm_type="layer" if arch in ("command-r", "gpt2") else "rms",
+            norm_bias=arch == "gpt2",
+            use_rope=arch != "gpt2",
             # command-r logit_scale MULTIPLIES logits (build_command_r);
             # our logit_scale divides (granite semantics) — invert
             **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
@@ -174,13 +180,13 @@ class Qwen3Config:
             rope_base=float(g("rope.freq_base", 10000.0)),
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
-                          if arch == "command-r"
+                          if arch in ("command-r", "gpt2")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act="gelu" if gemma else "silu",
+            act="gelu" if (gemma or arch == "gpt2") else "silu",
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
             pre_norm=arch != "olmo2",
@@ -247,7 +253,12 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     # embeddings stay dense bf16: decode gathers rows, which a block-
     # quantized layout would make O(vocab) per step
     params["token_embd"] = get("token_embd.weight", keep_q=False)
+    # GPT-2 family: learned absolute position embeddings + norm bias
+    params["position_embd"] = get("position_embd.weight", required=False,
+                                  keep_q=False)
     params["output_norm"] = get("output_norm.weight")
+    params["output_norm_b"] = get("output_norm.bias", required=False,
+                                  keep_q=False)
     out = get("output.weight", required=False)
     params["output"] = out  # None => tied to token_embd
     # optional classification / rank head (reference LLM_TENSOR_CLS{,_OUT},
@@ -262,12 +273,16 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
            or f"blk.{i}.post_attention_norm.weight" in reader.tensors):
         p = f"blk.{i}."
         mla = f"{p}attn_kv_a_mqa.weight" in reader.tensors
+        # GPT-2 family ships QKV pre-fused on disk (blk.N.attn_qkv)
+        fqkv = f"{p}attn_qkv.weight" in reader.tensors
         params["layers"].append({
             "attn_norm": get(p + "attn_norm.weight", required=False),
+            "attn_norm_b": get(p + "attn_norm.bias", required=False,
+                               keep_q=False),
             # MLA (deepseek2) replaces wk/wv with the latent projections
-            "wq": get(p + "attn_q.weight", required=not mla),
-            "wk": get(p + "attn_k.weight", required=not mla),
-            "wv": get(p + "attn_v.weight", required=not mla),
+            "wq": get(p + "attn_q.weight", required=not (mla or fqkv)),
+            "wk": get(p + "attn_k.weight", required=not (mla or fqkv)),
+            "wv": get(p + "attn_v.weight", required=not (mla or fqkv)),
             "wo": get(p + "attn_output.weight"),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
@@ -280,6 +295,8 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "sinks": get(p + "attn_sinks.weight", required=False,
                          keep_q=False),
             "ffn_norm": get(p + "ffn_norm.weight", required=False),
+            "ffn_norm_b": get(p + "ffn_norm.bias", required=False,
+                              keep_q=False),
             # Gemma-2/3 sandwich norms (post_attention_norm / post_ffw_norm)
             "attn_post_norm": get(p + "post_attention_norm.weight",
                                   required=False),
@@ -334,9 +351,18 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                      keep_q=False)
             lp["w_gate"] = lp["w_up"] = lp["w_down"] = None
         else:
-            lp["w_gate"] = get(p + "ffn_gate.weight")
+            # gate is absent for un-gated FFN archs (GPT-2 family)
+            lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
             lp["w_up"] = get(p + "ffn_up.weight")
             lp["w_down"] = get(p + "ffn_down.weight")
+            lp["b_up"] = get(p + "ffn_up.bias", required=False,
+                             keep_q=False)
+            lp["b_down"] = get(p + "ffn_down.bias", required=False,
+                               keep_q=False)
+        if fqkv:
+            lp["wqkv"] = get(p + "attn_qkv.weight")
+            lp["bqkv"] = get(p + "attn_qkv.bias", required=False,
+                             keep_q=False)
         i += 1
     if fuse:
         params["layers"] = [fuse_layer(l) for l in params["layers"]]
@@ -388,6 +414,10 @@ def forward(
     h = x.astype(jnp.bfloat16)
     if cfg.emb_scale != 1.0:  # Gemma: embeddings × sqrt(d_model)
         h = h * jnp.bfloat16(cfg.emb_scale)
+    if params.get("position_embd") is not None:
+        # GPT-2 learned absolute position embeddings (llm_build_gpt2
+        # pos_embd get_rows) — position comes from the KV position vector
+        h = h + params["position_embd"][pos].astype(h.dtype)
 
     if write_mask is None:
         write_mask = jnp.ones((t,), bool)
@@ -428,8 +458,14 @@ def forward(
     kvd = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         h_in = h
-        bnorm = rms_norm if cfg.norm_type == "rms" else layer_norm_nobias
-        hn = (bnorm(h, lp["attn_norm"], cfg.rms_eps)
+        if cfg.norm_type == "rms":
+            def bnorm(x, w, eps, b=None):
+                return rms_norm(x, w, eps)
+        else:  # LayerNorm: biased for GPT-2 (norm_bias), bias-free Cohere
+            def bnorm(x, w, eps, b=None):
+                return layer_norm(x, w, b, eps)
+        hn = (bnorm(h, lp["attn_norm"], cfg.rms_eps,
+                    lp.get("attn_norm_b"))
               if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
         mla = cfg.kv_lora_rank > 0
         if mla:
@@ -499,7 +535,8 @@ def forward(
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         swa_l = has_swa and cfg.is_swa_layer(li)
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
-        if not mla:  # MLA ropes only its q_pe/k_pe sections (above)
+        if not mla and cfg.use_rope:  # MLA ropes only its q_pe/k_pe
+            # sections (above); GPT-2 has learned absolute positions
             q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
             k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
         mask_l = mask_swa if swa_l else mask
@@ -537,7 +574,8 @@ def forward(
         if not cfg.parallel_residual:
             h = h_in + attn_out
             h_in = h
-            hn = (bnorm(h, lp["ffn_norm"], cfg.rms_eps)
+            hn = (bnorm(h, lp["ffn_norm"], cfg.rms_eps,
+                        lp.get("ffn_norm_b"))
                   if cfg.pre_norm else h)
         # Cohere parallel residual: the ffn reads the SAME pre-norm output
         # and both sublayers add to the original residual stream
@@ -579,6 +617,17 @@ def forward(
                 ffn_out = matmul(
                     act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
                     lp["w_down"])
+        elif lp.get("w_gate") is None:
+            # un-gated FFN (GPT-2 family, build_ffn LLM_FFN_SEQ): act(x@up
+            # + b_up) @ down + b_down
+            up = matmul(hn, lp["w_up"])
+            if lp.get("b_up") is not None:
+                up = up + lp["b_up"].astype(up.dtype)
+            ffn_out = matmul(
+                act(up.astype(jnp.float32)).astype(jnp.bfloat16),
+                lp["w_down"])
+            if lp.get("b_down") is not None:
+                ffn_out = ffn_out + lp["b_down"].astype(ffn_out.dtype)
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])
@@ -599,8 +648,10 @@ def forward(
         cache = cache.write_all(slots, jnp.stack(new_ks), jnp.stack(new_vs))
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
 
-    hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm_nobias)(
-        h, params["output_norm"], cfg.rms_eps)
+    hidden = (rms_norm(h, params["output_norm"], cfg.rms_eps)
+              if cfg.norm_type == "rms"
+              else layer_norm(h, params["output_norm"],
+                              params.get("output_norm_b"), cfg.rms_eps))
     head = params["output"] if params["output"] is not None else params["token_embd"]
     if head is None:
         # headless decoder (the TTS module: logits come from the external

@@ -307,3 +307,50 @@ def test_cohere_command_r_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.02:
             assert np.argmax(ours[i]) == np.argmax(ref[i]), i
+
+
+def test_gpt2_logits_match_transformers(tmp_path):
+    """GPT-2 family (llm_build_gpt2): learned absolute position
+    embeddings, biased LayerNorms, pre-fused attn_qkv with biases,
+    un-gated GELU FFN with biases — parity vs HF eager, prefill and
+    stepwise decode (positions must come from the KV position vector)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GPT2Config(
+        vocab_size=96, n_embd=32, n_layer=3, n_head=4, n_positions=64,
+        n_inner=None, layer_norm_epsilon=1e-5, attn_implementation="eager")
+    model = GPT2LMHeadModel(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "gpt2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="gpt2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert not cfg.use_rope and cfg.norm_bias and cfg.act == "gelu"
+    assert cfg.n_kv_heads == cfg.n_heads
+    params = qwen3.load_params(reader)
+    assert params["position_embd"] is not None
+    assert params["layers"][0]["wqkv"] is not None
+    assert params["layers"][0]["w_gate"] is None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    # stepwise decode: absolute positions advance through the cache
+    ctx2 = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    rows = []
+    for t in toks:
+        lg, _ = ctx2.decode(Batch(tokens=np.asarray([t], np.int32)))
+        rows.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(rows), ref, atol=0.03)
