@@ -82,6 +82,27 @@ _LLM_LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+# StarCoder2: biased LayerNorms, biased projections, un-gated GELU FFN
+# named c_fc/c_proj (reference convert_hf_to_gguf.py StarCoder2Model)
+_STARCODER2_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+}
+
 # Gemma-2/3 (sandwich norms): HF post_attention_layernorm maps to the
 # POST-attention norm (not ffn_norm), pre_feedforward takes the ffn_norm
 # slot, post_feedforward becomes post_ffw_norm
@@ -240,6 +261,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(config.get("num_experts_per_tok", 2)))
+    if arch == "starcoder2":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("norm_epsilon", 1e-5)))
     if arch == "command-r":
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
@@ -285,11 +309,14 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
 
     put("token_embd.weight", state["embed_tokens.weight"])
     put("output_norm.weight", state["norm.weight"], None)
+    if "norm.bias" in state:  # starcoder2 biased final LayerNorm
+        put("output_norm.bias", state["norm.bias"], None)
     if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
         put("output.weight", state["lm_head.weight"])
     n_layers = int(config["num_hidden_layers"])
     layer_map = (_GEMMA_LAYER_MAP if gemma else
                  _OLMO2_LAYER_MAP if arch == "olmo2" else
+                 _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",

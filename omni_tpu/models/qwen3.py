@@ -161,8 +161,9 @@ class Qwen3Config:
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2"),
             parallel_residual=arch == "command-r",
-            norm_type="layer" if arch in ("command-r", "gpt2") else "rms",
-            norm_bias=arch == "gpt2",
+            norm_type=("layer" if arch in ("command-r", "gpt2",
+                                           "starcoder2") else "rms"),
+            norm_bias=arch in ("gpt2", "starcoder2"),
             use_rope=arch != "gpt2",
             # command-r logit_scale MULTIPLIES logits (build_command_r);
             # our logit_scale divides (granite semantics) — invert
@@ -180,13 +181,14 @@ class Qwen3Config:
             rope_base=float(g("rope.freq_base", 10000.0)),
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
-                          if arch in ("command-r", "gpt2")
+                          if arch in ("command-r", "gpt2", "starcoder2")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act="gelu" if (gemma or arch == "gpt2") else "silu",
+            act=("gelu" if (gemma or arch in ("gpt2", "starcoder2"))
+                 else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
             pre_norm=arch != "olmo2",

@@ -354,3 +354,46 @@ def test_gpt2_logits_match_transformers(tmp_path):
         lg, _ = ctx2.decode(Batch(tokens=np.asarray([t], np.int32)))
         rows.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(rows), ref, atol=0.03)
+
+
+def test_starcoder2_logits_match_transformers(tmp_path):
+    """StarCoder2 (llm_build_starcoder2): biased LayerNorms + biased
+    projections + un-gated GELU FFN, WITH rope (unlike gpt2) — parity vs
+    HF eager."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Starcoder2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0, use_bias=True,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Starcoder2ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "sc2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="starcoder2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.use_rope and cfg.norm_bias and cfg.act == "gelu"
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["w_gate"] is None
+    assert params["layers"][0]["b_up"] is not None
+    assert params["layers"][0]["attn_norm_b"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.05:
+            assert int(np.asarray(logits)[i].argmax()) == int(ref[i].argmax())
