@@ -103,6 +103,25 @@ _STARCODER2_LAYER_MAP = {
     "mlp.c_proj.bias": "ffn_down.bias",
 }
 
+# Phi-2: parallel residual off ONE shared layernorm, partial rotary,
+# biased everything, un-gated GELU fc1/fc2 (convert_hf_to_gguf Phi2Model)
+_PHI2_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.dense.weight": "attn_output.weight",
+    "self_attn.dense.bias": "attn_output.bias",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "mlp.fc1.weight": "ffn_up.weight",
+    "mlp.fc1.bias": "ffn_up.bias",
+    "mlp.fc2.weight": "ffn_down.weight",
+    "mlp.fc2.bias": "ffn_down.bias",
+}
+
 # Gemma-2/3 (sandwich norms): HF post_attention_layernorm maps to the
 # POST-attention norm (not ffn_norm), pre_feedforward takes the ffn_norm
 # slot, post_feedforward becomes post_ffw_norm
@@ -264,6 +283,16 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "starcoder2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("norm_epsilon", 1e-5)))
+    if arch == "phi2":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("layer_norm_eps", 1e-5)))
+        # partial rotary: n_rot = rot_pct * head_dim (llm_build_phi2)
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(float(config.get("partial_rotary_factor", 0.5))
+                     * head_dim))
+        state = dict(state)
+        state["norm.weight"] = state.pop("final_layernorm.weight")
+        state["norm.bias"] = state.pop("final_layernorm.bias")
     if arch == "command-r":
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
@@ -313,10 +342,13 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         put("output_norm.bias", state["norm.bias"], None)
     if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
         put("output.weight", state["lm_head.weight"])
+        if "lm_head.bias" in state:  # phi2 biased LM head
+            put("output.bias", state["lm_head.bias"], None)
     n_layers = int(config["num_hidden_layers"])
     layer_map = (_GEMMA_LAYER_MAP if gemma else
                  _OLMO2_LAYER_MAP if arch == "olmo2" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
+                 _PHI2_LAYER_MAP if arch == "phi2" else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",

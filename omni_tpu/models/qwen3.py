@@ -160,11 +160,16 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2"),
-            parallel_residual=arch == "command-r",
+            parallel_residual=arch in ("command-r", "phi2"),
             norm_type=("layer" if arch in ("command-r", "gpt2",
-                                           "starcoder2") else "rms"),
-            norm_bias=arch in ("gpt2", "starcoder2"),
+                                           "starcoder2", "phi2")
+                       else "rms"),
+            norm_bias=arch in ("gpt2", "starcoder2", "phi2"),
             use_rope=arch != "gpt2",
+            # partial rotary (phi2/neox): rope only the first
+            # rope.dimension_count columns of each head
+            **({"rope_dim": int(g("rope.dimension_count", 0) or 0)}
+               if arch != "deepseek2" else {}),
             # command-r logit_scale MULTIPLIES logits (build_command_r);
             # our logit_scale divides (granite semantics) — invert
             **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
@@ -181,13 +186,15 @@ class Qwen3Config:
             rope_base=float(g("rope.freq_base", 10000.0)),
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
-                          if arch in ("command-r", "gpt2", "starcoder2")
+                          if arch in ("command-r", "gpt2", "starcoder2",
+                                      "phi2")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act=("gelu" if (gemma or arch in ("gpt2", "starcoder2"))
+            act=("gelu" if (gemma or arch in ("gpt2", "starcoder2",
+                                              "phi2"))
                  else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
@@ -263,6 +270,7 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                   keep_q=False)
     out = get("output.weight", required=False)
     params["output"] = out  # None => tied to token_embd
+    params["output_b"] = get("output.bias", required=False, keep_q=False)
     # optional classification / rank head (reference LLM_TENSOR_CLS{,_OUT},
     # src/llama-model.cpp:2906-2992; used by RANK pooling rerankers)
     params["cls"] = get("cls.weight", required=False, keep_q=False)
@@ -539,8 +547,20 @@ def forward(
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
         if not mla and cfg.use_rope:  # MLA ropes only its q_pe/k_pe
             # sections (above); GPT-2 has learned absolute positions
-            q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
-            k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
+            if 0 < cfg.rope_dim < cfg.head_dim:
+                # partial rotary (phi2/neox rot_pct): only the LEADING
+                # rope_dim columns rotate — same layout the cache
+                # re-rotation assumes (llm_build_phi2 n_rot)
+                r = cfg.rope_dim
+                q = jnp.concatenate(
+                    [apply_rope(q[..., :r], pos, base_l,
+                                neox=cfg.rope_neox), q[..., r:]], -1)
+                k = jnp.concatenate(
+                    [apply_rope(k[..., :r], pos, base_l,
+                                neox=cfg.rope_neox), k[..., r:]], -1)
+            else:
+                q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
+                k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
         mask_l = mask_swa if swa_l else mask
         if deferred:
             kc, vc = cache.read_layer(li)
@@ -662,6 +682,8 @@ def forward(
         logits = jnp.zeros((t, 1), jnp.float32)
     else:
         logits = matmul(hidden, head, out_dtype=jnp.float32)
+        if params.get("output_b") is not None:  # phi2 lm-head bias
+            logits = logits + params["output_b"].astype(logits.dtype)
         if cfg.final_softcap > 0.0:  # Gemma-2 final logit capping
             logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
         if cfg.logit_scale != 1.0:  # granite/minicpm: logits / scale

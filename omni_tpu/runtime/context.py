@@ -85,10 +85,14 @@ class Context:
             dtype=kv_dtype,
             rope_base=cfg.rope_base,
             rope_neox=getattr(cfg, "rope_neox", True),
-            # MLA (deepseek2): narrower value plane + partially-roped keys
+            # MLA (deepseek2): narrower value plane + partially-roped keys;
+            # phi2/neox-style partial rotary also ropes only the leading
+            # rope_dim columns (re-rotation on seq_add must match)
             v_head_dim=getattr(cfg, "v_head_dim", None),
             rope_dim=(getattr(cfg, "rope_dim", 0)
-                      if getattr(cfg, "kv_lora_rank", 0) else 0),
+                      if (getattr(cfg, "kv_lora_rank", 0)
+                          or 0 < getattr(cfg, "rope_dim", 0)
+                          < (head_dim or cfg.head_dim)) else 0),
         )
         self.sampler = sampler or SamplerParams()
         self.key = jax.random.PRNGKey(self.sampler.seed)

@@ -397,3 +397,50 @@ def test_starcoder2_logits_match_transformers(tmp_path):
         top2 = np.sort(ref[i])[-2:]
         if top2[1] - top2[0] > 0.05:
             assert int(np.asarray(logits)[i].argmax()) == int(ref[i].argmax())
+
+
+def test_phi2_logits_match_transformers(tmp_path):
+    """Phi-2 (llm_build_phi2): PARTIAL rotary (rot_pct of each head),
+    parallel residual off one shared biased LayerNorm, biased LM head —
+    parity vs HF eager, prefill + stepwise (partial-rope positions must
+    survive the cache)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import PhiConfig, PhiForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = PhiConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        rope_theta=10000.0, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model = PhiForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "phi2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="phi2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_dim == 4 and cfg.head_dim == 8  # partial rotary
+    assert cfg.parallel_residual and cfg.norm_bias
+    params = qwen3.load_params(reader)
+    assert params["output_b"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 41, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    ctx2 = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    rows = []
+    for t in toks:
+        lg, _ = ctx2.decode(Batch(tokens=np.asarray([t], np.int32)))
+        rows.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(rows), ref, atol=0.03)
