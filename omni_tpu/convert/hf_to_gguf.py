@@ -103,6 +103,13 @@ _STARCODER2_LAYER_MAP = {
     "mlp.c_proj.bias": "ffn_down.bias",
 }
 
+# StableLM: llama-shaped projections + biased LayerNorms + partial rotary
+_STABLELM_LAYER_MAP = {
+    **_LLM_LAYER_MAP,
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+}
+
 # Phi-2: parallel residual off ONE shared layernorm, partial rotary,
 # biased everything, un-gated GELU fc1/fc2 (convert_hf_to_gguf Phi2Model)
 _PHI2_LAYER_MAP = {
@@ -195,6 +202,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "gpt2":
         return _convert_gpt2(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "gptneox":
+        return _convert_gptneox(state, config, out_path, qtype,
+                                tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -293,6 +303,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         state = dict(state)
         state["norm.weight"] = state.pop("final_layernorm.weight")
         state["norm.bias"] = state.pop("final_layernorm.bias")
+    if arch == "stablelm":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("layer_norm_eps", 1e-5)))
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(float(config.get("partial_rotary_factor", 0.25))
+                     * head_dim))
     if arch == "command-r":
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
@@ -349,6 +365,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _OLMO2_LAYER_MAP if arch == "olmo2" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
+                 _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",
@@ -546,6 +563,83 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_gptneox(state: Mapping[str, Any], config: Mapping[str, Any],
+                     out_path: str, qtype: GGMLType,
+                     tokenizer_kv: Mapping[str, Any] | None = None
+                     ) -> list[str]:
+    """HF GPTNeoXForCausalLM -> GGUF arch "gptneox" (reference
+    convert_hf_to_gguf.py GPTNeoXModel): the fused query_key_value weight
+    is stored PER-HEAD interleaved ([H, 3, D, d]) and must de-interleave
+    into the [q; k; v] concat the engine expects; partial rotary
+    (rotary_pct) + use_parallel_residual carried as KVs."""
+    state = _strip(state, "gpt_neox.")
+    arch = "gptneox"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    hd = d_model // n_heads
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.rope.dimension_count",
+             int(float(config.get("rotary_pct", 0.25)) * hd))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rotary_emb_base", 10000.0)))
+    w.add_kv(f"{arch}.use_parallel_residual",
+             bool(config.get("use_parallel_residual", True)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_in.weight"])
+    put("output_norm.weight", state["final_layer_norm.weight"], None)
+    put("output_norm.bias", state["final_layer_norm.bias"], None)
+    if "embed_out.weight" in state:
+        put("output.weight", state["embed_out.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "attn_norm.bias", state[pfx + "input_layernorm.bias"], None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "post_attention_layernorm.weight"], None)
+        put(b + "ffn_norm.bias",
+            state[pfx + "post_attention_layernorm.bias"], None)
+        qkv = _np(state[pfx + "attention.query_key_value.weight"])
+        qkv = qkv.reshape(n_heads, 3, hd, d_model)
+        put(b + "attn_qkv.weight",
+            np.concatenate([qkv[:, 0], qkv[:, 1], qkv[:, 2]])
+            .reshape(3 * d_model, d_model))
+        qkv_b = _np(state[pfx + "attention.query_key_value.bias"])
+        qkv_b = qkv_b.reshape(n_heads, 3, hd)
+        put(b + "attn_qkv.bias",
+            np.concatenate([qkv_b[:, 0], qkv_b[:, 1], qkv_b[:, 2]])
+            .reshape(3 * d_model), None)
+        put(b + "attn_output.weight", state[pfx + "attention.dense.weight"])
+        put(b + "attn_output.bias", state[pfx + "attention.dense.bias"],
+            None)
+        put(b + "ffn_up.weight", state[pfx + "mlp.dense_h_to_4h.weight"])
+        put(b + "ffn_up.bias", state[pfx + "mlp.dense_h_to_4h.bias"], None)
+        put(b + "ffn_down.weight", state[pfx + "mlp.dense_4h_to_h.weight"])
+        put(b + "ffn_down.bias", state[pfx + "mlp.dense_4h_to_h.bias"],
+            None)
     w.write()
     return written
 

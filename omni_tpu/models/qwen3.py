@@ -160,11 +160,16 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2"),
-            parallel_residual=arch in ("command-r", "phi2"),
+            parallel_residual=(arch in ("command-r", "phi2")
+                               or (arch == "gptneox"
+                                   and bool(g("use_parallel_residual",
+                                              True)))),
             norm_type=("layer" if arch in ("command-r", "gpt2",
-                                           "starcoder2", "phi2")
+                                           "starcoder2", "phi2",
+                                           "gptneox", "stablelm")
                        else "rms"),
-            norm_bias=arch in ("gpt2", "starcoder2", "phi2"),
+            norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
+                               "stablelm"),
             use_rope=arch != "gpt2",
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
@@ -187,14 +192,14 @@ class Qwen3Config:
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
                           if arch in ("command-r", "gpt2", "starcoder2",
-                                      "phi2")
+                                      "phi2", "gptneox", "stablelm")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
             act=("gelu" if (gemma or arch in ("gpt2", "starcoder2",
-                                              "phi2"))
+                                              "phi2", "gptneox"))
                  else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
@@ -599,6 +604,12 @@ def forward(
             hn = (bnorm(h, lp["ffn_norm"], cfg.rms_eps,
                         lp.get("ffn_norm_b"))
                   if cfg.pre_norm else h)
+        elif lp.get("ffn_norm") is not None:
+            # NeoX-style parallel residual (use_par_res,
+            # llm_build_gptneox): the ffn has its OWN norm but reads the
+            # LAYER INPUT; Cohere instead shares the attn pre-norm output
+            hn = bnorm(h_in, lp["ffn_norm"], cfg.rms_eps,
+                       lp.get("ffn_norm_b"))
         # Cohere parallel residual: the ffn reads the SAME pre-norm output
         # and both sublayers add to the original residual stream
         act = (jax.nn.silu if cfg.act == "silu"

@@ -444,3 +444,79 @@ def test_phi2_logits_match_transformers(tmp_path):
         lg, _ = ctx2.decode(Batch(tokens=np.asarray([t], np.int32)))
         rows.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(rows), ref, atol=0.03)
+
+
+def test_gptneox_logits_match_transformers(tmp_path):
+    """GPT-NeoX (llm_build_gptneox): per-head interleaved fused QKV
+    de-interleave, partial rotary, use_parallel_residual BOTH ways (the
+    parallel form norms the LAYER INPUT with its own ffn_norm)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    for par in (True, False):
+        torch.manual_seed(0)
+        hcfg = GPTNeoXConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.5,
+            max_position_embeddings=64, use_parallel_residual=par,
+            attn_implementation="eager", tie_word_embeddings=False)
+        model = GPTNeoXForCausalLM(hcfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        path = tmp_path / f"neox{par}.gguf"
+        convert_llm(sd, hcfg.to_dict(), path, arch="gptneox")
+
+        reader = GGUFReader(path)
+        cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+        assert cfg.parallel_residual == par
+        assert cfg.rope_dim == 4 and cfg.norm_bias
+        params = qwen3.load_params(reader)
+        assert params["layers"][0]["wqkv"] is not None
+
+        toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+        with torch.no_grad():
+            ref = model(torch.tensor(toks[None].astype(np.int64))
+                        ).logits[0].numpy()
+        ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_stablelm_logits_match_transformers(tmp_path):
+    """StableLM-2 (llm_build_stablelm): biased LayerNorms around a gated
+    SiLU FFN, partial rotary, qkv biases."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = StableLmConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        use_qkv_bias=True, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model = StableLmForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "stablelm.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="stablelm")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_dim == 4 and cfg.norm_bias and cfg.act == "silu"
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["w_gate"] is not None  # gated, unlike gpt2
+    assert params["layers"][0]["bq"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
