@@ -19,7 +19,7 @@ from ..core.dtypes import GGMLType
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
-          "starcoder2", "phi2", "gptneox", "stablelm")
+          "starcoder2", "phi2", "gptneox", "stablelm", "falcon")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -46,6 +46,7 @@ _HF_ARCH_MAP = {
     "Starcoder2ForCausalLM": "starcoder2",
     "PhiForCausalLM": "phi2",
     "GPTNeoXForCausalLM": "gptneox",
+    "FalconForCausalLM": "falcon",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

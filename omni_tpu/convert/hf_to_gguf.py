@@ -205,6 +205,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "gptneox":
         return _convert_gptneox(state, config, out_path, qtype,
                                 tokenizer_kv=tokenizer_kv)
+    if arch == "falcon":
+        return _convert_falcon(state, config, out_path, qtype,
+                               tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -563,6 +566,82 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_falcon(state: Mapping[str, Any], config: Mapping[str, Any],
+                    out_path: str, qtype: GGMLType,
+                    tokenizer_kv: Mapping[str, Any] | None = None
+                    ) -> list[str]:
+    """HF FalconForCausalLM -> GGUF arch "falcon" (reference
+    convert_hf_to_gguf.py FalconModel): the fused query_key_value stores
+    n_head_kv GROUPS of [q_heads_in_group..., k, v] — rearranged to the
+    contiguous [all q; all k; all v] layout; 40b-style models carry two
+    per-layer norms (ln_attn -> attn_norm_2 feeds attention, ln_mlp ->
+    attn_norm feeds the FFN — llm_build_falcon's 'use the attn norm, not
+    the result')."""
+    state = _strip(state, "transformer.")
+    arch = "falcon"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config.get("num_hidden_layers", config.get("n_layer")))
+    n_heads = int(config.get("num_attention_heads", config.get("n_head")))
+    n_kv = (int(config.get("num_kv_heads") or config.get("n_head_kv") or 1)
+            if config.get("new_decoder_architecture") else 1)
+    hd = d_model // n_heads
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("ffn_hidden_size") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["word_embeddings.weight"])
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        if pfx + "ln_attn.weight" in state:  # new decoder arch (40b)
+            put(b + "attn_norm_2.weight", state[pfx + "ln_attn.weight"],
+                None)
+            put(b + "attn_norm_2.bias", state[pfx + "ln_attn.bias"], None)
+            put(b + "attn_norm.weight", state[pfx + "ln_mlp.weight"], None)
+            put(b + "attn_norm.bias", state[pfx + "ln_mlp.bias"], None)
+        else:  # 7b: one shared norm
+            put(b + "attn_norm.weight",
+                state[pfx + "input_layernorm.weight"], None)
+            put(b + "attn_norm.bias", state[pfx + "input_layernorm.bias"],
+                None)
+        qkv = _np(state[pfx + "self_attention.query_key_value.weight"])
+        qkv = qkv.reshape(n_kv, n_heads // n_kv + 2, hd, d_model)
+        put(b + "attn_qkv.weight", np.concatenate([
+            qkv[:, :-2].reshape(n_heads * hd, d_model),
+            qkv[:, -2].reshape(n_kv * hd, d_model),
+            qkv[:, -1].reshape(n_kv * hd, d_model)]))
+        put(b + "attn_output.weight",
+            state[pfx + "self_attention.dense.weight"])
+        put(b + "ffn_up.weight", state[pfx + "mlp.dense_h_to_4h.weight"])
+        put(b + "ffn_down.weight", state[pfx + "mlp.dense_4h_to_h.weight"])
     w.write()
     return written
 

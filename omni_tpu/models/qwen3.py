@@ -160,16 +160,17 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2"),
-            parallel_residual=(arch in ("command-r", "phi2")
+            parallel_residual=(arch in ("command-r", "phi2", "falcon")
                                or (arch == "gptneox"
                                    and bool(g("use_parallel_residual",
                                               True)))),
             norm_type=("layer" if arch in ("command-r", "gpt2",
                                            "starcoder2", "phi2",
-                                           "gptneox", "stablelm")
+                                           "gptneox", "stablelm",
+                                           "falcon")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
-                               "stablelm"),
+                               "stablelm", "falcon"),
             use_rope=arch != "gpt2",
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
@@ -192,14 +193,16 @@ class Qwen3Config:
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
                           if arch in ("command-r", "gpt2", "starcoder2",
-                                      "phi2", "gptneox", "stablelm")
+                                      "phi2", "gptneox", "stablelm",
+                                      "falcon")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
             act=("gelu" if (gemma or arch in ("gpt2", "starcoder2",
-                                              "phi2", "gptneox"))
+                                              "phi2", "gptneox",
+                                              "falcon"))
                  else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
@@ -378,6 +381,16 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             lp["wqkv"] = get(p + "attn_qkv.weight")
             lp["bqkv"] = get(p + "attn_qkv.bias", required=False,
                              keep_q=False)
+        if f"{p}attn_norm_2.weight" in reader.tensors:
+            # falcon-40b dual norms: attn_norm_2 feeds ATTENTION,
+            # attn_norm feeds the FFN (llm_build_falcon) — remap into the
+            # engine's parallel-residual slots (attention norm in
+            # attn_norm, ffn's own layer-input norm in ffn_norm)
+            lp["ffn_norm"] = lp["attn_norm"]
+            lp["ffn_norm_b"] = lp["attn_norm_b"]
+            lp["attn_norm"] = get(p + "attn_norm_2.weight")
+            lp["attn_norm_b"] = get(p + "attn_norm_2.bias", required=False,
+                                    keep_q=False)
         i += 1
     if fuse:
         params["layers"] = [fuse_layer(l) for l in params["layers"]]

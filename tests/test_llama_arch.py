@@ -520,3 +520,43 @@ def test_stablelm_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_falcon_logits_match_transformers(tmp_path):
+    """Falcon (llm_build_falcon): grouped fused-QKV rearrange, parallel
+    residual — 40b-style DUAL norms (ln_attn feeds attention, ln_mlp
+    feeds the FFN off the layer input) and 7b-style shared single norm."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import FalconConfig, FalconForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    for new_arch in (True, False):
+        torch.manual_seed(0)
+        hcfg = FalconConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_kv_heads=2,
+            new_decoder_architecture=new_arch, multi_query=not new_arch,
+            parallel_attn=True, bias=False, alibi=False,
+            attn_implementation="eager", tie_word_embeddings=True)
+        model = FalconForCausalLM(hcfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        path = tmp_path / f"falcon{new_arch}.gguf"
+        convert_llm(sd, hcfg.to_dict(), path, arch="falcon")
+
+        reader = GGUFReader(path)
+        cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+        assert cfg.parallel_residual and cfg.norm_bias
+        assert cfg.n_kv_heads == (2 if new_arch else 1)
+        params = qwen3.load_params(reader)
+        assert (params["layers"][0].get("ffn_norm") is not None) == new_arch
+
+        toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+        with torch.no_grad():
+            ref = model(torch.tensor(toks[None].astype(np.int64))
+                        ).logits[0].numpy()
+        ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
