@@ -39,27 +39,81 @@ def apply_chat_template(template: str, messages: list[dict],
 
 
 def detect_template(jinja: str) -> str | None:
-    """Map a Jinja chat-template string to a family (llm_chat_detect_template)."""
-    if "<|im_start|>" in jinja:
+    """Map a Jinja chat-template string to a family — same marker
+    heuristics, same precedence, as llm_chat_detect_template
+    (src/llama-chat.cpp:80-240)."""
+    has = lambda s: s in jinja
+    if has("<|im_start|>"):
+        if has("<|im_sep|>"):
+            return "phi4"
+        if has("<end_of_utterance>"):
+            return "smolvlm"
         return "chatml"
-    if "<|start_header_id|>" in jinja and "<|eot_id|>" in jinja:
-        return "llama3"
-    if "[INST]" in jinja:
-        return "mistral" if "' [INST] ' + system_message" in jinja or "[/INST]" in jinja else "llama2"
-    if "<start_of_turn>" in jinja:
-        return "gemma"
-    if "<|assistant|>" in jinja and "<|end|>" in jinja:
+    if has("[INST]"):
+        return ("mistral" if "' [INST] ' + system_message" in jinja
+                or has("[AVAILABLE_TOOLS]") or has("[SYSTEM_PROMPT]")
+                or has("[/INST]") else "llama2")
+    if has("<|assistant|>") and has("<|end|>"):
         return "phi3"
-    if "<|user|>" in jinja and "</s>" in jinja:
+    if has("[gMASK]<sop>"):
+        return "chatglm4"
+    if has("<|assistant|>") and has("<|user|>"):
+        return "falcon3" if has("</s>") else "glmedge"
+    if has("<|user|>") and has("<|endoftext|>"):
         return "zephyr"
-    if "<|START_OF_TURN_TOKEN|>" in jinja:
+    if has("bos_token + message['role']"):
+        return "monarch"
+    if has("<start_of_turn>"):
+        return "gemma"
+    if has("'\\n\\nAssistant: ' + eos_token"):
+        return "orion"
+    if has("GPT4 Correct "):
+        return "openchat"
+    if has("USER: ") and has("ASSISTANT: "):
+        return "vicuna-orca" if has("SYSTEM: ") else "vicuna"
+    if has("### Instruction:") and has("<|EOT|>"):
+        return "deepseek-coder"
+    if has("<|START_OF_TURN_TOKEN|>"):
         return "command-r"
-    if "请" in jinja or "User: " in jinja and "Assistant: " in jinja:
-        return "deepseek"
-    if "ASSISTANT:" in jinja:
-        return "vicuna"
-    if "<|start_of_role|>" in jinja:
+    if has("<|start_header_id|>") and has("<|eot_id|>"):
+        return "llama3"
+    if has("[gMASK]sop"):
+        return "chatglm3"
+    if has("<｜Assistant｜>") and has("<｜User｜>"):
+        return "deepseek3"
+    if has("[|system|]") and has("[|endofturn|]"):
+        return "exaone3"  # exaone4's [|tool|] rides the same renderer
+    if has("rwkv-world") or has("'User: ' + message['content']"):
+        return "rwkv-world"
+    if has("<|start_of_role|>"):
         return "granite"
+    if has("additional_special_tokens[0] + message['content']"
+           " + additional_special_tokens[1]"):
+        return "gigachat"
+    if has("<|role_start|>"):
+        return "megrez"
+    if has(" Ассистент:"):
+        return "yandex"
+    if has("<role>ASSISTANT</role>"):
+        return "bailing"
+    if has("<|header_start|>") and has("<|header_end|>"):
+        return "llama4"
+    if has("<|endofuserprompt|>"):
+        return "dots1"
+    if has("<|extra_0|>") and has("<|extra_4|>"):
+        return "hunyuan-moe"
+    if has("<|start|>") and has("<|channel|>"):
+        return "gpt-oss"
+    if has("hy_Assistant") or has("hy_place▁holder▁no▁2"):
+        return "hunyuan-dense"
+    if has("<|im_middle|>") and has("<|im_assistant|>"):
+        return "kimi-k2"
+    if has("<seed:bos>"):
+        return "seed-oss"
+    if has("<|separator|>") and has("Human: "):
+        return "grok2"
+    if has("请") or (has("User: ") and has("Assistant: ")):
+        return "deepseek"
     return None
 
 
@@ -214,3 +268,337 @@ def _minicpm(messages, add_assistant):
     # MiniCPM-o uses ChatML with the Qwen vocab (reference omni prompts,
     # tools/omni/omni.cpp:3518-3538)
     return _chatml(messages, add_assistant)
+
+
+def _trim(s: str) -> str:
+    return s.strip()
+
+
+@register("phi4")
+def _phi4(messages, add_assistant):
+    out = "".join(
+        f"<|im_start|>{m['role']}<|im_sep|>{m['content']}<|im_end|>"
+        for m in messages)
+    if add_assistant:
+        out += "<|im_start|>assistant<|im_sep|>"
+    return out
+
+
+@register("falcon3")
+def _falcon3(messages, add_assistant):
+    out = "".join(f"<|{m['role']}|>\n{m['content']}\n" for m in messages)
+    if add_assistant:
+        out += "<|assistant|>\n"
+    return out
+
+
+@register("monarch")
+def _monarch(messages, add_assistant):
+    out = ""
+    for i, m in enumerate(messages):
+        bos = "" if i == 0 else "<s>"
+        out += f"{bos}{m['role']}\n{m['content']}</s>\n"
+    if add_assistant:
+        out += "<s>assistant\n"
+    return out
+
+
+@register("orion")
+def _orion(messages, add_assistant):
+    sys_txt, turns = _system_and_turns(messages)
+    out = ""
+    for m in turns:
+        if m["role"] == "user":
+            out += "Human: "
+            if sys_txt:
+                out += f"{sys_txt}\n\n"
+                sys_txt = ""
+            out += f"{m['content']}\n\nAssistant: </s>"
+        else:
+            out += f"{m['content']}</s>"
+    return out
+
+
+@register("openchat")
+def _openchat(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"{m['content']}<|end_of_turn|>"
+        else:
+            out += (f"GPT4 Correct {m['role'].capitalize()}: "
+                    f"{m['content']}<|end_of_turn|>")
+    if add_assistant:
+        out += "GPT4 Correct Assistant:"
+    return out
+
+
+@register("vicuna-orca")
+def _vicuna_orca(messages, add_assistant):
+    sys_txt, turns = _system_and_turns(messages)
+    out = f"SYSTEM: {sys_txt}\n" if sys_txt else ""
+    for m in turns:
+        if m["role"] == "user":
+            out += f"USER: {m['content']}\n"
+        else:
+            out += f"ASSISTANT: {m['content']}</s>\n"
+    if add_assistant:
+        out += "ASSISTANT:"
+    return out
+
+
+@register("deepseek-coder")
+def _deepseek_coder(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += m["content"]
+        elif m["role"] == "user":
+            out += f"### Instruction:\n{m['content']}\n"
+        else:
+            out += f"### Response:\n{m['content']}\n<|EOT|>\n"
+    if add_assistant:
+        out += "### Response:\n"
+    return out
+
+
+@register("deepseek3")
+def _deepseek3(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"{m['content']}\n\n"
+        elif m["role"] == "user":
+            out += f"<｜User｜>{m['content']}"
+        else:
+            out += f"<｜Assistant｜>{m['content']}<｜end▁of▁sentence｜>"
+    if add_assistant:
+        out += "<｜Assistant｜>"
+    return out
+
+
+@register("chatglm3")
+def _chatglm3(messages, add_assistant):
+    out = "[gMASK]sop"
+    out += "".join(f"<|{m['role']}|>\n {m['content']}" for m in messages)
+    if add_assistant:
+        out += "<|assistant|>"
+    return out
+
+
+@register("chatglm4")
+def _chatglm4(messages, add_assistant):
+    out = "[gMASK]<sop>"
+    out += "".join(f"<|{m['role']}|>\n{m['content']}" for m in messages)
+    if add_assistant:
+        out += "<|assistant|>\n"
+    return out
+
+
+@register("glmedge")
+def _glmedge(messages, add_assistant):
+    out = "".join(f"<|{m['role']}|>\n{m['content']}" for m in messages)
+    if add_assistant:
+        out += "<|assistant|>"
+    return out
+
+
+@register("exaone3")
+def _exaone3(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"[|system|]{_trim(m['content'])}[|endofturn|]\n"
+        elif m["role"] == "user":
+            out += f"[|user|]{_trim(m['content'])}\n"
+        elif m["role"] == "assistant":
+            out += f"[|assistant|]{_trim(m['content'])}[|endofturn|]\n"
+        elif m["role"] == "tool":  # exaone4 extension
+            out += f"[|tool|]{_trim(m['content'])}[|endofturn|]\n"
+    if add_assistant:
+        out += "[|assistant|]"
+    return out
+
+
+@register("rwkv-world")
+def _rwkv_world(messages, add_assistant):
+    out = ""
+    for i, m in enumerate(messages):
+        if m["role"] == "system":
+            out += f"System: {_trim(m['content'])}\n\n"
+        elif m["role"] == "user":
+            out += f"User: {_trim(m['content'])}\n\n"
+            if i == len(messages) - 1:
+                out += "Assistant:"
+        else:
+            out += f"Assistant: {_trim(m['content'])}\n\n"
+    return out
+
+
+@register("gigachat")
+def _gigachat(messages, add_assistant):
+    out = "<s>"
+    turns = messages
+    if messages and messages[0]["role"] == "system":
+        out += f"{messages[0]['content']}<|message_sep|>"
+        turns = messages[1:]
+    for m in turns:
+        if m["role"] == "user":
+            out += (f"user<|role_sep|>{m['content']}<|message_sep|>"
+                    "available functions<|role_sep|>[]<|message_sep|>")
+        elif m["role"] == "assistant":
+            out += f"assistant<|role_sep|>{m['content']}<|message_sep|>"
+    if add_assistant:
+        out += "assistant<|role_sep|>"
+    return out
+
+
+@register("megrez")
+def _megrez(messages, add_assistant):
+    out = "".join(
+        f"<|role_start|>{m['role']}<|role_end|>{m['content']}<|turn_end|>"
+        for m in messages)
+    if add_assistant:
+        out += "<|role_start|>assistant<|role_end|>"
+    return out
+
+
+@register("yandex")
+def _yandex(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "user":
+            out += f" Пользователь: {m['content']}\n\n"
+        elif m["role"] == "assistant":
+            out += f" Ассистент: {m['content']}\n\n"
+    if add_assistant:
+        out += " Ассистент:[SEP]"
+    return out
+
+
+@register("bailing")
+def _bailing(messages, add_assistant):
+    out = ""
+    for m in messages:
+        role = "HUMAN" if m["role"] == "user" else m["role"].upper()
+        out += f"<role>{role}</role>{m['content']}"
+    if add_assistant:
+        out += "<role>ASSISTANT</role>"
+    return out
+
+
+@register("llama4")
+def _llama4(messages, add_assistant):
+    out = "".join(
+        f"<|header_start|>{m['role']}<|header_end|>\n\n"
+        f"{_trim(m['content'])}<|eot|>" for m in messages)
+    if add_assistant:
+        out += "<|header_start|>assistant<|header_end|>\n\n"
+    return out
+
+
+@register("smolvlm")
+def _smolvlm(messages, add_assistant):
+    out = "<|im_start|>"
+    for m in messages:
+        if m["role"] == "system":
+            out += f"{m['content']}\n\n"
+        elif m["role"] == "user":
+            out += f"User: {m['content']}<end_of_utterance>\n"
+        else:
+            out += f"Assistant: {m['content']}<end_of_utterance>\n"
+    if add_assistant:
+        out += "Assistant:"
+    return out
+
+
+@register("dots1")
+def _dots1(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"<|system|>{m['content']}<|endofsystem|>"
+        elif m["role"] == "user":
+            out += f"<|userprompt|>{m['content']}<|endofuserprompt|>"
+        else:
+            out += f"<|response|>{m['content']}<|endofresponse|>"
+    if add_assistant:
+        out += "<|response|>"
+    return out
+
+
+@register("hunyuan-moe")
+def _hunyuan_moe(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"<|startoftext|>{m['content']}<|extra_4|>"
+        elif m["role"] == "assistant":
+            out += f"{m['content']}<|eos|>"
+        else:
+            out += f"<|startoftext|>{m['content']}<|extra_0|>"
+    return out
+
+
+@register("hunyuan-dense")
+def _hunyuan_dense(messages, add_assistant):
+    out = ""
+    for i, m in enumerate(messages):
+        if i == 0 and m["role"] == "system":
+            out += f"{m['content']}<｜hy_place▁holder▁no▁3｜>"
+        if m["role"] == "assistant":
+            out += f"<｜hy_Assistant｜>{m['content']}<｜hy_place▁holder▁no▁2｜>"
+        elif m["role"] == "user":
+            out += f"<｜hy_User｜>{m['content']}<｜hy_Assistant｜>"
+    return out
+
+
+@register("gpt-oss")
+def _gpt_oss(messages, add_assistant):
+    # Harmony-derived surface form (OPENAI_MOE in the reference)
+    out = ""
+    for m in messages:
+        end = "<|return|>" if m["role"] == "assistant" else "<|end|>"
+        out += f"<|start|>{m['role']}<|message|>{m['content']}{end}"
+    if add_assistant:
+        out += "<|start|>assistant"
+    return out
+
+
+@register("kimi-k2")
+def _kimi_k2(messages, add_assistant):
+    role_tok = {"system": "<|im_system|>system", "user": "<|im_user|>user",
+                "assistant": "<|im_assistant|>assistant",
+                "tool": "<|im_system|>tool"}
+    out = "".join(
+        f"{role_tok[m['role']]}<|im_middle|>{m['content']}<|im_end|>"
+        for m in messages)
+    if add_assistant:
+        out += "<|im_assistant|>assistant<|im_middle|>"
+    return out
+
+
+@register("seed-oss")
+def _seed_oss(messages, add_assistant):
+    out = ""
+    for m in messages:
+        c = _trim(m["content"]) if m["role"] == "assistant" else m["content"]
+        out += f"<seed:bos>{m['role']}\n{c}<seed:eos>"
+    if add_assistant:
+        out += "<seed:bos>assistant\n"
+    return out
+
+
+@register("grok2")
+def _grok2(messages, add_assistant):
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"System: {_trim(m['content'])}<|separator|>\n\n"
+        elif m["role"] == "user":
+            out += f"Human: {_trim(m['content'])}<|separator|>\n\n"
+        else:
+            out += f"Assistant: {m['content']}<|separator|>\n\n"
+    if add_assistant:
+        out += "Assistant:"
+    return out

@@ -71,3 +71,110 @@ def test_all_registered_render():
     for name in known_templates():
         out = apply_chat_template(name, MSGS)
         assert "Hi" in out and "Hello!" in out
+
+
+MSGS4 = [{"role": "system", "content": "sys"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"},
+        {"role": "user", "content": "again"}]
+
+
+@pytest.mark.parametrize("name,frags,tail", [
+    ("phi4", ["<|im_start|>system<|im_sep|>sys<|im_end|>",
+              "<|im_start|>user<|im_sep|>hi<|im_end|>"],
+     "<|im_start|>assistant<|im_sep|>"),
+    ("falcon3", ["<|system|>\nsys\n", "<|user|>\nhi\n"], "<|assistant|>\n"),
+    ("monarch", ["system\nsys</s>\n", "<s>user\nhi</s>\n"], "<s>assistant\n"),
+    ("openchat", ["sys<|end_of_turn|>", "GPT4 Correct User: hi<|end_of_turn|>",
+                  "GPT4 Correct Assistant: yo<|end_of_turn|>"],
+     "GPT4 Correct Assistant:"),
+    ("vicuna-orca", ["SYSTEM: sys\n", "USER: hi\n", "ASSISTANT: yo</s>\n"],
+     "ASSISTANT:"),
+    ("deepseek-coder", ["sys", "### Instruction:\nhi\n",
+                        "### Response:\nyo\n<|EOT|>\n"], "### Response:\n"),
+    ("deepseek3", ["sys\n\n", "<｜User｜>hi",
+                   "<｜Assistant｜>yo<｜end▁of▁sentence｜>"], "<｜Assistant｜>"),
+    ("chatglm4", ["[gMASK]<sop>", "<|system|>\nsys", "<|user|>\nhi"],
+     "<|assistant|>\n"),
+    ("exaone3", ["[|system|]sys[|endofturn|]\n", "[|user|]hi\n",
+                 "[|assistant|]yo[|endofturn|]\n"], "[|assistant|]"),
+    ("gigachat", ["<s>sys<|message_sep|>",
+                  "user<|role_sep|>hi<|message_sep|>available functions"
+                  "<|role_sep|>[]<|message_sep|>",
+                  "assistant<|role_sep|>yo<|message_sep|>"],
+     "assistant<|role_sep|>"),
+    ("megrez", ["<|role_start|>system<|role_end|>sys<|turn_end|>"],
+     "<|role_start|>assistant<|role_end|>"),
+    ("yandex", [" Пользователь: hi\n\n", " Ассистент: yo\n\n"],
+     " Ассистент:[SEP]"),
+    ("bailing", ["<role>SYSTEM</role>sys", "<role>HUMAN</role>hi",
+                 "<role>ASSISTANT</role>yo"], "<role>ASSISTANT</role>"),
+    ("llama4", ["<|header_start|>system<|header_end|>\n\nsys<|eot|>"],
+     "<|header_start|>assistant<|header_end|>\n\n"),
+    ("smolvlm", ["<|im_start|>sys\n\n", "User: hi<end_of_utterance>\n",
+                 "Assistant: yo<end_of_utterance>\n"], "Assistant:"),
+    ("dots1", ["<|system|>sys<|endofsystem|>",
+               "<|userprompt|>hi<|endofuserprompt|>",
+               "<|response|>yo<|endofresponse|>"], "<|response|>"),
+    ("gpt-oss", ["<|start|>system<|message|>sys<|end|>",
+                 "<|start|>assistant<|message|>yo<|return|>"],
+     "<|start|>assistant"),
+    ("kimi-k2", ["<|im_system|>system<|im_middle|>sys<|im_end|>",
+                 "<|im_user|>user<|im_middle|>hi<|im_end|>"],
+     "<|im_assistant|>assistant<|im_middle|>"),
+    ("seed-oss", ["<seed:bos>system\nsys<seed:eos>",
+                  "<seed:bos>user\nhi<seed:eos>"], "<seed:bos>assistant\n"),
+    ("grok2", ["System: sys<|separator|>\n\n", "Human: hi<|separator|>\n\n",
+               "Assistant: yo<|separator|>\n\n"], "Assistant:"),
+])
+def test_new_builtin_templates(name, frags, tail):
+    """Round-3 template batch: surface forms pinned to llama-chat.cpp's
+    formatter output for a canonical 4-message conversation."""
+    out = apply_chat_template(name, MSGS4, add_assistant=True)
+    for f in frags:
+        assert f in out, (name, f, out)
+    assert out.endswith(tail), (name, out[-60:])
+
+
+def test_rwkv_world_template():
+    out = apply_chat_template("rwkv-world", MSGS4, add_assistant=True)
+    assert "System: sys\n\n" in out and "User: hi\n\n" in out
+    assert out.endswith("User: again\n\nAssistant:")
+
+
+def test_hunyuan_templates():
+    out = apply_chat_template("hunyuan-moe", MSGS4, add_assistant=False)
+    assert out.startswith("<|startoftext|>sys<|extra_4|>")
+    assert "<|startoftext|>hi<|extra_0|>" in out and "yo<|eos|>" in out
+    out = apply_chat_template("hunyuan-dense", MSGS4, add_assistant=False)
+    assert "<｜hy_User｜>hi<｜hy_Assistant｜>" in out
+
+
+def test_new_template_detection():
+    """Jinja-marker detection precedence matches llm_chat_detect_template."""
+    cases = [
+        ("...<|im_start|>...<|im_sep|>...", "phi4"),
+        ("...<|im_start|>...<end_of_utterance>...", "smolvlm"),
+        ("...<|im_start|>...", "chatml"),
+        ("...[gMASK]<sop>...", "chatglm4"),
+        ("...<|assistant|>...<|user|>...</s>...", "falcon3"),
+        ("...<|assistant|>...<|user|>...", "glmedge"),
+        ("...bos_token + message['role']...", "monarch"),
+        ("...GPT4 Correct ...", "openchat"),
+        ("...USER: ...ASSISTANT: ...SYSTEM: ...", "vicuna-orca"),
+        ("...### Instruction:...<|EOT|>...", "deepseek-coder"),
+        ("...<｜User｜>...<｜Assistant｜>...", "deepseek3"),
+        ("...[|system|]...[|endofturn|]...", "exaone3"),
+        ("...<|role_start|>...", "megrez"),
+        ("... Ассистент:...", "yandex"),
+        ("...<role>ASSISTANT</role>...'HUMAN'...", "bailing"),
+        ("...<|header_start|>...<|header_end|>...", "llama4"),
+        ("...<|endofuserprompt|>...", "dots1"),
+        ("...<|extra_0|>...<|extra_4|>...", "hunyuan-moe"),
+        ("...<|start|>...<|channel|>...", "gpt-oss"),
+        ("...<|im_middle|>...<|im_assistant|>...", "kimi-k2"),
+        ("...<seed:bos>...", "seed-oss"),
+        ("...Human: ...<|separator|>...", "grok2"),
+    ]
+    for jinja, want in cases:
+        assert detect_template(jinja) == want, (jinja, want)
