@@ -19,7 +19,8 @@ from ..core.dtypes import GGMLType
 ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
-          "starcoder2", "phi2", "gptneox", "stablelm", "falcon")
+          "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
+          "t5encoder")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -47,6 +48,9 @@ _HF_ARCH_MAP = {
     "PhiForCausalLM": "phi2",
     "GPTNeoXForCausalLM": "gptneox",
     "FalconForCausalLM": "falcon",
+    "T5ForConditionalGeneration": "t5",
+    "MT5ForConditionalGeneration": "t5",
+    "T5EncoderModel": "t5encoder",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

@@ -208,6 +208,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "falcon":
         return _convert_falcon(state, config, out_path, qtype,
                                tokenizer_kv=tokenizer_kv)
+    if arch in ("t5", "t5encoder"):
+        return _convert_t5(state, config, out_path, qtype,
+                           tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
@@ -566,6 +569,97 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+_T5_SUB = {  # HF block-sublayer names -> GGUF leaf names
+    "SelfAttention.q": "attn_q", "SelfAttention.k": "attn_k",
+    "SelfAttention.v": "attn_v", "SelfAttention.o": "attn_o",
+    "EncDecAttention.q": "cross_attn_q", "EncDecAttention.k": "cross_attn_k",
+    "EncDecAttention.v": "cross_attn_v", "EncDecAttention.o": "cross_attn_o",
+    "DenseReluDense.wi": "ffn_up", "DenseReluDense.wi_0": "ffn_gate",
+    "DenseReluDense.wi_1": "ffn_up", "DenseReluDense.wo": "ffn_down",
+}
+
+
+def _convert_t5(state: Mapping[str, Any], config: Mapping[str, Any],
+                out_path: str, qtype: GGMLType,
+                tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF T5ForConditionalGeneration / T5EncoderModel -> GGUF arch "t5" /
+    "t5encoder" (reference convert_hf_to_gguf.py T5Model): enc.blk.N.* /
+    dec.blk.N.* names, relative_attention_bias in block 0, and — when the
+    LM head is tied — output.weight pre-scaled by d_model**-0.5 (HF scales
+    sequence_output before the tied head; baking it into the weight keeps
+    the runtime graph identical to the untied case)."""
+    has_dec = any(k.startswith("decoder.") for k in state)
+    arch = "t5" if has_dec else "t5encoder"
+    d_model = int(config["d_model"])
+    n_enc = int(config["num_layers"])
+    n_dec = int(config.get("num_decoder_layers", n_enc))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_enc)
+    if has_dec:
+        w.add_kv(f"{arch}.decoder_block_count", n_dec)
+        w.add_kv(f"{arch}.decoder_start_token_id",
+                 int(config.get("decoder_start_token_id", 0)))
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", int(config["d_ff"]))
+    w.add_kv(f"{arch}.attention.head_count", int(config["num_heads"]))
+    w.add_kv(f"{arch}.attention.key_length", int(config["d_kv"]))
+    w.add_kv(f"{arch}.attention.value_length", int(config["d_kv"]))
+    w.add_kv(f"{arch}.attention.relative_buckets_count",
+             int(config.get("relative_attention_num_buckets", 32)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-6)))
+    w.add_kv(f"{arch}.context_length", int(config.get("n_positions", 512)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["shared.weight"])
+    if has_dec and config.get("tie_word_embeddings", True):
+        # a tied state dict still materialises lm_head.weight — the scale
+        # bake must win over it
+        put("output.weight",
+            _np(state["shared.weight"]).astype(np.float32)
+            * d_model ** -0.5)
+    elif "lm_head.weight" in state:
+        put("output.weight", state["lm_head.weight"])
+    for side, n_l in (("encoder", n_enc),) + ((("decoder", n_dec),)
+                                              if has_dec else ()):
+        gp = "enc" if side == "encoder" else "dec"
+        put(f"{gp}.output_norm.weight",
+            state[f"{side}.final_layer_norm.weight"], None)
+        for i in range(n_l):
+            for key, val in state.items():
+                pre = f"{side}.block.{i}.layer."
+                if not key.startswith(pre):
+                    continue
+                sub = key[len(pre):]  # e.g. "0.SelfAttention.q.weight"
+                _, rest = sub.split(".", 1)
+                rest = rest.rsplit(".weight", 1)[0]
+                if rest == "layer_norm":
+                    # sublayer index decides which norm this is
+                    li = int(sub.split(".", 1)[0])
+                    if li == 0:
+                        nm = "attn_norm"
+                    elif li == 1 and side == "decoder":
+                        nm = "cross_attn_norm"
+                    else:
+                        nm = "ffn_norm"
+                    put(f"{gp}.blk.{i}.{nm}.weight", val, None)
+                elif rest == "SelfAttention.relative_attention_bias":
+                    put(f"{gp}.blk.{i}.attn_rel_b.weight", val, None)
+                elif rest in _T5_SUB:
+                    put(f"{gp}.blk.{i}.{_T5_SUB[rest]}.weight", val)
     w.write()
     return written
 
