@@ -52,6 +52,22 @@ ON_API int on_repack_q5_k(const uint8_t *blocks, int64_t n, int64_t k,
                           float *d, float *dm, uint8_t *qh, int n_threads);
 ON_API int on_repack_q6_k(const uint8_t *blocks, int64_t n, int64_t k,
                           int8_t *q, int8_t *sc, float *d, int n_threads);
+/* legacy 32-block formats: t selects the variant (Q4_0=2/Q4_1=3,
+ * Q5_0=6/Q5_1=7); m is NULL for the d-only variants */
+ON_API int on_repack_q4_01(int t, const uint8_t *blocks, int64_t n,
+                           int64_t k, uint8_t *q, float *d, float *m,
+                           int n_threads);
+ON_API int on_repack_q5_01(int t, const uint8_t *blocks, int64_t n,
+                           int64_t k, uint8_t *q, uint8_t *qh, float *d,
+                           float *m, int n_threads);
+/* int8 VALUE-plane formats (codebook applied at repack): IQ4_NL=20,
+ * MXFP4=39 */
+ON_API int on_repack_i8_plane(int t, const uint8_t *blocks, int64_t n,
+                              int64_t k, int8_t *q, float *d,
+                              int n_threads);
+ON_API int on_repack_iq4_xs(const uint8_t *blocks, int64_t n, int64_t k,
+                            int8_t *q, int8_t *sc, float *d,
+                            int n_threads);
 
 /* ---- GGUF loader (mmap) ----------------------------------------------- */
 typedef struct on_gguf on_gguf;

@@ -1052,6 +1052,162 @@ int on_repack_q5_k(const uint8_t *blocks, int64_t n, int64_t k, uint8_t *q,
     return 0;
 }
 
+// legacy 32-block nibble formats share the superblock-half q packing with
+// Q4_K: plane byte r of superblock s = elem r lo-nibble | elem r+128 hi
+static void pack_sb_halves(const uint8_t *e, int64_t s, int64_t n,
+                           int64_t i, uint8_t *q) {
+    for (int r = 0; r < 128; ++r)
+        q[(s * 128 + r) * n + i] = e[r] | (e[128 + r] << 4);
+}
+
+int on_repack_q4_01(int t, const uint8_t *blocks, int64_t n, int64_t k,
+                    uint8_t *q, float *d, float *m, int n_threads) {
+    // t: 2 = Q4_0 (d only), 3 = Q4_1 (d + m)
+    const int ts = t == 2 ? 18 : 20;
+    const int off = t == 2 ? 2 : 4;
+    if (k % 256) return -1;
+    int64_t nb = k / 32, nsb = k / 256;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nb * ts;
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint8_t *blk = row + b * ts;
+                d[b * n + i] = fp16v(blk);
+                if (m) m[b * n + i] = fp16v(blk + 2);
+            }
+            for (int64_t s = 0; s < nsb; ++s) {
+                uint8_t e[256];
+                for (int g = 0; g < 8; ++g) {
+                    const uint8_t *qs = row + (s * 8 + g) * ts + off;
+                    for (int j = 0; j < 16; ++j) {
+                        e[g * 32 + j] = qs[j] & 0xF;
+                        e[g * 32 + 16 + j] = qs[j] >> 4;
+                    }
+                }
+                pack_sb_halves(e, s, n, i, q);
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_q5_01(int t, const uint8_t *blocks, int64_t n, int64_t k,
+                    uint8_t *q, uint8_t *qh, float *d, float *m,
+                    int n_threads) {
+    // t: 6 = Q5_0 (d only), 7 = Q5_1 (d + m)
+    const int ts = t == 6 ? 22 : 24;
+    const int off = t == 6 ? 2 : 4;  // offset of the qh u32
+    if (k % 256) return -1;
+    int64_t nb = k / 32, nsb = k / 256;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nb * ts;
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint8_t *blk = row + b * ts;
+                d[b * n + i] = fp16v(blk);
+                if (m) m[b * n + i] = fp16v(blk + 2);
+            }
+            for (int64_t s = 0; s < nsb; ++s) {
+                uint8_t e[256], hbit[256];
+                for (int g = 0; g < 8; ++g) {
+                    const uint8_t *blk = row + (s * 8 + g) * ts;
+                    uint32_t bits;
+                    std::memcpy(&bits, blk + off, 4);
+                    const uint8_t *qs = blk + off + 4;
+                    for (int j = 0; j < 16; ++j) {
+                        e[g * 32 + j] = qs[j] & 0xF;
+                        e[g * 32 + 16 + j] = qs[j] >> 4;
+                        hbit[g * 32 + j] = (bits >> j) & 1;
+                        hbit[g * 32 + 16 + j] = (bits >> (16 + j)) & 1;
+                    }
+                }
+                pack_sb_halves(e, s, n, i, q);
+                for (int j = 0; j < 32; ++j) {
+                    uint8_t byte = 0;
+                    for (int bb = 0; bb < 8; ++bb)
+                        byte |= hbit[j * 8 + bb] << bb;
+                    qh[(s * 32 + j) * n + i] = byte;
+                }
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_i8_plane(int t, const uint8_t *blocks, int64_t n, int64_t k,
+                       int8_t *q, float *d, int n_threads) {
+    // int8 VALUE-plane formats: 20 = IQ4_NL (codebook applied), 39 = MXFP4
+    const int ts = t == 20 ? 18 : 17;
+    if (k % 32) return -1;
+    int64_t nb = k / 32;
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nb * ts;
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint8_t *blk = row + b * ts;
+                const uint8_t *qs;
+                if (t == 20) {
+                    d[b * n + i] = fp16v(blk);
+                    qs = blk + 2;
+                    for (int j = 0; j < 16; ++j) {
+                        q[(b * 32 + j) * n + i] = IQ4NL_KVALUES[qs[j] & 0xF];
+                        q[(b * 32 + 16 + j) * n + i] =
+                            IQ4NL_KVALUES[qs[j] >> 4];
+                    }
+                } else {
+                    uint32_t e = blk[0];
+                    uint32_t bits = e < 2 ? (0x00200000u << e)
+                                          : ((e - 1u) << 23);
+                    std::memcpy(d + b * n + i, &bits, 4);
+                    qs = blk + 1;
+                    for (int j = 0; j < 16; ++j) {
+                        q[(b * 32 + j) * n + i] =
+                            (int8_t)MXFP4_KVALUES[qs[j] & 0xF];
+                        q[(b * 32 + 16 + j) * n + i] =
+                            (int8_t)MXFP4_KVALUES[qs[j] >> 4];
+                    }
+                }
+            }
+        }
+    });
+    return 0;
+}
+
+int on_repack_iq4_xs(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
+                     int8_t *sc, float *d, int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    const int ts = 136;  // 2 d + 2 scales_h + 4 scales_l + 128 qs
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * ts;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * ts;
+                d[s * n + i] = fp16v(blk);
+                uint16_t sh;
+                std::memcpy(&sh, blk + 2, 2);
+                const uint8_t *sl = blk + 4;
+                for (int g = 0; g < 8; ++g) {
+                    int lo4 = (g & 1) ? (sl[g >> 1] >> 4)
+                                      : (sl[g >> 1] & 0xF);
+                    int hi2 = (sh >> (2 * g)) & 3;
+                    sc[(s * 8 + g) * n + i] =
+                        (int8_t)((lo4 | (hi2 << 4)) - 32);
+                }
+                const uint8_t *qs = blk + 8;
+                for (int g = 0; g < 8; ++g)
+                    for (int j = 0; j < 16; ++j) {
+                        q[(s * 256 + g * 32 + j) * n + i] =
+                            IQ4NL_KVALUES[qs[g * 16 + j] & 0xF];
+                        q[(s * 256 + g * 32 + 16 + j) * n + i] =
+                            IQ4NL_KVALUES[qs[g * 16 + j] >> 4];
+                    }
+            }
+        }
+    });
+    return 0;
+}
+
 int on_repack_q6_k(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
                    int8_t *sc, float *d, int n_threads) {
     if (k % 256) return -1;

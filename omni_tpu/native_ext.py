@@ -58,6 +58,14 @@ def _declare(lib) -> None:
     lib.on_repack_q4_k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p, f32p, C.c_int]
     lib.on_repack_q5_k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p, f32p, u8p, C.c_int]
     lib.on_repack_q6_k.argtypes = [u8p, i64, i64, i8p, i8p, f32p, C.c_int]
+    lib.on_repack_q4_01.argtypes = [C.c_int, u8p, i64, i64, u8p, f32p,
+                                    f32p, C.c_int]
+    lib.on_repack_q5_01.argtypes = [C.c_int, u8p, i64, i64, u8p, u8p,
+                                    f32p, f32p, C.c_int]
+    lib.on_repack_i8_plane.argtypes = [C.c_int, u8p, i64, i64, i8p, f32p,
+                                       C.c_int]
+    lib.on_repack_iq4_xs.argtypes = [u8p, i64, i64, i8p, i8p, f32p,
+                                     C.c_int]
 
     lib.on_gguf_open.restype = C.c_void_p
     lib.on_gguf_open.argtypes = [C.c_char_p]
@@ -161,6 +169,49 @@ def repack(ggml_type: int, blocks: np.ndarray, n: int, k: int,
         d = np.empty((k // 256, n), np.float32)
         rc = lib.on_repack_q6_k(_p(b, C.c_uint8), n, k, _p(q, C.c_int8),
                                 _p(sc, C.c_int8), _p(d, C.c_float), n_threads)
+        return {"q": q, "sc": sc, "d": d} if rc == 0 else None
+    if t in (2, 3):  # Q4_0 / Q4_1
+        q = np.empty((k // 2, n), np.uint8)
+        d = np.empty((k // 32, n), np.float32)
+        dm = np.empty((k // 32, n), np.float32) if t == 3 else None
+        rc = lib.on_repack_q4_01(
+            t, _p(b, C.c_uint8), n, k, _p(q, C.c_uint8), _p(d, C.c_float),
+            _p(dm, C.c_float) if t == 3 else None, n_threads)
+        if rc != 0:
+            return None
+        out = {"q": q, "d": d}
+        if dm is not None:
+            out["dm"] = dm
+        return out
+    if t in (6, 7):  # Q5_0 / Q5_1
+        q = np.empty((k // 2, n), np.uint8)
+        qh = np.empty((k // 8, n), np.uint8)
+        d = np.empty((k // 32, n), np.float32)
+        dm = np.empty((k // 32, n), np.float32) if t == 7 else None
+        rc = lib.on_repack_q5_01(
+            t, _p(b, C.c_uint8), n, k, _p(q, C.c_uint8), _p(qh, C.c_uint8),
+            _p(d, C.c_float), _p(dm, C.c_float) if t == 7 else None,
+            n_threads)
+        if rc != 0:
+            return None
+        out = {"q": q, "qh": qh, "d": d}
+        if dm is not None:
+            out["dm"] = dm
+        return out
+    if t in (20, 39):  # IQ4_NL / MXFP4: int8 value planes
+        q = np.empty((k, n), np.int8)
+        d = np.empty((k // 32, n), np.float32)
+        rc = lib.on_repack_i8_plane(t, _p(b, C.c_uint8), n, k,
+                                    _p(q, C.c_int8), _p(d, C.c_float),
+                                    n_threads)
+        return {"q": q, "d": d} if rc == 0 else None
+    if t == 23:  # IQ4_XS
+        q = np.empty((k, n), np.int8)
+        sc = np.empty((k // 32, n), np.int8)
+        d = np.empty((k // 256, n), np.float32)
+        rc = lib.on_repack_iq4_xs(_p(b, C.c_uint8), n, k, _p(q, C.c_int8),
+                                  _p(sc, C.c_int8), _p(d, C.c_float),
+                                  n_threads)
         return {"q": q, "sc": sc, "d": d} if rc == 0 else None
     return None
 

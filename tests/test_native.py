@@ -109,7 +109,10 @@ def test_quantize_quality_equivalent(ensure_native, t):
 
 
 @pytest.mark.parametrize("t", [GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q5_K,
-                               GGMLType.Q6_K], ids=lambda t: t.name)
+                               GGMLType.Q6_K, GGMLType.Q4_0, GGMLType.Q4_1,
+                               GGMLType.Q5_0, GGMLType.Q5_1,
+                               GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+                               GGMLType.MXFP4], ids=lambda t: t.name)
 def test_repack_matches_numpy(ensure_native, t):
     """Native repack planes == kernels.qformats numpy repack, bit for bit."""
     from omni_tpu.kernels.qformats import repack as np_repack
