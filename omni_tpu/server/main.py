@@ -396,11 +396,14 @@ def make_handler(state: ServerState):
         # ---- GET ----------------------------------------------------------
         def do_GET(self):
             state.metrics["n_requests"] += 1
-            if self.path == "/health":
+            if self.path in ("/health", "/v1/health"):
                 self._json(200, {"status": "ok"})
-            elif self.path == "/v1/models":
+            elif self.path in ("/v1/models", "/models", "/api/tags"):
+                # /api/tags is the ollama-compat alias (server.cpp:6218)
                 self._json(200, {"object": "list", "data": [
-                    {"id": state.model_name, "object": "model"}]})
+                    {"id": state.model_name, "object": "model"}],
+                    "models": [{"name": state.model_name,
+                                "model": state.model_name}]})
             elif self.path == "/props":
                 self._json(200, {
                     "model": state.model_name,
@@ -457,7 +460,9 @@ def make_handler(state: ServerState):
                     return
                 if route in ("/completion", "/completions", "/v1/completions"):
                     self._handle_completion(body)
-                elif route == "/v1/chat/completions":
+                elif route in ("/v1/chat/completions", "/chat/completions",
+                               "/api/chat"):
+                    # /api/chat = ollama-compat alias (server.cpp:6224)
                     self._handle_chat(body)
                 elif route in ("/tokenize",):
                     toks = state.tok.encode(body.get("content", ""),
@@ -468,8 +473,14 @@ def make_handler(state: ServerState):
                         body.get("tokens", []))})
                 elif route in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._handle_embeddings(body, openai="/v1/" in route)
-                elif route in ("/rerank", "/v1/rerank", "/rerank/"):
+                elif route in ("/rerank", "/v1/rerank", "/rerank/",
+                               "/reranking", "/v1/reranking"):
                     self._handle_rerank(body)
+                elif route == "/api/show":  # ollama-compat model info
+                    self._json(200, {
+                        "model_info": {"general.name": state.model_name},
+                        "capabilities": ["completion"],
+                    })
                 elif route == "/infill":
                     self._handle_infill(body)
                 elif route == "/apply-template":

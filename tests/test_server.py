@@ -347,3 +347,19 @@ def test_n_probs_logprobs(server):
     lps = [t["logprob"] for t in first["top_logprobs"]]
     assert all(lps[i] >= lps[i + 1] for i in range(3))  # sorted desc
     assert all(lp <= 0.0 for lp in lps)
+
+
+def test_alias_routes(server):
+    """Reference route aliases (server.cpp:6211-6230): /v1/health,
+    ollama /api/tags + /api/chat + /api/show, /chat/completions."""
+    assert json.loads(_get(server + "/v1/health"))["status"] == "ok"
+    got = json.loads(_get(server + "/api/tags"))
+    assert got["data"][0]["id"] and got["models"][0]["name"]
+    r = _post(server + "/api/chat", {
+        "messages": [{"role": "user", "content": "hi"}], "max_tokens": 4})
+    assert r["choices"][0]["message"]["role"] == "assistant"
+    r2 = _post(server + "/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}], "max_tokens": 4})
+    assert r2["choices"][0]["message"]["role"] == "assistant"
+    info = _post(server + "/api/show", {})
+    assert "model_info" in info
