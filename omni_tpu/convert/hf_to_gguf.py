@@ -375,7 +375,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",
-                      "granite", "granitemoe")  # NORM rope
+                      "granite", "granitemoe", "smollm3")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim
@@ -445,6 +445,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                     _np(state[f"layers.{i}.mlp.experts.{e}.{hfp}.weight"])
                     for e in range(n_exp)])
                 put(f"blk.{i}.{gg}.weight", stack, qtype)
+            sh = f"layers.{i}.mlp.shared_expert."
+            if sh + "gate_proj.weight" in state:  # qwen2moe gated shexp
+                put(f"blk.{i}.ffn_gate_shexp.weight",
+                    state[sh + "gate_proj.weight"])
+                put(f"blk.{i}.ffn_up_shexp.weight",
+                    state[sh + "up_proj.weight"])
+                put(f"blk.{i}.ffn_down_shexp.weight",
+                    state[sh + "down_proj.weight"])
+                put(f"blk.{i}.ffn_gate_inp_shexp.weight",
+                    state[f"layers.{i}.mlp.shared_expert_gate.weight"],
+                    None)
     w.write()
     return written
 

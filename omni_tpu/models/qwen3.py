@@ -86,6 +86,9 @@ class Qwen3Config:
     # embeddings (params["position_embd"]), no rope (llm_build_gpt2)
     norm_bias: bool = False
     use_rope: bool = True
+    # SmolLM3 NoPE: every no_rope_step-th layer skips rope entirely
+    # (hparams.n_no_rope_layer_step, llama-model.cpp:1988/6704)
+    no_rope_step: int = 0
     attn_scale: float | None = None  # None = 1/sqrt(head_dim)
     attn_softcap: float = 0.0    # Gemma-2 attn logit capping
     final_softcap: float = 0.0   # Gemma-2 final logit capping
@@ -159,7 +162,11 @@ class Qwen3Config:
             **mla_extra,
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
-                                   "deepseek2"),
+                                   "deepseek2", "smollm3"),
+            no_rope_step=4 if arch == "smollm3" else 0,
+            # qwen2moe does NOT normalize the top-k probs and gates its
+            # shared expert (llm_build_qwen2moe norm_w=false)
+            **({"moe_norm_w": False} if arch == "qwen2moe" else {}),
             parallel_residual=(arch in ("command-r", "phi2", "falcon")
                                or (arch == "gptneox"
                                    and bool(g("use_parallel_residual",
@@ -339,6 +346,8 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             lp["gate_shexp"] = get(p + "ffn_gate_shexp.weight")
             lp["up_shexp"] = get(p + "ffn_up_shexp.weight")
             lp["down_shexp"] = get(p + "ffn_down_shexp.weight")
+            lp["gate_inp_shexp"] = get(p + "ffn_gate_inp_shexp.weight",
+                                       required=False, keep_q=False)
         if f"{p}exp_probs_b.bias" in reader.tensors:
             lp["exp_probs_b"] = get(p + "exp_probs_b.bias", keep_q=False)
         if (lp["ffn_norm"] is None and lp["attn_post_norm"] is not None
@@ -563,8 +572,11 @@ def forward(
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         swa_l = has_swa and cfg.is_swa_layer(li)
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
-        if not mla and cfg.use_rope:  # MLA ropes only its q_pe/k_pe
-            # sections (above); GPT-2 has learned absolute positions
+        rope_l = cfg.use_rope and (cfg.no_rope_step == 0
+                                   or (li + 1) % cfg.no_rope_step != 0)
+        if not mla and rope_l:  # MLA ropes only its q_pe/k_pe
+            # sections (above); GPT-2 has learned absolute positions;
+            # SmolLM3 NoPE layers skip rotation per-layer
             if 0 < cfg.rope_dim < cfg.head_dim:
                 # partial rotary (phi2/neox rot_pct): only the LEADING
                 # rope_dim columns rotate — same layout the cache
@@ -634,9 +646,17 @@ def forward(
                 # the routed mix (llm_build_deepseek2 ffn_shexp)
                 sg = matmul(hn, lp["gate_shexp"])
                 su = matmul(hn, lp["up_shexp"])
-                ffn_out = ffn_out + matmul(
+                shexp = matmul(
                     act(sg.astype(jnp.float32)).astype(jnp.bfloat16) * su,
                     lp["down_shexp"]).astype(ffn_out.dtype)
+                if lp.get("gate_inp_shexp") is not None:
+                    # qwen2moe gates the shared expert with a sigmoid
+                    # scalar head (llm_build_qwen2moe ffn_gate_inp_shexp)
+                    g_sh = jax.nn.sigmoid(
+                        matmul(hn, lp["gate_inp_shexp"],
+                               out_dtype=jnp.float32))
+                    shexp = shexp * g_sh.astype(shexp.dtype)
+                ffn_out = ffn_out + shexp
         elif "w_gateup" in lp:
             from ..kernels.fused_ffn import qffn_pallas
             from ..kernels.qformats import QTensor

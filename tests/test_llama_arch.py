@@ -560,3 +560,78 @@ def test_falcon_logits_match_transformers(tmp_path):
         ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
         logits, _ = ctx.decode(Batch(tokens=toks))
         np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_smollm3_logits_match_transformers(tmp_path):
+    """SmolLM3 (llm_build_smollm3): NoPE — every 4th layer skips rope
+    entirely (n_no_rope_layer_step, llama-model.cpp:1988); NORM rope
+    with q/k permute on the rest."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = SmolLM3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        no_rope_layer_interval=4, max_position_embeddings=64,
+        pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = SmolLM3ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "smollm3.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="smollm3")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.no_rope_step == 4 and not cfg.rope_neox
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_qwen2moe_logits_match_transformers(tmp_path):
+    """Qwen2-MoE (llm_build_qwen2moe): softmax top-k WITHOUT prob
+    normalisation + a sigmoid-gated shared expert added to the routed
+    mix (ffn_gate_inp_shexp)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Qwen2MoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, shared_expert_intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=False, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Qwen2MoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "q2moe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="qwen2moe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert not cfg.moe_norm_w and cfg.n_experts == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["gate_inp_shexp"] is not None
+    assert params["layers"][0]["bq"] is not None  # qwen2 attn biases
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
