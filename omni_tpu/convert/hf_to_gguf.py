@@ -129,6 +129,24 @@ _PHI2_LAYER_MAP = {
     "mlp.fc2.bias": "ffn_down.bias",
 }
 
+# GLM-4: sandwich norms around both sublayers, disk-fused gate_up in
+# ffn_up, interleaved (NORM) half-width rotary (llm_build_glm4)
+_GLM4_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_self_attn_layernorm.weight": "post_attention_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_mlp_layernorm.weight": "post_ffw_norm.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 # Gemma-2/3 (sandwich norms): HF post_attention_layernorm maps to the
 # POST-attention norm (not ffn_norm), pre_feedforward takes the ffn_norm
 # slot, post_feedforward becomes post_ffw_norm
@@ -315,6 +333,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.25))
                      * head_dim))
+    if arch == "glm4":
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(float(config.get("partial_rotary_factor", 0.5))
+                     * head_dim))
     if arch == "command-r":
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
@@ -372,6 +394,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
+                 _GLM4_LAYER_MAP if arch == "glm4" else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",

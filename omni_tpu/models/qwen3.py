@@ -162,7 +162,7 @@ class Qwen3Config:
             **mla_extra,
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
-                                   "deepseek2", "smollm3"),
+                                   "deepseek2", "smollm3", "glm4"),
             no_rope_step=4 if arch == "smollm3" else 0,
             # qwen2moe does NOT normalize the top-k probs and gates its
             # shared expert (llm_build_qwen2moe norm_w=false)
@@ -212,7 +212,7 @@ class Qwen3Config:
                                               "falcon"))
                  else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
-            sandwich_norms=arch in ("gemma2", "gemma3", "olmo2"),
+            sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4"),
             pre_norm=arch != "olmo2",
             attn_scale=attn_scale,
             attn_softcap=float(g("attn_logit_softcapping", 50.0))
@@ -382,6 +382,11 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
             lp["w_up"] = get(p + "ffn_up.weight")
             lp["w_down"] = get(p + "ffn_down.weight")
+            if (lp["w_gate"] is None
+                    and lp["w_up"].shape[0] == 2 * lp["w_down"].shape[1]):
+                # glm4-style disk-fused gate|up in ffn_up (LLM_FFN_SWIGLU
+                # with no separate gate, llm_build_glm4)
+                lp["w_gateup"] = lp.pop("w_up")
             lp["b_up"] = get(p + "ffn_up.bias", required=False,
                              keep_q=False)
             lp["b_down"] = get(p + "ffn_down.bias", required=False,

@@ -635,3 +635,40 @@ def test_qwen2moe_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_glm4_logits_match_transformers(tmp_path):
+    """GLM-4 (llm_build_glm4): sandwich norms around both sublayers,
+    disk-fused gate_up in ffn_up (LLM_FFN_SWIGLU), interleaved-pair
+    (NORM) HALF-width partial rotary."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Glm4Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, head_dim=8, max_position_embeddings=64,
+        attention_bias=True, pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = Glm4ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "glm4.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="glm4")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_dim == 4 and not cfg.rope_neox and cfg.sandwich_norms
+    params = qwen3.load_params(reader)
+    assert "w_gateup" in params["layers"][0]  # disk-fused gate|up
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
