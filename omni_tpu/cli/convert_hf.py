@@ -20,7 +20,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "gemma3", "phi3", "granite", "gpt-oss", "olmo2", "command-r",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
-          "t5encoder", "smollm3", "qwen2moe", "glm4")
+          "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
+          "olmoe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -54,6 +55,8 @@ _HF_ARCH_MAP = {
     "SmolLM3ForCausalLM": "smollm3",
     "Qwen2MoeForCausalLM": "qwen2moe",
     "Glm4ForCausalLM": "glm4",
+    "NemotronForCausalLM": "nemotron",
+    "OlmoeForCausalLM": "olmoe",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

@@ -129,6 +129,20 @@ _PHI2_LAYER_MAP = {
     "mlp.fc2.bias": "ffn_down.bias",
 }
 
+# Nemotron: biased LayerNorms, un-gated relu^2 FFN (llm_build_nemotron)
+_NEMOTRON_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 # GLM-4: sandwich norms around both sublayers, disk-fused gate_up in
 # ffn_up, interleaved (NORM) half-width rotary (llm_build_glm4)
 _GLM4_LAYER_MAP = {
@@ -337,6 +351,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.5))
                      * head_dim))
+    if arch == "nemotron":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("norm_eps", 1e-5)))
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(float(config.get("partial_rotary_factor", 0.5))
+                     * head_dim))
     if arch == "command-r":
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
@@ -373,9 +393,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     written = []
 
     def put(name, arr, q=qtype):
-        # Gemma RMS norms store (weight + 1) on disk — the zero-centered
-        # HF convention vs the gguf one (convert_hf_to_gguf.py GemmaModel)
-        if gemma and name.endswith("norm.weight"):
+        # Gemma RMS norms / Nemotron layernorm1p store (weight + 1) on
+        # disk — the zero-centered HF convention vs the gguf one
+        # (convert_hf_to_gguf.py GemmaModel / NemotronModel)
+        if (gemma or arch == "nemotron") and name.endswith("norm.weight"):
             arr = _np(arr).astype(np.float32) + 1.0
         _add(w, name, arr, q)
         written.append(name)
@@ -395,6 +416,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _GLM4_LAYER_MAP if arch == "glm4" else
+                 _NEMOTRON_LAYER_MAP if arch == "nemotron" else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts",

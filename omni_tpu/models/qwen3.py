@@ -166,7 +166,8 @@ class Qwen3Config:
             no_rope_step=4 if arch == "smollm3" else 0,
             # qwen2moe does NOT normalize the top-k probs and gates its
             # shared expert (llm_build_qwen2moe norm_w=false)
-            **({"moe_norm_w": False} if arch == "qwen2moe" else {}),
+            **({"moe_norm_w": False} if arch in ("qwen2moe", "olmoe")
+               else {}),
             parallel_residual=(arch in ("command-r", "phi2", "falcon")
                                or (arch == "gptneox"
                                    and bool(g("use_parallel_residual",
@@ -174,10 +175,10 @@ class Qwen3Config:
             norm_type=("layer" if arch in ("command-r", "gpt2",
                                            "starcoder2", "phi2",
                                            "gptneox", "stablelm",
-                                           "falcon")
+                                           "falcon", "nemotron")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
-                               "stablelm", "falcon"),
+                               "stablelm", "falcon", "nemotron"),
             use_rope=arch != "gpt2",
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
@@ -201,15 +202,16 @@ class Qwen3Config:
                             g("attention.layer_norm_rms_epsilon", 1e-6))
                           if arch in ("command-r", "gpt2", "starcoder2",
                                       "phi2", "gptneox", "stablelm",
-                                      "falcon")
+                                      "falcon", "nemotron")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act=("gelu" if (gemma or arch in ("gpt2", "starcoder2",
-                                              "phi2", "gptneox",
-                                              "falcon"))
+            act=("relu2" if arch == "nemotron"
+                 else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
+                                                   "phi2", "gptneox",
+                                                   "falcon"))
                  else "silu"),
             **({} if arch == "command-r" else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4"),
@@ -642,8 +644,12 @@ def forward(
                        lp.get("ffn_norm_b"))
         # Cohere parallel residual: the ffn reads the SAME pre-norm output
         # and both sublayers add to the original residual stream
-        act = (jax.nn.silu if cfg.act == "silu"
-               else lambda z: jax.nn.gelu(z, approximate=True))
+        if cfg.act == "silu":
+            act = jax.nn.silu
+        elif cfg.act == "relu2":  # nemotron LLM_FFN_RELU_SQR
+            act = lambda z: jnp.square(jax.nn.relu(z))  # noqa: E731
+        else:
+            act = lambda z: jax.nn.gelu(z, approximate=True)  # noqa: E731
         if lp.get("gate_inp") is not None:
             ffn_out = moe_ffn(lp, cfg, hn)
             if lp.get("gate_shexp") is not None:

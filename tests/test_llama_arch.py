@@ -672,3 +672,75 @@ def test_glm4_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_nemotron_logits_match_transformers(tmp_path):
+    """Nemotron (llm_build_nemotron): biased LayerNorms, un-gated
+    relu^2 FFN (LLM_FFN_RELU_SQR), half-width NEOX partial rotary."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = NemotronConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        norm_eps=1e-5, pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = NemotronForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "nemotron.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="nemotron")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.act == "relu2" and cfg.norm_bias and cfg.rope_dim == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["w_gate"] is None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_olmoe_logits_match_transformers(tmp_path):
+    """OLMoE (llm_build_olmoe): full-width q/k RMS norms on a standard
+    pre-norm topology + MoE WITHOUT top-k prob normalisation."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = OlmoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=64, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = OlmoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "olmoe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="olmoe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert not cfg.moe_norm_w and cfg.n_experts == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["q_norm"].shape[-1] == 32  # full width
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
