@@ -21,7 +21,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
-          "olmoe")
+          "olmoe", "arcee", "ernie4_5")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -57,6 +57,8 @@ _HF_ARCH_MAP = {
     "Glm4ForCausalLM": "glm4",
     "NemotronForCausalLM": "nemotron",
     "OlmoeForCausalLM": "olmoe",
+    "ArceeForCausalLM": "arcee",
+    "Ernie4_5ForCausalLM": "ernie4_5",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

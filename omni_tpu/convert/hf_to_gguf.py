@@ -416,11 +416,13 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _GLM4_LAYER_MAP if arch == "glm4" else
-                 _NEMOTRON_LAYER_MAP if arch == "nemotron" else
+                 _NEMOTRON_LAYER_MAP if arch in ("nemotron",
+                                                 "arcee") else
                  _LLM_LAYER_MAP)
     n_kv = int(config.get("num_key_value_heads", n_heads))
-    permute_qk = arch in ("llama", "minicpm", "minicpmtts",
-                      "granite", "granitemoe", "smollm3")  # NORM rope
+    permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
+                      "granitemoe", "smollm3", "arcee",
+                      "ernie4_5")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim

@@ -162,7 +162,8 @@ class Qwen3Config:
             **mla_extra,
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
-                                   "deepseek2", "smollm3", "glm4"),
+                                   "deepseek2", "smollm3", "glm4",
+                                   "arcee", "ernie4_5"),
             no_rope_step=4 if arch == "smollm3" else 0,
             # qwen2moe does NOT normalize the top-k probs and gates its
             # shared expert (llm_build_qwen2moe norm_w=false)
@@ -208,7 +209,7 @@ class Qwen3Config:
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act=("relu2" if arch == "nemotron"
+            act=("relu2" if arch in ("nemotron", "arcee")
                  else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
                                                    "phi2", "gptneox",
                                                    "falcon"))

@@ -744,3 +744,52 @@ def test_olmoe_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_arcee_and_ernie_logits_match_transformers(tmp_path):
+    """Arcee (relu^2 un-gated FFN on RMS norms) and Ernie-4.5 (llama
+    clone) — both NORM-rope permuted."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import (ArceeConfig, ArceeForCausalLM,
+                              Ernie4_5Config, Ernie4_5ForCausalLM)
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    cases = [
+        ("arcee", ArceeConfig, ArceeForCausalLM,
+         dict(vocab_size=96, hidden_size=32, intermediate_size=64,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, max_position_embeddings=64,
+              pad_token_id=0, attn_implementation="eager",
+              tie_word_embeddings=True)),
+        ("ernie4_5", Ernie4_5Config, Ernie4_5ForCausalLM,
+         dict(vocab_size=96, hidden_size=32, intermediate_size=64,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, max_position_embeddings=64,
+              pad_token_id=0, attn_implementation="eager",
+              tie_word_embeddings=True)),
+    ]
+    for arch, Cfg, Model, kw in cases:
+        torch.manual_seed(0)
+        model = Model(Cfg(**kw)).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        path = tmp_path / f"{arch}.gguf"
+        convert_llm(sd, model.config.to_dict(), path, arch=arch)
+
+        reader = GGUFReader(path)
+        cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+        assert not cfg.rope_neox
+        if arch == "arcee":
+            assert cfg.act == "relu2"
+        params = qwen3.load_params(reader)
+
+        toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+        with torch.no_grad():
+            ref = model(torch.tensor(toks[None].astype(np.int64))
+                        ).logits[0].numpy()
+        ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+        logits, _ = ctx.decode(Batch(tokens=toks))
+        np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03,
+                                   err_msg=arch)
