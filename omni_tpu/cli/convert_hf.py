@@ -21,7 +21,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
-          "olmoe", "arcee", "ernie4_5")
+          "olmoe", "arcee", "ernie4_5", "granitemoe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -36,6 +36,7 @@ _HF_ARCH_MAP = {
     "Gemma3ForConditionalGeneration": "gemma3",
     "Phi3ForCausalLM": "phi3",
     "GraniteForCausalLM": "granite",
+    "GraniteMoeForCausalLM": "granitemoe",
     "GptOssForCausalLM": "gpt-oss",
     "Olmo2ForCausalLM": "olmo2",
     "CohereForCausalLM": "command-r",

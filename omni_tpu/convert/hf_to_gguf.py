@@ -244,6 +244,36 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         return _convert_t5(state, config, out_path, qtype,
                            tokenizer_kv=tokenizer_kv)
     state = _strip(state, "model.")
+    if arch == "granitemoe":
+        # GraniteMoE fuses each expert's gate|up into one 3-D
+        # input_linear [E, 2F, d] (GraniteMoeParallelExperts; reference
+        # GraniteMoeModel splits it the same way)
+        out_state = {}
+        for k, v in state.items():
+            if k.endswith("block_sparse_moe.input_linear.weight"):
+                base = k.rsplit("block_sparse_moe.", 1)[0]
+                arr = _np(v)
+                f = arr.shape[1] // 2
+                for e in range(arr.shape[0]):
+                    out_state[f"{base}mlp.experts.{e}.gate_proj.weight"] = \
+                        arr[e, :f]
+                    out_state[f"{base}mlp.experts.{e}.up_proj.weight"] = \
+                        arr[e, f:]
+            elif k.endswith("block_sparse_moe.output_linear.weight"):
+                base = k.rsplit("block_sparse_moe.", 1)[0]
+                arr = _np(v)
+                for e in range(arr.shape[0]):
+                    out_state[f"{base}mlp.experts.{e}.down_proj.weight"] = \
+                        arr[e]
+            elif k.endswith("block_sparse_moe.router.layer.weight"):
+                out_state[k.replace("block_sparse_moe.router.layer.",
+                                    "mlp.gate.")] = v
+            else:
+                out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "num_experts": config.get("num_experts")
+                  or config.get("num_local_experts")}
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
         # w3=up, w2=down; reference convert_hf_to_gguf.py MixtralModel)

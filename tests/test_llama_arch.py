@@ -793,3 +793,41 @@ def test_arcee_and_ernie_logits_match_transformers(tmp_path):
         logits, _ = ctx.decode(Batch(tokens=toks))
         np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03,
                                    err_msg=arch)
+
+
+def test_granitemoe_logits_match_transformers(tmp_path):
+    """GraniteMoE (llm_build_granite MoE form): granite scale set +
+    per-expert fused input_linear [E, 2F, d] split at conversion."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GraniteMoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=2.0, attention_multiplier=0.3,
+        max_position_embeddings=64, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = GraniteMoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "gmoe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="granitemoe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.n_experts == 4 and cfg.emb_scale == 2.0
+    assert cfg.attn_scale == pytest.approx(0.3)
+    params = qwen3.load_params(reader)
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
