@@ -15,7 +15,11 @@ XLA_FLAGS to be set in the environment BEFORE python starts.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# self-contained: runnable without an installed omni_tpu package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
