@@ -21,7 +21,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "deepseek2", "mamba", "bert", "rwkv6", "jamba", "gpt2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
-          "olmoe", "arcee", "ernie4_5", "granitemoe")
+          "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
+          "cohere2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -39,7 +40,10 @@ _HF_ARCH_MAP = {
     "GraniteMoeForCausalLM": "granitemoe",
     "GptOssForCausalLM": "gpt-oss",
     "Olmo2ForCausalLM": "olmo2",
+    "OlmoForCausalLM": "olmo",
+    "GemmaForCausalLM": "gemma",
     "CohereForCausalLM": "command-r",
+    "Cohere2ForCausalLM": "cohere2",
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
     "MambaForCausalLM": "mamba",

@@ -387,13 +387,23 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.5))
                      * head_dim))
-    if arch == "command-r":
+    if arch in ("command-r", "cohere2"):
         # HF Cohere: interleaved rotary natively = GGUF NORM layout (no
         # permute); logit_scale multiplies logits; block norms are
         # bias-free LayerNorm with layer_norm_eps
         w.add_kv(f"{arch}.logit_scale", float(config.get("logit_scale", 1.0)))
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("layer_norm_eps", 1e-5)))
+        if config.get("sliding_window"):  # cohere2 3-SWA:1-full-NoPE
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config["sliding_window"]))
+    if arch == "olmo":
+        # weightless LayerNorms (OlmoLayerNorm hardcodes eps=1e-5) and
+        # optional q/k/v clamping (reference OlmoModel set_gguf_parameters)
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        if config.get("clip_qkv"):
+            w.add_kv(f"{arch}.attention.clamp_kqv",
+                     float(config["clip_qkv"]))
     if arch in ("granite", "granitemoe"):
         # HF Granite multipliers -> granite kv scales (llama-model.cpp
         # LLM_KV_{EMBEDDING,RESIDUAL,LOGIT}_SCALE + ATTENTION_SCALE)
@@ -432,7 +442,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         written.append(name)
 
     put("token_embd.weight", state["embed_tokens.weight"])
-    put("output_norm.weight", state["norm.weight"], None)
+    if "norm.weight" in state:  # absent for OLMo (non-parametric norms)
+        put("output_norm.weight", state["norm.weight"], None)
     if "norm.bias" in state:  # starcoder2 biased final LayerNorm
         put("output_norm.bias", state["norm.bias"], None)
     if "lm_head.weight" in state and not config.get("tie_word_embeddings", False):
@@ -440,7 +451,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         if "lm_head.bias" in state:  # phi2 biased LM head
             put("output.bias", state["lm_head.bias"], None)
     n_layers = int(config["num_hidden_layers"])
-    layer_map = (_GEMMA_LAYER_MAP if gemma else
+    # gemma v1's post_attention_layernorm is its FFN pre-norm (llama
+    # topology) — only gemma2/3 have the sandwich-norm naming
+    layer_map = (_GEMMA_LAYER_MAP if gemma and arch != "gemma" else
                  _OLMO2_LAYER_MAP if arch == "olmo2" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
@@ -452,7 +465,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
                       "granitemoe", "smollm3", "arcee",
-                      "ernie4_5")  # NORM rope
+                      "ernie4_5", "olmo")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim

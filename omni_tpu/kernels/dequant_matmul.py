@@ -83,7 +83,8 @@ def _auto_tiles(m: int, n: int, k: int) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret")
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype",
+                              "interpret", "vmem_limit")
 )
 def qmatmul_pallas(
     x: jax.Array,
@@ -94,6 +95,7 @@ def qmatmul_pallas(
     block_k: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    vmem_limit: int | None = None,
 ) -> jax.Array:
     """out[M, N] = x[M, K] @ dequant(W).T_logical via the fused kernel."""
     m, k = x.shape
@@ -146,7 +148,8 @@ def qmatmul_pallas(
         # M/N grid dims are independent; only K carries the accumulator —
         # the scheduling hint buys ~10% on decode shapes (round-2 A/B)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(x, *[planes[nm] for nm in names])
 

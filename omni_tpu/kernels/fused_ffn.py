@@ -30,17 +30,23 @@ from .qformats import QTensor, dequant_tile, tile_granule
 
 
 def _make_kernel(t_gu: GGMLType, t_dn: GGMLType, names_gu, names_dn,
-                 nf: int, out_dtype, act: str):
+                 nf: int, out_dtype, act: str, dn_3d):
     n_gu, n_dn = len(names_gu), len(names_dn)
 
     def kernel(x_ref, *rest):
+        ff = pl.program_id(1)
         gate_p = {nm: rest[i][...] for i, nm in enumerate(names_gu)}
         up_p = {nm: rest[n_gu + i][...] for i, nm in enumerate(names_gu)}
-        down_p = {nm: rest[2 * n_gu + i][...]
-                  for i, nm in enumerate(names_dn)}
+        # down planes whose F tile is under Mosaic's 8-sublane block
+        # minimum (scale planes: 1 row per 256-elt superblock) arrive as
+        # 3D [nf, rows, N] blocked on the leading axis — the (rows, N)
+        # trailing block equals the array dims, which Mosaic accepts
+        down_p = {}
+        for i, nm in enumerate(names_dn):
+            v = rest[2 * n_gu + i][...]
+            down_p[nm] = v[0] if nm in dn_3d else v
         o_ref = rest[2 * n_gu + n_dn]
         acc_ref = rest[2 * n_gu + n_dn + 1]
-        ff = pl.program_id(1)
 
         @pl.when(ff == 0)
         def _():
@@ -118,12 +124,23 @@ def qffn_pallas(
         in_specs.append(pl.BlockSpec(
             (k // dv, tf), lambda i, ff, nf=nf: (0, nf + ff),
             memory_space=pltpu.VMEM))
-    # down tiles: sublane block ff of the [F', N_out] planes
+    # down tiles: sublane block ff of the [F', N_out] planes; planes whose
+    # tile would be under 8 sublanes (scale planes at small TF) are
+    # reshaped to [nf, rows, N] and blocked on the leading axis instead
+    dn_3d: set[str] = set()
     for nm in names_dn:
         dv = divs_dn[nm]
-        in_specs.append(pl.BlockSpec(
-            (tf // dv, n_out), lambda i, ff: (ff, 0),
-            memory_space=pltpu.VMEM))
+        rows = tf // dv
+        if rows % 8 == 0 and rows >= 8:
+            in_specs.append(pl.BlockSpec(
+                (rows, n_out), lambda i, ff: (ff, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            dn_3d.add(nm)
+            dn_planes[nm] = dn_planes[nm].reshape(nf, rows, n_out)
+            in_specs.append(pl.BlockSpec(
+                (1, rows, n_out), lambda i, ff: (ff, 0, 0),
+                memory_space=pltpu.VMEM))
 
     flops = 2 * m * (2 * f * k + f * n_out)
     bytes_accessed = (x.size * x.dtype.itemsize + gu.nbytes + down.nbytes
@@ -131,7 +148,7 @@ def qffn_pallas(
     gu_args = [gu_planes[nm] for nm in names_gu]
     return pl.pallas_call(
         _make_kernel(gu.ggml_type, down.ggml_type, names_gu, names_dn,
-                     nf, out_dtype, act),
+                     nf, out_dtype, act, dn_3d),
         out_shape=jax.ShapeDtypeStruct((m, n_out), out_dtype),
         grid=grid,
         in_specs=in_specs,

@@ -7,19 +7,28 @@ import jax
 import jax.numpy as jnp
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array | None,
+             eps: float = 1e-6) -> jax.Array:
+    """weight=None = non-parametric (ggml_rms_norm with NULL weight)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    out = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
-def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None,
+def layer_norm(x: jax.Array, weight: jax.Array | None,
+               bias: jax.Array | None = None,
                eps: float = 1e-6) -> jax.Array:
+    """weight=None = non-parametric LayerNorm (OLMo's weightless
+    LLM_NORM, llm_build_olmo: build_norm(…, NULL, NULL))."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -98,6 +98,9 @@ class Qwen3Config:
     swa_window: int = 0
     swa_every: int = 0
     rope_base_swa: float = 10000.0
+    # OLMo f_clamp_kqv: clamp q/k/v projections to ±clamp_kqv
+    # (llm_build_olmo, llama-model.cpp:12397)
+    clamp_kqv: float = 0.0
 
     def is_swa_layer(self, il: int) -> bool:
         return (self.swa_every > 0 and self.swa_window > 0
@@ -163,20 +166,24 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2", "smollm3", "glm4",
-                                   "arcee", "ernie4_5"),
-            no_rope_step=4 if arch == "smollm3" else 0,
+                                   "arcee", "ernie4_5", "olmo", "cohere2"),
+            # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
+            # layers — the dense layers (il % 4 == 3) are NoPE
+            # (llm_build_cohere2_iswa, llama-model.cpp:12261)
+            no_rope_step=4 if arch in ("smollm3", "cohere2") else 0,
             # qwen2moe does NOT normalize the top-k probs and gates its
             # shared expert (llm_build_qwen2moe norm_w=false)
             **({"moe_norm_w": False} if arch in ("qwen2moe", "olmoe")
                else {}),
-            parallel_residual=(arch in ("command-r", "phi2", "falcon")
+            parallel_residual=(arch in ("command-r", "cohere2", "phi2",
+                                        "falcon")
                                or (arch == "gptneox"
                                    and bool(g("use_parallel_residual",
                                               True)))),
-            norm_type=("layer" if arch in ("command-r", "gpt2",
+            norm_type=("layer" if arch in ("command-r", "cohere2", "gpt2",
                                            "starcoder2", "phi2",
                                            "gptneox", "stablelm",
-                                           "falcon", "nemotron")
+                                           "falcon", "nemotron", "olmo")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron"),
@@ -185,10 +192,12 @@ class Qwen3Config:
             # rope.dimension_count columns of each head
             **({"rope_dim": int(g("rope.dimension_count", 0) or 0)}
                if arch != "deepseek2" else {}),
-            # command-r logit_scale MULTIPLIES logits (build_command_r);
-            # our logit_scale divides (granite semantics) — invert
+            # command-r/cohere2 logit_scale MULTIPLIES logits
+            # (build_command_r); our logit_scale divides (granite
+            # semantics) — invert
             **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
-               if arch == "command-r" else {}),
+               if arch in ("command-r", "cohere2") else {}),
+            clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
             moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
             d_model=d_model,
@@ -201,9 +210,10 @@ class Qwen3Config:
             rope_base=float(g("rope.freq_base", 10000.0)),
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
-                          if arch in ("command-r", "gpt2", "starcoder2",
-                                      "phi2", "gptneox", "stablelm",
-                                      "falcon", "nemotron")
+                          if arch in ("command-r", "cohere2", "gpt2",
+                                      "starcoder2", "phi2", "gptneox",
+                                      "stablelm", "falcon", "nemotron",
+                                      "olmo")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -214,7 +224,8 @@ class Qwen3Config:
                                                    "phi2", "gptneox",
                                                    "falcon"))
                  else "silu"),
-            **({} if arch == "command-r" else {"logit_scale": logit_scale}),
+            **({} if arch in ("command-r", "cohere2")
+               else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4"),
             pre_norm=arch != "olmo2",
             attn_scale=attn_scale,
@@ -224,13 +235,15 @@ class Qwen3Config:
             if arch == "gemma2" else 0.0,
             swa_window=int(g("attention.sliding_window",
                              4096 if arch == "gemma2" else 0))
-            if (gemma or arch == "gpt-oss") else 0,
+            if (gemma or arch in ("gpt-oss", "cohere2")) else 0,
             # gemma2 and gpt-oss alternate SWA/full (pattern 2); gemma3
-            # runs 5 SWA + 1 full (pattern 6) — set_swa_pattern calls
+            # runs 5 SWA + 1 full (pattern 6); cohere2 3 SWA + 1 full
+            # NoPE (pattern 4) — set_swa_pattern calls
             swa_every=(2 if arch in ("gemma2", "gpt-oss") else
-                       6 if arch == "gemma3" else 0),
+                       6 if arch == "gemma3" else
+                       4 if arch == "cohere2" else 0),
             rope_base_swa=(float(g("rope.freq_base", 10000.0))
-                           if arch == "gpt-oss" else 10000.0),
+                           if arch in ("gpt-oss", "cohere2") else 10000.0),
         )
 
 
@@ -283,7 +296,9 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     # GPT-2 family: learned absolute position embeddings + norm bias
     params["position_embd"] = get("position_embd.weight", required=False,
                                   keep_q=False)
-    params["output_norm"] = get("output_norm.weight")
+    # OLMo's norms are non-parametric — no norm tensors at all on disk
+    # (LLM_ARCH_OLMO, llama-model.cpp:4206 "norm params removed")
+    params["output_norm"] = get("output_norm.weight", required=False)
     params["output_norm_b"] = get("output_norm.bias", required=False,
                                   keep_q=False)
     out = get("output.weight", required=False)
@@ -298,7 +313,9 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
 
     i = 0
     while (f"blk.{i}.attn_norm.weight" in reader.tensors
-           or f"blk.{i}.post_attention_norm.weight" in reader.tensors):
+           or f"blk.{i}.post_attention_norm.weight" in reader.tensors
+           # OLMo layers carry no norm weights at all
+           or f"blk.{i}.attn_q.weight" in reader.tensors):
         p = f"blk.{i}."
         mla = f"{p}attn_kv_a_mqa.weight" in reader.tensors
         # GPT-2 family ships QKV pre-fused on disk (blk.N.attn_qkv)
@@ -571,6 +588,11 @@ def forward(
             q = q.reshape(t, cfg.n_heads, cfg.head_dim)
             k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
             v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.clamp_kqv > 0.0:  # OLMo f_clamp_kqv (llm_build_olmo)
+            c = cfg.clamp_kqv
+            q = jnp.clip(q, -c, c)
+            k = jnp.clip(k, -c, c)
+            v = jnp.clip(v, -c, c)
         if not mla:
             if (lp["q_norm"] is not None
                     and lp["q_norm"].shape[-1] == cfg.head_dim):

@@ -33,7 +33,7 @@ def timed_scan(fn, x):
     def run(xx):
         def body(carry, _):
             out = fn(xx + carry * 0.0)
-            return jnp.sum(out) * 1e-20, None
+            return (jnp.sum(out) * 1e-20).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return c

@@ -831,3 +831,124 @@ def test_granitemoe_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_olmo_logits_match_transformers(tmp_path):
+    """OLMo (llm_build_olmo): NON-PARAMETRIC LayerNorms everywhere (no
+    norm tensors on disk at all, llama-model.cpp:4206), optional q/k/v
+    clamping (f_clamp_kqv), NORM rope (permuted on conversion)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = OlmoConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        clip_qkv=0.15, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = OlmoForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "olmo.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="olmo")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.norm_type == "layer" and not cfg.rope_neox
+    assert cfg.clamp_kqv == pytest.approx(0.15)
+    params = qwen3.load_params(reader)
+    assert params["output_norm"] is None  # weightless final norm
+    assert params["layers"][0]["attn_norm"] is None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_gemma1_logits_match_transformers(tmp_path):
+    """Gemma v1 (llm_build_gemma): sqrt(d) embedding scale, GELU-tanh
+    gated FFN, +1 RMS-norm convention on disk, NEOX rope — but llama
+    norm topology (post_attention_layernorm IS the ffn pre-norm; no
+    sandwich norms, no softcaps, no SWA)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GemmaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=8, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = GemmaForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "gemma1.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="gemma")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.emb_scale == pytest.approx(32 ** 0.5)
+    assert cfg.act == "gelu" and not cfg.sandwich_norms and cfg.rope_neox
+    assert cfg.swa_every == 0
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["ffn_norm"] is not None  # llama topology
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_cohere2_logits_match_transformers(tmp_path):
+    """Cohere2 (llm_build_cohere2_iswa): command-r parallel residual +
+    bias-free LayerNorm + multiplied logit_scale, PLUS 3-SWA:1-full
+    interleaving (set_swa_pattern(4)) where ONLY the SWA layers rope —
+    the full layers are NoPE."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Cohere2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=4, logit_scale=0.25, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    # default layer_types = [swa, swa, swa, full] — engine pattern match
+    assert hcfg.layer_types == ["sliding_attention"] * 3 + ["full_attention"]
+    model = Cohere2ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "cohere2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="cohere2")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.parallel_residual and cfg.norm_type == "layer"
+    assert cfg.swa_every == 4 and cfg.swa_window == 4
+    assert cfg.no_rope_step == 4 and not cfg.rope_neox
+    assert cfg.logit_scale == pytest.approx(4.0)  # inverted (divides)
+    assert [cfg.is_swa_layer(i) for i in range(4)] == [True, True, True,
+                                                       False]
+
+    # long enough that the window (4) actually masks keys on SWA layers
+    toks = np.array([3, 11, 7, 29, 13, 5, 17, 23, 9, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    params = qwen3.load_params(reader)
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
