@@ -22,7 +22,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
-          "cohere2")
+          "cohere2", "bloom", "mpt")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -50,6 +50,8 @@ _HF_ARCH_MAP = {
     "Rwkv6ForCausalLM": "rwkv6",
     "JambaForCausalLM": "jamba",
     "GPT2LMHeadModel": "gpt2",
+    "BloomForCausalLM": "bloom",
+    "MptForCausalLM": "mpt",
     "Starcoder2ForCausalLM": "starcoder2",
     "PhiForCausalLM": "phi2",
     "GPTNeoXForCausalLM": "gptneox",

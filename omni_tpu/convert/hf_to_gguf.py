@@ -234,6 +234,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "gpt2":
         return _convert_gpt2(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "bloom":
+        return _convert_bloom(state, config, out_path, qtype,
+                              tokenizer_kv=tokenizer_kv)
+    if arch == "mpt":
+        return _convert_mpt(state, config, out_path, qtype,
+                            tokenizer_kv=tokenizer_kv)
     if arch == "gptneox":
         return _convert_gptneox(state, config, out_path, qtype,
                                 tokenizer_kv=tokenizer_kv)
@@ -914,6 +920,139 @@ def _convert_gptneox(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ffn_down.weight", state[pfx + "mlp.dense_4h_to_h.weight"])
         put(b + "ffn_down.bias", state[pfx + "mlp.dense_4h_to_h.bias"],
             None)
+    w.write()
+    return written
+
+
+def _convert_bloom(state: Mapping[str, Any], config: Mapping[str, Any],
+                   out_path: str, qtype: GGMLType,
+                   tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF BloomForCausalLM -> GGUF arch "bloom" (reference
+    convert_hf_to_gguf.py BloomModel + llm_build_bloom): ALiBi attention
+    (f_max_alibi_bias = 8, llama-model.cpp:779), embedding LayerNorm
+    (token_embd_norm), fused QKV whose HF rows interleave per head as
+    [head, (q|k|v), head_dim] — reordered to the straight q|k|v layout."""
+    state = _strip(state, "transformer.")
+    arch = "bloom"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["n_layer"])
+    n_heads = int(config["n_head"])
+    hd = d_model // n_heads
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", 4 * d_model)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.attention.max_alibi_bias", 8.0)
+    w.add_kv(f"{arch}.context_length", 2048)
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    def deinterleave(arr):
+        # rows (n_heads, 3, hd, ...) -> (3, n_heads, hd, ...)
+        a = _np(arr)
+        return (a.reshape(n_heads, 3, hd, *a.shape[1:])
+                .swapaxes(0, 1).reshape(3 * d_model, *a.shape[1:]))
+
+    put("token_embd.weight", state["word_embeddings.weight"])
+    put("token_embd_norm.weight",
+        state["word_embeddings_layernorm.weight"], None)
+    put("token_embd_norm.bias",
+        state["word_embeddings_layernorm.bias"], None)
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "attn_norm.bias", state[pfx + "input_layernorm.bias"], None)
+        put(b + "attn_qkv.weight",
+            deinterleave(state[pfx + "self_attention.query_key_value.weight"]))
+        put(b + "attn_qkv.bias",
+            deinterleave(state[pfx + "self_attention.query_key_value.bias"]),
+            None)
+        put(b + "attn_output.weight", state[pfx + "self_attention.dense.weight"])
+        put(b + "attn_output.bias", state[pfx + "self_attention.dense.bias"],
+            None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "post_attention_layernorm.weight"], None)
+        put(b + "ffn_norm.bias",
+            state[pfx + "post_attention_layernorm.bias"], None)
+        put(b + "ffn_up.weight", state[pfx + "mlp.dense_h_to_4h.weight"])
+        put(b + "ffn_up.bias", state[pfx + "mlp.dense_h_to_4h.bias"], None)
+        put(b + "ffn_down.weight", state[pfx + "mlp.dense_4h_to_h.weight"])
+        put(b + "ffn_down.bias", state[pfx + "mlp.dense_4h_to_h.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_mpt(state: Mapping[str, Any], config: Mapping[str, Any],
+                 out_path: str, qtype: GGMLType,
+                 tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF MptForCausalLM -> GGUF arch "mpt" (reference convert_hf_to_gguf.py
+    MPTModel + llm_build_mpt): ALiBi (alibi_bias_max from attn_config),
+    bias-free LayerNorms (no_bias default), straight-fused Wqkv, un-gated
+    GELU FFN, optional clip_qkv."""
+    state = _strip(state, "transformer.")
+    arch = "mpt"
+    d_model = int(config["d_model"])
+    n_layers = int(config["n_layers"])
+    attn_cfg = config.get("attn_config") or {}
+    if hasattr(attn_cfg, "to_dict"):
+        attn_cfg = attn_cfg.to_dict()
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("expansion_ratio", 4)) * d_model)
+    w.add_kv(f"{arch}.attention.head_count", int(config["n_heads"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.attention.max_alibi_bias",
+             float(attn_cfg.get("alibi_bias_max", 8)))
+    if attn_cfg.get("clip_qkv"):
+        w.add_kv(f"{arch}.attention.clamp_kqv",
+                 float(attn_cfg["clip_qkv"]))
+    w.add_kv(f"{arch}.context_length", int(config.get("max_seq_len", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("output_norm.weight", state["norm_f.weight"], None)
+    if "norm_f.bias" in state:
+        put("output_norm.bias", state["norm_f.bias"], None)
+    for i in range(n_layers):
+        pfx, b = f"blocks.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "norm_1.weight"], None)
+        if pfx + "norm_1.bias" in state:
+            put(b + "attn_norm.bias", state[pfx + "norm_1.bias"], None)
+        put(b + "attn_qkv.weight", state[pfx + "attn.Wqkv.weight"])
+        if pfx + "attn.Wqkv.bias" in state:
+            put(b + "attn_qkv.bias", state[pfx + "attn.Wqkv.bias"], None)
+        put(b + "attn_output.weight", state[pfx + "attn.out_proj.weight"])
+        put(b + "ffn_norm.weight", state[pfx + "norm_2.weight"], None)
+        if pfx + "norm_2.bias" in state:
+            put(b + "ffn_norm.bias", state[pfx + "norm_2.bias"], None)
+        put(b + "ffn_up.weight", state[pfx + "ffn.up_proj.weight"])
+        put(b + "ffn_down.weight", state[pfx + "ffn.down_proj.weight"])
     w.write()
     return written
 

@@ -19,6 +19,33 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def alibi_slopes(n_heads: int, max_bias: float):
+    """Per-head ALiBi slopes, the ggml_soft_max_ext formula (the HF Bloom
+    build_alibi_tensor closed form is identical at max_bias=8):
+    m0 = 2^(-max_bias/P), m1 = 2^(-max_bias/2/P) with P = 2^floor(log2(H));
+    head h gets m0^(h+1) below P, m1^(2(h-P)+1) above."""
+    import math
+
+    import numpy as np
+
+    p = 1 << int(math.floor(math.log2(n_heads)))
+    m0 = 2.0 ** (-max_bias / p)
+    m1 = 2.0 ** (-max_bias / 2.0 / p)
+    return np.asarray(
+        [m0 ** (h + 1) if h < p else m1 ** (2 * (h - p) + 1)
+         for h in range(n_heads)], np.float32)
+
+
+def _alibi_bias(alibi, hkv: int, g: int):
+    """(slopes [Hq], dist [T, S]) -> [Hkv, T*G, S] additive score bias
+    (r-index ordering matches the head-major q layout: r = t*G + g)."""
+    slopes, dist = alibi
+    t, s = dist.shape
+    b = (slopes.reshape(hkv, 1, g, 1).astype(jnp.float32)
+         * dist[None, :, None, :].astype(jnp.float32))
+    return b.reshape(hkv, t * g, s)
+
+
 def mixed_attention(
     q: jax.Array,  # [T, Hq, D]
     k_pool: jax.Array,  # [Hkv, S, D]
@@ -30,6 +57,7 @@ def mixed_attention(
     scale: float | None = None,
     logit_softcap: float = 0.0,
     sinks: jax.Array | None = None,  # [Hq] learned sink logits (gpt-oss)
+    alibi=None,  # (slopes [Hq], dist_pool [T, S], dist_cur [T, T])
 ) -> jax.Array:
     """Attention over pool ∪ current batch with ONE joint softmax — the
     deferred-write decode path: the pool is read pre-write, the batch's own
@@ -53,6 +81,10 @@ def mixed_attention(
     if logit_softcap > 0.0:  # Gemma-2 attn logit soft-capping
         sc_pool = jnp.tanh(sc_pool / logit_softcap) * logit_softcap
         sc_cur = jnp.tanh(sc_cur / logit_softcap) * logit_softcap
+    if alibi is not None:  # ALiBi: score += slope_h * -|q_pos - k_pos|
+        slopes, dist_pool, dist_cur = alibi
+        sc_pool = sc_pool + _alibi_bias((slopes, dist_pool), hkv, g)
+        sc_cur = sc_cur + _alibi_bias((slopes, dist_cur), hkv, g)
     mp = jnp.repeat(mask_pool, g, axis=0)  # [T*G, S]
     mc = jnp.repeat(mask_cur, g, axis=0)  # [T*G, T]
     sc_pool = jnp.where(mp[None], sc_pool, NEG_INF)
@@ -80,7 +112,8 @@ def mixed_attention(
 def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
                    scale: float | None = None,
                    logit_softcap: float = 0.0,
-                   sinks: jax.Array | None = None) -> jax.Array:
+                   sinks: jax.Array | None = None,
+                   alibi=None) -> jax.Array:
     """Attention over one layer of the KV cell pool, picking the best
     kernel for the storage dtype: int8 KV on TPU goes through the Pallas
     flash kernel (in-register dequant, half the HBM traffic); bf16 uses
@@ -88,7 +121,7 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
     scores (Gemma-2) always take the XLA path — the flash kernel has no
     tanh stage."""
     if (cache.quantized and logit_softcap == 0.0 and sinks is None
-            and jax.default_backend() == "tpu"):
+            and alibi is None and jax.default_backend() == "tpu"):
         from .flash_attention import flash_decode
 
         k, v, ks, vs = cache.layer_planes(layer)
@@ -96,7 +129,8 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
                             scale=scale)
     kc, vc = cache.read_layer(layer)
     return cache_attention(q, kc, vc, mask, scale=scale,
-                           logit_softcap=logit_softcap, sinks=sinks)
+                           logit_softcap=logit_softcap, sinks=sinks,
+                           alibi=alibi)
 
 
 def cache_attention(
@@ -107,6 +141,7 @@ def cache_attention(
     scale: float | None = None,
     logit_softcap: float = 0.0,
     sinks: jax.Array | None = None,  # [Hq] learned sink logits (gpt-oss)
+    alibi=None,  # (slopes [Hq], dist [T, S])
 ) -> jax.Array:
     t, hq, d = q.shape
     hkv, s, _ = k.shape
@@ -124,6 +159,8 @@ def cache_attention(
                         preferred_element_type=jnp.float32) * scale
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    if alibi is not None:  # ALiBi: score += slope_h * -|q_pos - k_pos|
+        scores = scores + _alibi_bias(alibi, hkv, g)
     mask_r = jnp.repeat(mask, g, axis=0)  # [T*G, S]
     scores = jnp.where(mask_r[None], scores, NEG_INF)
     if sinks is not None:  # gpt-oss sink column, dropped after softmax

@@ -101,6 +101,10 @@ class Qwen3Config:
     # OLMo f_clamp_kqv: clamp q/k/v projections to ±clamp_kqv
     # (llm_build_olmo, llama-model.cpp:12397)
     clamp_kqv: float = 0.0
+    # ALiBi (BLOOM/MPT): per-head score bias slope_h * -|q_pos - k_pos|
+    # from f_max_alibi_bias (ggml_soft_max_ext's max_bias argument;
+    # mask fill at llama-graph.cpp:330)
+    max_alibi_bias: float = 0.0
 
     def is_swa_layer(self, il: int) -> bool:
         return (self.swa_every > 0 and self.swa_window > 0
@@ -183,11 +187,14 @@ class Qwen3Config:
             norm_type=("layer" if arch in ("command-r", "cohere2", "gpt2",
                                            "starcoder2", "phi2",
                                            "gptneox", "stablelm",
-                                           "falcon", "nemotron", "olmo")
+                                           "falcon", "nemotron", "olmo",
+                                           "bloom", "mpt")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
-                               "stablelm", "falcon", "nemotron"),
-            use_rope=arch != "gpt2",
+                               "stablelm", "falcon", "nemotron", "bloom"),
+            # bloom/mpt replace rope with ALiBi score biases
+            use_rope=arch not in ("gpt2", "bloom", "mpt"),
+            max_alibi_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
             **({"rope_dim": int(g("rope.dimension_count", 0) or 0)}
@@ -213,7 +220,7 @@ class Qwen3Config:
                           if arch in ("command-r", "cohere2", "gpt2",
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
-                                      "olmo")
+                                      "olmo", "bloom", "mpt")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -222,7 +229,8 @@ class Qwen3Config:
             act=("relu2" if arch in ("nemotron", "arcee")
                  else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
                                                    "phi2", "gptneox",
-                                                   "falcon"))
+                                                   "falcon", "bloom",
+                                                   "mpt"))
                  else "silu"),
             **({} if arch in ("command-r", "cohere2")
                else {"logit_scale": logit_scale}),
@@ -296,6 +304,11 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     # GPT-2 family: learned absolute position embeddings + norm bias
     params["position_embd"] = get("position_embd.weight", required=False,
                                   keep_q=False)
+    # BLOOM embedding LayerNorm (token_embd_norm, llm_build_bloom)
+    params["tok_norm"] = get("token_embd_norm.weight", required=False,
+                             keep_q=False)
+    params["tok_norm_b"] = get("token_embd_norm.bias", required=False,
+                               keep_q=False)
     # OLMo's norms are non-parametric — no norm tensors at all on disk
     # (LLM_ARCH_OLMO, llama-model.cpp:4206 "norm params removed")
     params["output_norm"] = get("output_norm.weight", required=False)
@@ -480,6 +493,10 @@ def forward(
         # GPT-2 learned absolute position embeddings (llm_build_gpt2
         # pos_embd get_rows) — position comes from the KV position vector
         h = h + params["position_embd"][pos].astype(h.dtype)
+    if params.get("tok_norm") is not None:
+        # BLOOM embedding LayerNorm (llm_build_bloom token_embd_norm)
+        h = layer_norm(h, params["tok_norm"], params.get("tok_norm_b"),
+                       cfg.rms_eps)
 
     if write_mask is None:
         write_mask = jnp.ones((t,), bool)
@@ -515,6 +532,21 @@ def forward(
         mask_swa = mask & (cache.pos[None, :] > pos[:, None] - w)
         mask_cur_swa = (mask_cur & (pos[None, :] > pos[:, None] - w)
                         if mask_cur is not None else None)
+
+    # ALiBi (BLOOM/MPT): positional score bias instead of rope
+    alibi_pool = alibi_mix = None
+    if cfg.max_alibi_bias > 0.0:
+        from ..kernels.attention import alibi_slopes
+
+        slopes = jnp.asarray(
+            alibi_slopes(cfg.n_heads, cfg.max_alibi_bias))
+        dist_pool = -jnp.abs(pos[:, None]
+                             - cache.pos[None, :]).astype(jnp.float32)
+        alibi_pool = (slopes, dist_pool)
+        if deferred:
+            dist_cur = -jnp.abs(pos[:, None]
+                                - pos[None, :]).astype(jnp.float32)
+            alibi_mix = (slopes, dist_pool, dist_cur)
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -628,7 +660,8 @@ def forward(
                                    mask_cur_swa if swa_l else mask_cur,
                                    scale=cfg.attn_scale,
                                    logit_softcap=cfg.attn_softcap,
-                                   sinks=lp.get("sinks"))
+                                   sinks=lp.get("sinks"),
+                                   alibi=alibi_mix)
             new_ks.append(k)
             new_vs.append(v)
         else:
@@ -638,7 +671,8 @@ def forward(
             attn = pool_attention(q, cache, li, mask_l,
                                   scale=cfg.attn_scale,
                                   logit_softcap=cfg.attn_softcap,
-                                  sinks=lp.get("sinks"))
+                                  sinks=lp.get("sinks"),
+                                  alibi=alibi_pool)
         if mla:
             # decompress latent attention output per head through wv_b
             # [H, v_dim, rank] (build_attn's v_mla argument)

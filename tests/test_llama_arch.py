@@ -952,3 +952,82 @@ def test_cohere2_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_bloom_logits_match_transformers(tmp_path):
+    """BLOOM (llm_build_bloom): ALiBi positional score biases instead of
+    rope (f_max_alibi_bias=8, slope formula of ggml_soft_max_ext),
+    embedding LayerNorm (token_embd_norm), per-head-interleaved fused QKV
+    reordered on conversion, biased GELU FFN."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import BloomConfig, BloomForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = BloomConfig(vocab_size=96, hidden_size=32, n_layer=2, n_head=4,
+                       attn_implementation="eager")
+    model = BloomForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "bloom.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="bloom")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.max_alibi_bias == 8.0 and not cfg.use_rope
+    assert cfg.norm_type == "layer" and cfg.act == "gelu"
+    params = qwen3.load_params(reader)
+    assert params["tok_norm"] is not None
+    assert "wqkv" in params["layers"][0]  # fused on disk
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 17, 23], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    # single-token decode continues the same ALiBi geometry (pool path)
+    l2, _ = ctx.decode(Batch(tokens=np.array([9], np.int32),
+                             pos=np.array([8], np.int32)))
+    with torch.no_grad():
+        ref2 = model(torch.tensor(np.r_[toks, 9][None].astype(np.int64))
+                     ).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(l2)[0], ref2, atol=0.03)
+
+
+def test_mpt_logits_match_transformers(tmp_path):
+    """MPT (llm_build_mpt): ALiBi with alibi_bias_max from attn_config,
+    bias-free LayerNorms (no_bias), straight-fused Wqkv, un-gated GELU,
+    optional clip_qkv clamping."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import MptConfig, MptForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = MptConfig(vocab_size=96, d_model=32, n_layers=2, n_heads=4,
+                     attn_implementation="eager")
+    model = MptForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "mpt.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="mpt")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.max_alibi_bias == 8.0 and not cfg.use_rope
+    assert cfg.norm_type == "layer" and cfg.d_ff == 128
+    params = qwen3.load_params(reader)
+    assert params["layers"][0].get("attn_norm_b") is None  # no_bias
+    assert params["layers"][0].get("w_gate") is None  # un-gated GELU
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 17, 23], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
