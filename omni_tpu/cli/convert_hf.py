@@ -22,13 +22,15 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
-          "cohere2", "bloom", "mpt")
+          "cohere2", "bloom", "mpt", "llama4")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen3MoeForCausalLM": "qwen3moe",
     "LlamaForCausalLM": "llama",
+    "Llama4ForCausalLM": "llama4",
+    "Llama4ForConditionalGeneration": "llama4",
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",
     "MiniCPMForCausalLM": "minicpm",

@@ -280,6 +280,40 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         config = {**config,
                   "num_experts": config.get("num_experts")
                   or config.get("num_local_experts")}
+    if arch == "llama4":
+        # Llama4 (reference Llama4Model): feed_forward.* naming -> mlp.*;
+        # fused per-layer expert tensors gate_up_proj [E, d, 2F] /
+        # down_proj [E, F, d] split+transpose into the canonical
+        # per-expert layout; intermediate_size is the MoE width and
+        # intermediate_size_mlp the dense one — swapped like the reference
+        out_state = {}
+        for k, v in state.items():
+            if "feed_forward.experts.gate_up_proj" in k:
+                base = k.rsplit("experts.gate_up_proj", 1)[0]
+                arr = _np(v)
+                f = arr.shape[-1] // 2
+                for e in range(arr.shape[0]):
+                    out_state[f"{base}experts.{e}.gate_proj.weight"] = \
+                        arr[e, :, :f].T
+                    out_state[f"{base}experts.{e}.up_proj.weight"] = \
+                        arr[e, :, f:].T
+            elif "feed_forward.experts.down_proj" in k:
+                base = k.rsplit("experts.down_proj", 1)[0]
+                arr = _np(v)
+                for e in range(arr.shape[0]):
+                    out_state[f"{base}experts.{e}.down_proj.weight"] = \
+                        arr[e].T
+            elif "feed_forward.router.weight" in k:
+                out_state[k.replace("feed_forward.router.",
+                                    "feed_forward.gate.")] = v
+            else:
+                out_state[k] = v
+        state = {k.replace("feed_forward.", "mlp."): v
+                 for k, v in out_state.items()}
+        config = {**config,
+                  "num_experts": config.get("num_local_experts"),
+                  "intermediate_size": config.get("intermediate_size_mlp"),
+                  "expert_intermediate_size": config.get("intermediate_size")}
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
         # w3=up, w2=down; reference convert_hf_to_gguf.py MixtralModel)
@@ -360,6 +394,26 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         if config.get("sliding_window"):
             w.add_kv(f"{arch}.attention.sliding_window",
                      int(config["sliding_window"]))
+    if arch == "llama4":
+        w.add_kv(f"{arch}.interleave_moe_layer_step",
+                 int(config.get("interleave_moe_layer_step", 1)))
+        if config.get("expert_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["expert_intermediate_size"]))
+        lt = config.get("layer_types") or []
+        if lt and all(t == "full_attention" for t in lt):
+            w.add_kv(f"{arch}.attention.sliding_window", 0)  # MobileLLM
+        else:
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config.get("attention_chunk_size", 8192)))
+        w.add_kv(f"{arch}.attn_temperature_tuning",
+                 bool(config.get("attn_temperature_tuning", True)))
+        w.add_kv(f"{arch}.attention.temperature_scale",
+                 float(config.get("attn_scale", 0.1)))
+        w.add_kv(f"{arch}.attention.temperature_floor_scale",
+                 int(config.get("floor_scale", 8192)))
+        w.add_kv(f"{arch}.attention.use_kq_norm",
+                 bool(config.get("use_qk_norm", True)))
     if config.get("num_experts"):
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -549,9 +603,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                     state[sh + "up_proj.weight"])
                 put(f"blk.{i}.ffn_down_shexp.weight",
                     state[sh + "down_proj.weight"])
-                put(f"blk.{i}.ffn_gate_inp_shexp.weight",
-                    state[f"layers.{i}.mlp.shared_expert_gate.weight"],
-                    None)
+                # qwen2moe gates its shared expert; llama4's is ungated
+                sg = f"layers.{i}.mlp.shared_expert_gate.weight"
+                if sg in state:
+                    put(f"blk.{i}.ffn_gate_inp_shexp.weight", state[sg],
+                        None)
     w.write()
     return written
 

@@ -105,6 +105,18 @@ class Qwen3Config:
     # from f_max_alibi_bias (ggml_soft_max_ext's max_bias argument;
     # mask fill at llama-graph.cpp:330)
     max_alibi_bias: float = 0.0
+    # --- Llama4 (llm_build_llama_iswa) ---
+    # routed-expert weights multiply the expert INPUT (weight_before_ffn)
+    moe_weight_before: bool = False
+    # NoPE-layer attention temperature tuning: q *= 1 + attn_temp_scale *
+    # log(1 + floor(pos / attn_temp_floor)) (llm_graph_input_attn_temp)
+    attn_temp_scale: float = 0.0
+    attn_temp_floor: int = 8192
+    # weightless RMS (L2) norm on q/k AFTER rope, roped layers only
+    qk_norm_l2: bool = False
+    # chunked SWA (LLAMA_SWA_TYPE_CHUNKED): keys visible iff
+    # k_pos >= floor(q_pos / window) * window
+    swa_chunked: bool = False
 
     def is_swa_layer(self, il: int) -> bool:
         return (self.swa_every > 0 and self.swa_window > 0
@@ -139,6 +151,26 @@ class Qwen3Config:
                 moe_scale_w=float(g("expert_weights_scale", 1.0)),
                 n_expert_shared=int(g("expert_shared_count", 0)),
             )
+        llama4_extra = {}
+        if arch == "llama4":
+            # llm_build_llama_iswa: chunked SWA pattern 4 with NoPE+
+            # temperature-tuned full layers, sigmoid MoE weighting the
+            # expert INPUT, post-rope L2 q/k norm (llama-model.cpp:635-666,
+            # 6676; defaults llama-hparams.h:162-164)
+            sw = int(g("attention.sliding_window", 8192))
+            tuning = bool(g("attn_temperature_tuning", True))
+            llama4_extra = dict(
+                swa_window=sw, swa_every=4 if sw else 0, swa_chunked=True,
+                no_rope_step=4 if sw else 0,
+                moe_gating="sigmoid", moe_norm_w=False,
+                moe_weight_before=True,
+                qk_norm_l2=bool(g("attention.use_kq_norm", True)),
+                attn_temp_scale=(float(g("attention.temperature_scale",
+                                         0.1)) if tuning else 0.0),
+                attn_temp_floor=int(g("attention.temperature_floor_scale",
+                                      8192)),
+                n_expert_shared=1 if g("expert_count") else 0,
+            )
         gemma = arch.startswith("gemma")
         # Gemma 27B variants scale queries by 1/sqrt(d_model/n_heads)
         # instead of 1/sqrt(head_dim) (llama-model.cpp:1175-1178/1201-1204;
@@ -165,12 +197,13 @@ class Qwen3Config:
         elif gemma:
             emb_scale = float(d_model) ** 0.5
         attn_scale = mla_extra.pop("attn_scale", attn_scale)
-        return Qwen3Config(
+        kw = dict(
             **mla_extra,
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2", "smollm3", "glm4",
-                                   "arcee", "ernie4_5", "olmo", "cohere2"),
+                                   "arcee", "ernie4_5", "olmo", "cohere2",
+                                   "llama4"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -251,8 +284,11 @@ class Qwen3Config:
                        6 if arch == "gemma3" else
                        4 if arch == "cohere2" else 0),
             rope_base_swa=(float(g("rope.freq_base", 10000.0))
-                           if arch in ("gpt-oss", "cohere2") else 10000.0),
+                           if arch in ("gpt-oss", "cohere2", "llama4")
+                           else 10000.0),
         )
+        kw.update(llama4_extra)  # llama4 overrides (swa/nope/moe wiring)
+        return Qwen3Config(**kw)
 
 
 def fuse_layer(layer: dict) -> dict:
@@ -529,9 +565,17 @@ def forward(
     has_swa = cfg.swa_window > 0 and cfg.swa_every > 0
     if has_swa:
         w = cfg.swa_window
-        mask_swa = mask & (cache.pos[None, :] > pos[:, None] - w)
-        mask_cur_swa = (mask_cur & (pos[None, :] > pos[:, None] - w)
-                        if mask_cur is not None else None)
+        if cfg.swa_chunked:
+            # llama4 chunked attention: same-chunk keys only
+            # (LLAMA_SWA_TYPE_CHUNKED: k_pos >= floor(q_pos/w)*w)
+            lo = (pos // w) * w
+            mask_swa = mask & (cache.pos[None, :] >= lo[:, None])
+            mask_cur_swa = (mask_cur & (pos[None, :] >= lo[:, None])
+                            if mask_cur is not None else None)
+        else:
+            mask_swa = mask & (cache.pos[None, :] > pos[:, None] - w)
+            mask_cur_swa = (mask_cur & (pos[None, :] > pos[:, None] - w)
+                            if mask_cur is not None else None)
 
     # ALiBi (BLOOM/MPT): positional score bias instead of rope
     alibi_pool = alibi_mix = None
@@ -653,6 +697,17 @@ def forward(
             else:
                 q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
                 k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
+            if cfg.qk_norm_l2:
+                # llama4 L2 norm on roped q/k (weightless RMS, post-rope)
+                q = rms_norm(q, None, cfg.rms_eps)
+                k = rms_norm(k, None, cfg.rms_eps)
+        elif not mla and cfg.attn_temp_scale > 0.0:
+            # llama4 NoPE-layer temperature tuning: q scaled by
+            # 1 + s·log(1 + floor(pos/floor_scale))
+            tt = (1.0 + cfg.attn_temp_scale
+                  * jnp.log1p(jnp.floor(pos.astype(jnp.float32)
+                                        / cfg.attn_temp_floor)))
+            q = q * tt[:, None, None].astype(q.dtype)
         mask_l = mask_swa if swa_l else mask
         if deferred:
             kc, vc = cache.read_layer(li)
@@ -850,9 +905,15 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
         top_w = top_w * cfg.moe_scale_w
     hb = hn.astype(jnp.bfloat16)
     quant = isinstance(lp["gate_exps"], QExpertStack)
+    # llama4 applies the (sigmoid) weights to the expert INPUT, not the
+    # output (build_moe_ffn weight_before_ffn, llama-graph.cpp:899) —
+    # not equivalent through the nonlinear experts
+    w_before = cfg.moe_weight_before
 
     if t * k <= 16:  # decode path: gather SELECTED experts only
         bf = jnp.bfloat16
+        hbk = hb[:, None, :] * top_w[:, :, None].astype(bf) if w_before \
+            else jnp.broadcast_to(hb[:, None, :], (t, k, hb.shape[-1]))
         if quant:
             # planes of the k chosen experts stream from HBM and dequantize
             # (reads ∝ k/E); K-major [T*k, D, F] — contract on axis 1
@@ -863,28 +924,32 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
                 t, k, cfg.d_model, -1)
             wd = lp["down_exps"].gather_dequant(flat)  # [T*k, F, D]
             wd = wd.reshape(t, k, -1, cfg.d_model)
-            gate = jnp.einsum("td,tkdf->tkf", hb, wg,
+            gate = jnp.einsum("tkd,tkdf->tkf", hbk, wg,
                               preferred_element_type=jnp.float32)
-            up = jnp.einsum("td,tkdf->tkf", hb, wu,
+            up = jnp.einsum("tkd,tkdf->tkf", hbk, wu,
                             preferred_element_type=jnp.float32)
             gate, up = _moe_bias(lp, top_i, gate, up)
             act = _moe_mix(gate, up, cfg.moe_act).astype(bf)
             out = jnp.einsum("tkf,tkfd->tkd", act, wd,
                              preferred_element_type=jnp.float32)
             out = _moe_down_bias(lp, top_i, out)
+            if w_before:
+                return out.sum(axis=1).astype(hn.dtype)
             return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
         wg = lp["gate_exps"][top_i].astype(bf)  # [T, k, F, D]
         wu = lp["up_exps"][top_i].astype(bf)
         wd = lp["down_exps"][top_i].astype(bf)  # [T, k, D, F]
-        gate = jnp.einsum("td,tkfd->tkf", hb, wg,
+        gate = jnp.einsum("tkd,tkfd->tkf", hbk, wg,
                           preferred_element_type=jnp.float32)
-        up = jnp.einsum("td,tkfd->tkf", hb, wu,
+        up = jnp.einsum("tkd,tkfd->tkf", hbk, wu,
                         preferred_element_type=jnp.float32)
         gate, up = _moe_bias(lp, top_i, gate, up)
         act = _moe_mix(gate, up, cfg.moe_act).astype(bf)
         out = jnp.einsum("tkf,tkdf->tkd", act, wd,
                          preferred_element_type=jnp.float32)  # [T, k, d]
         out = _moe_down_bias(lp, top_i, out)
+        if w_before:
+            return out.sum(axis=1).astype(hn.dtype)
         return jnp.einsum("tk,tkd->td", top_w, out).astype(hn.dtype)
     return _moe_capacity(lp, cfg, hb, top_w, top_i, quant=quant)
 
@@ -935,8 +1000,11 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
     pos_c = jnp.clip(pos, 0, c - 1)
     src_tok = jnp.arange(t * k) // k
 
-    # scatter tokens into their expert slots: [E, C, d]
+    # scatter tokens into their expert slots: [E, C, d]; llama4 weights
+    # the expert INPUT (weight_before_ffn) so the combine is unweighted
     contrib = jnp.where(keep[:, None], hb[src_tok], 0)
+    if cfg.moe_weight_before:
+        contrib = contrib * top_w.reshape(-1)[:, None].astype(contrib.dtype)
     xe = jnp.zeros((e, c, d), hb.dtype).at[flat_e, pos_c].add(contrib)
 
     if quant:
@@ -970,9 +1038,14 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
         if lp.get("down_exps_b") is not None:
             y = y + lp["down_exps_b"][:, None, :].astype(y.dtype)
 
-    # combine: out[t] = Σ_j w_j · y[e_j, pos_j]
+    # combine: out[t] = Σ_j w_j · y[e_j, pos_j] (w already folded into the
+    # input when moe_weight_before)
     y_pairs = jnp.where(keep[:, None], y[flat_e, pos_c], 0)  # [T*k, d]
-    out = (top_w.reshape(-1)[:, None] * y_pairs).reshape(t, k, d).sum(axis=1)
+    if cfg.moe_weight_before:
+        out = y_pairs.reshape(t, k, d).sum(axis=1)
+    else:
+        out = (top_w.reshape(-1)[:, None] * y_pairs).reshape(t, k, d) \
+            .sum(axis=1)
     return out.astype(jnp.float32).astype(hb.dtype)
 
 

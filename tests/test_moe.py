@@ -306,3 +306,63 @@ def test_gpt_oss_logits_match_transformers(tmp_path):
         lg, _ = ctx2.decode(Batch(tokens=np.array([t], np.int32)))
         outs.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(outs), ref, atol=0.03)
+
+
+def test_llama4_logits_match_transformers(tmp_path):
+    """Llama4 (llm_build_llama_iswa): chunked-SWA pattern 4 whose full
+    layers are NoPE with temperature-tuned queries, post-rope weightless
+    L2 q/k norm, interleaved MoE layers with sigmoid router weights
+    applied to the expert INPUT (weight_before_ffn) plus an always-on
+    shared expert."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Llama4TextConfig
+    from transformers.models.llama4.modeling_llama4 import Llama4ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Llama4TextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        intermediate_size_mlp=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_local_experts=4, num_experts_per_tok=2,
+        interleave_moe_layer_step=2, attention_chunk_size=4,
+        floor_scale=4, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Llama4ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "llama4.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="llama4")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.swa_chunked and cfg.swa_every == 4 and cfg.swa_window == 4
+    assert cfg.no_rope_step == 4 and not cfg.rope_neox
+    assert cfg.moe_weight_before and cfg.moe_gating == "sigmoid"
+    assert cfg.qk_norm_l2 and cfg.attn_temp_scale == pytest.approx(0.1)
+    assert cfg.attn_temp_floor == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0].get("gate_inp") is None  # dense layer
+    assert params["layers"][1].get("gate_inp") is not None  # MoE layer
+    assert params["layers"][1].get("gate_shexp") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 17, 23, 9, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+    # single-token decode at pos 10: crosses a chunk boundary AND a
+    # temperature step (floor(10/4)=2) against the pool path
+    l2, _ = ctx.decode(Batch(tokens=np.array([9], np.int32),
+                             pos=np.array([10], np.int32)))
+    with torch.no_grad():
+        ref2 = model(torch.tensor(np.r_[toks, 9][None].astype(np.int64))
+                     ).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(l2)[0], ref2, atol=0.03)
