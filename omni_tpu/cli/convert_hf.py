@@ -22,7 +22,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "starcoder2", "phi2", "gptneox", "stablelm", "falcon", "t5",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
-          "cohere2", "bloom", "mpt", "llama4")
+          "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
+          "glm4moe", "dots1", "ernie4_5_moe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -68,6 +69,11 @@ _HF_ARCH_MAP = {
     "OlmoeForCausalLM": "olmoe",
     "ArceeForCausalLM": "arcee",
     "Ernie4_5ForCausalLM": "ernie4_5",
+    "Ernie4_5_MoeForCausalLM": "ernie4_5_moe",
+    "SeedOssForCausalLM": "seed_oss",
+    "Exaone4ForCausalLM": "exaone4",
+    "Glm4MoeForCausalLM": "glm4moe",
+    "Dots1ForCausalLM": "dots1",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

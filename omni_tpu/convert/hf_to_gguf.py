@@ -314,6 +314,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "num_experts": config.get("num_local_experts"),
                   "intermediate_size": config.get("intermediate_size_mlp"),
                   "expert_intermediate_size": config.get("intermediate_size")}
+    if arch in ("glm4moe", "dots1", "ernie4_5_moe"):
+        # deepseek-style MoE naming: shared_experts (plural) -> the
+        # canonical shared_expert; per-config expert-count aliases
+        state = {k.replace(".mlp.shared_experts.", ".mlp.shared_expert."): v
+                 for k, v in state.items()}
+        config = {**config,
+                  "num_experts": (config.get("n_routed_experts")
+                                  or config.get("moe_num_experts")
+                                  or config.get("num_experts")),
+                  "num_experts_per_tok": (config.get("num_experts_per_tok")
+                                          or config.get("moe_k"))}
     if any(k.startswith("layers.0.block_sparse_moe.") for k in state):
         # Mixtral naming -> the canonical mlp.experts layout (w1=gate,
         # w3=up, w2=down; reference convert_hf_to_gguf.py MixtralModel)
@@ -418,6 +429,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(config.get("num_experts_per_tok", 2)))
+    if arch == "exaone4" and config.get("sliding_window"):
+        lt = config.get("layer_types") or []
+        if any(t == "sliding_attention" for t in lt):
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config["sliding_window"]))
     if arch == "starcoder2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("norm_epsilon", 1e-5)))
@@ -437,10 +453,28 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.25))
                      * head_dim))
-    if arch == "glm4":
+    if arch in ("glm4", "glm4moe"):
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.5))
                      * head_dim))
+    if arch in ("glm4moe", "dots1", "ernie4_5_moe"):
+        # deepseek-style gating hparams (reference Glm4MoeModel /
+        # Dots1Model / Ernie4_5MoeModel set_gguf_parameters)
+        if config.get("moe_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(config.get("n_shared_experts")
+                     or config.get("moe_num_shared_experts") or 0))
+        if arch == "ernie4_5_moe":  # softmax + renormalize (llm graph)
+            w.add_kv(f"{arch}.expert_gating_func", 1)
+            w.add_kv(f"{arch}.expert_weights_norm", True)
+        else:  # glm4moe / dots1: sigmoid scores + bias-corrected topk
+            w.add_kv(f"{arch}.expert_gating_func", 2)
+            w.add_kv(f"{arch}.expert_weights_norm",
+                     bool(config.get("norm_topk_prob", True)))
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(config.get("routed_scaling_factor", 1.0)))
     if arch == "nemotron":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("norm_eps", 1e-5)))
@@ -514,7 +548,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     # gemma v1's post_attention_layernorm is its FFN pre-norm (llama
     # topology) — only gemma2/3 have the sandwich-norm naming
     layer_map = (_GEMMA_LAYER_MAP if gemma and arch != "gemma" else
-                 _OLMO2_LAYER_MAP if arch == "olmo2" else
+                 _OLMO2_LAYER_MAP if arch in ("olmo2", "exaone4") else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
@@ -525,7 +559,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
                       "granitemoe", "smollm3", "arcee",
-                      "ernie4_5", "olmo")  # NORM rope
+                      "ernie4_5", "ernie4_5_moe", "olmo")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim
@@ -588,6 +622,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             n_exp = int(config["num_experts"])
             put(f"blk.{i}.ffn_gate_inp.weight",
                 state[f"layers.{i}.mlp.gate.weight"], None)
+            for bk in (f"layers.{i}.mlp.gate.e_score_correction_bias",
+                       f"layers.{i}.mlp.moe_statics.e_score_correction_bias"):
+                if bk in state:  # V3-style selection bias -> exp_probs_b
+                    put(f"blk.{i}.exp_probs_b.bias",
+                        _np(state[bk]).reshape(-1), None)
             for hfp, gg in (("gate_proj", "ffn_gate_exps"),
                             ("up_proj", "ffn_up_exps"),
                             ("down_proj", "ffn_down_exps")):

@@ -151,6 +151,26 @@ class Qwen3Config:
                 moe_scale_w=float(g("expert_weights_scale", 1.0)),
                 n_expert_shared=int(g("expert_shared_count", 0)),
             )
+        moe_extra = {}
+        if arch != "deepseek2" and g("expert_gating_func") is not None:
+            # deepseek-style MoE gating outside the deepseek2 arch
+            # (glm4moe / dots1 / ernie4_5_moe; build_moe_ffn args)
+            moe_extra = dict(
+                moe_gating=("sigmoid"
+                            if int(g("expert_gating_func", 1)) == 2
+                            else "softmax"),
+                moe_norm_w=bool(g("expert_weights_norm", True)),
+                moe_scale_w=float(g("expert_weights_scale", 1.0)),
+                n_expert_shared=int(g("expert_shared_count", 0)),
+            )
+        exaone4_extra = {}
+        if arch == "exaone4" and g("attention.sliding_window"):
+            # llm_build_exaone4 iswa: 3-SWA:1-full where full layers are
+            # NoPE (use_rope = is_swa(il)); pattern 4
+            exaone4_extra = dict(
+                swa_window=int(g("attention.sliding_window")),
+                swa_every=4, no_rope_step=4,
+                rope_base_swa=float(g("rope.freq_base", 10000.0)))
         llama4_extra = {}
         if arch == "llama4":
             # llm_build_llama_iswa: chunked SWA pattern 4 with NoPE+
@@ -202,8 +222,8 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2", "smollm3", "glm4",
-                                   "arcee", "ernie4_5", "olmo", "cohere2",
-                                   "llama4"),
+                                   "arcee", "ernie4_5", "ernie4_5_moe",
+                                   "olmo", "cohere2", "llama4"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -267,8 +287,9 @@ class Qwen3Config:
                  else "silu"),
             **({} if arch in ("command-r", "cohere2")
                else {"logit_scale": logit_scale}),
-            sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4"),
-            pre_norm=arch != "olmo2",
+            sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4",
+                                    "exaone4"),
+            pre_norm=arch not in ("olmo2", "exaone4"),
             attn_scale=attn_scale,
             attn_softcap=float(g("attn_logit_softcapping", 50.0))
             if arch == "gemma2" else 0.0,
@@ -287,6 +308,8 @@ class Qwen3Config:
                            if arch in ("gpt-oss", "cohere2", "llama4")
                            else 10000.0),
         )
+        kw.update(moe_extra)  # deepseek-style gating KVs (glm4moe/dots1/…)
+        kw.update(exaone4_extra)
         kw.update(llama4_extra)  # llama4 overrides (swa/nope/moe wiring)
         return Qwen3Config(**kw)
 

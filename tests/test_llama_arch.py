@@ -1031,3 +1031,78 @@ def test_mpt_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_seed_oss_logits_match_transformers(tmp_path):
+    """Seed-OSS (llm_build_seed_oss): llama topology with NEOX rope and
+    attention projection biases."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = SeedOssConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = SeedOssForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "seedoss.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="seed_oss")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["bq"] is not None  # attention biases
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_exaone4_logits_match_transformers(tmp_path):
+    """EXAONE-4 (llm_build_exaone4): OLMo-2-style post-norm topology
+    (post_attention/post_feedforward norms on sublayer OUTPUTS), per-head
+    q/k RMS norms, and 3-SWA:1-full interleaving where the full layers
+    are NoPE (use_rope = is_swa)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Exaone4Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=4, sliding_window_pattern=4,
+        max_position_embeddings=64, attn_implementation="eager",
+        tie_word_embeddings=True)
+    assert hcfg.layer_types == ["sliding_attention"] * 3 + ["full_attention"]
+    model = Exaone4ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "exaone4.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="exaone4")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert not cfg.pre_norm and cfg.sandwich_norms
+    assert cfg.swa_every == 4 and cfg.swa_window == 4 and cfg.no_rope_step == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["q_norm"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5, 17, 23, 9, 2], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)

@@ -366,3 +366,136 @@ def test_llama4_logits_match_transformers(tmp_path):
         ref2 = model(torch.tensor(np.r_[toks, 9][None].astype(np.int64))
                      ).logits[0, -1].numpy()
     np.testing.assert_allclose(np.asarray(l2)[0], ref2, atol=0.03)
+
+
+def test_glm4moe_logits_match_transformers(tmp_path):
+    """GLM-4.5-MoE (llm_build_glm4_moe): half-width NEOX partial rotary,
+    leading dense layers, sigmoid router with e_score_correction bias +
+    renormalized top-k + routed scaling, always-on shared expert."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Glm4MoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, num_nextn_predict_layers=0,
+        partial_rotary_factor=0.5, routed_scaling_factor=1.5,
+        max_position_embeddings=64, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = Glm4MoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "glm4moe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="glm4moe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.moe_gating == "sigmoid" and cfg.moe_norm_w
+    assert cfg.moe_scale_w == pytest.approx(1.5) and cfg.rope_dim == 4
+    params = qwen3.load_params(reader)
+    assert params["layers"][0].get("gate_inp") is None  # dense lead
+    assert params["layers"][1].get("exp_probs_b") is not None
+    assert params["layers"][1].get("gate_shexp") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_dots1_logits_match_transformers(tmp_path):
+    """dots.llm1 (llm_build_dots1): per-head q/k RMS norms, leading dense
+    layers, sigmoid router + bias-corrected selection + renorm + scale,
+    shared expert."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Dots1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=1, topk_group=1,
+        routed_scaling_factor=2.0, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Dots1ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "dots1.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="dots1")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.moe_gating == "sigmoid" and cfg.moe_scale_w == 2.0
+    params = qwen3.load_params(reader)
+    assert params["layers"][1]["q_norm"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_ernie45_moe_logits_match_transformers(tmp_path):
+    """ERNIE-4.5-MoE (llm_build_ernie4_5_moe): NORM rope (permuted),
+    interleaved MoE after a dense lead, softmax router with
+    moe_statics e_score_correction bias on SELECTION only + renorm,
+    shared expert."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = Ernie4_5_MoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        moe_num_experts=4, moe_k=2, moe_num_shared_experts=1,
+        moe_layer_start_index=1, moe_layer_interval=1,
+        max_position_embeddings=64, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = Ernie4_5_MoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "ernie45moe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="ernie4_5_moe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.moe_gating == "softmax" and cfg.moe_norm_w
+    assert not cfg.rope_neox
+    params = qwen3.load_params(reader)
+    assert params["layers"][0].get("gate_inp") is None  # dense lead
+    assert params["layers"][1].get("exp_probs_b") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
