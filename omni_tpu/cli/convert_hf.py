@@ -23,7 +23,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
-          "glm4moe", "dots1", "ernie4_5_moe")
+          "glm4moe", "dots1", "ernie4_5_moe", "mamba2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -50,6 +50,7 @@ _HF_ARCH_MAP = {
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
     "MambaForCausalLM": "mamba",
+    "Mamba2ForCausalLM": "mamba2",
     "Rwkv6ForCausalLM": "rwkv6",
     "JambaForCausalLM": "jamba",
     "GPT2LMHeadModel": "gpt2",

@@ -222,6 +222,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "mamba":
         return _convert_mamba(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
+    if arch == "mamba2":
+        return _convert_mamba2(state, config, out_path, qtype,
+                               tokenizer_kv=tokenizer_kv)
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -770,6 +773,66 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_dt.bias", state[pfx + "dt_proj.bias"], None)
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
+        put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_mamba2(state: Mapping[str, Any], config: Mapping[str, Any],
+                    out_path: str, qtype: GGMLType,
+                    tokenizer_kv: Mapping[str, Any] | None = None
+                    ) -> list[str]:
+    """HF Mamba2ForCausalLM -> GGUF arch "mamba2" (reference
+    convert_hf_to_gguf.py Mamba2Model + build_mamba2_layer names): dt is
+    folded into ssm_in (no x_proj/dt_proj), ssm.time_step_rank carries
+    the head count, A_log/D/dt_bias are per-head scalars, and the gated
+    group norm lands in ssm_norm."""
+    state = _strip(state, "backbone.")
+    arch = "mamba2"
+    d_model = int(config["hidden_size"])
+    d_inner = int(config.get("intermediate_size")
+                  or int(config.get("expand", 2)) * d_model)
+    n_head = int(config.get("num_heads")
+                 or d_inner // int(config.get("head_dim", 64)))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("state_size", 128)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_head)
+    w.add_kv(f"{arch}.ssm.group_count", int(config.get("n_groups", 1)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 1 << 20)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.weight"])
+    put("output_norm.weight", state["norm_f.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(int(config["num_hidden_layers"])):
+        pfx, b = f"layers.{i}.mixer.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[f"layers.{i}.norm.weight"], None)
+        put(b + "ssm_in.weight", state[pfx + "in_proj.weight"])
+        put(b + "ssm_conv1d.weight",
+            _np(state[pfx + "conv1d.weight"])[:, 0, :], None)
+        put(b + "ssm_conv1d.bias", state[pfx + "conv1d.bias"], None)
+        put(b + "ssm_dt.bias", state[pfx + "dt_bias"], None)
+        put(b + "ssm_a", state[pfx + "A_log"], None)
+        put(b + "ssm_d", state[pfx + "D"], None)
+        put(b + "ssm_norm.weight", state[pfx + "norm.weight"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
     w.write()
     return written

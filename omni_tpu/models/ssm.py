@@ -36,6 +36,25 @@ class SSMConfig:
     dt_rank: int = 8
     n_vocab: int = 256
     rms_eps: float = 1e-6
+    # --- Mamba2 (SSD, llm_build_mamba2_layer) ---
+    variant: str = "mamba"  # "mamba2": scalar-per-head A, grouped B/C
+    n_group: int = 1        # ssm.group_count
+    # mamba2 heads = ssm.time_step_rank (dt is one scalar per head)
+
+    @property
+    def n_head(self) -> int:
+        return self.dt_rank
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_inner // self.dt_rank
+
+    @property
+    def conv_channels(self) -> int:
+        """Channels through the causal conv: mamba2 convolves x|B|C."""
+        if self.variant == "mamba2":
+            return self.d_inner + 2 * self.n_group * self.d_state
+        return self.d_inner
 
     @staticmethod
     def from_gguf(kv: dict[str, Any]) -> "SSMConfig":
@@ -51,6 +70,8 @@ class SSMConfig:
             dt_rank=int(g("ssm.time_step_rank", max(d // 16, 1))),
             n_vocab=int(g("vocab_size", 256)),
             rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+            variant="mamba2" if arch == "mamba2" else "mamba",
+            n_group=int(g("ssm.group_count", 1)),
         )
 
 
@@ -92,6 +113,50 @@ def _ssm_step(lp: dict, cfg: SSMConfig, x_t: jax.Array,
     return lp["ssm_out"] @ y, new_conv_state, new_ssm_state
 
 
+def _ssm2_step(lp: dict, cfg: SSMConfig, x_t: jax.Array,
+               conv_state: jax.Array, ssm_state: jax.Array):
+    """One Mamba2 (SSD) timestep (build_mamba2_layer,
+    llama-model.cpp:11812): fused in_proj -> [z | xBC | dt]; the causal
+    conv covers x AND the grouped B/C; A is a scalar per head; the state
+    update is an outer product dt·x ⊗ B per head. x_t [d_model];
+    conv_state [d_conv-1, d_inner + 2GS]; ssm_state [d_inner, d_state]."""
+    h_, g_, s_ = cfg.n_head, cfg.n_group, cfg.d_state
+    p_ = cfg.head_dim
+    di = cfg.d_inner
+    zxbcdt = lp["ssm_in"] @ x_t  # [2*di + 2*G*S + H]
+    z = zxbcdt[:di]
+    xbc = zxbcdt[di: 2 * di + 2 * g_ * s_]
+    dt = zxbcdt[2 * di + 2 * g_ * s_:]
+
+    window = jnp.concatenate([conv_state, xbc[None, :]], axis=0)
+    conv = jnp.sum(window * lp["ssm_conv1d"].T, axis=0) + lp["ssm_conv1d_b"]
+    xbc = jax.nn.silu(conv)
+    new_conv_state = window[1:]
+
+    x = xbc[:di].reshape(h_, p_)
+    b = xbc[di: di + g_ * s_].reshape(g_, s_)
+    c = xbc[di + g_ * s_:].reshape(g_, s_)
+    dt = jax.nn.softplus(dt + lp["ssm_dt_b"])  # [H]
+    a = -jnp.exp(lp["ssm_a"])  # [H]
+    da = jnp.exp(dt * a)  # [H]
+    # heads h use group h // (H/G)
+    rep = h_ // g_
+    b_h = jnp.repeat(b, rep, axis=0)  # [H, S]
+    c_h = jnp.repeat(c, rep, axis=0)
+    st = ssm_state.reshape(h_, p_, s_)
+    st = da[:, None, None] * st + (dt[:, None] * x)[..., None] * b_h[:, None, :]
+    y = jnp.einsum("hps,hs->hp", st, c_h) + lp["ssm_d"][:, None] * x  # [H,P]
+    y = y.reshape(di)
+    y = y * jax.nn.silu(z)
+    if lp.get("ssm_norm") is not None:
+        # grouped RMS norm over d_inner/G elements per group
+        yg = y.reshape(g_, di // g_)
+        yg = yg * jax.lax.rsqrt(
+            jnp.mean(yg * yg, axis=-1, keepdims=True) + cfg.rms_eps)
+        y = (yg * lp["ssm_norm"].reshape(g_, di // g_)).reshape(di)
+    return lp["ssm_out"] @ y, new_conv_state, st.reshape(di, s_)
+
+
 def forward(params: dict, cfg: SSMConfig, tokens: jax.Array,
             cache: RecurrentCache, seq_id) -> tuple[jax.Array, RecurrentCache]:
     """Sequential forward over [T] tokens for one sequence: logits [T, V]
@@ -104,9 +169,11 @@ def forward(params: dict, cfg: SSMConfig, tokens: jax.Array,
     for li, lp in enumerate(params["layers"]):
         conv0, ssm0 = cache.read(li, seq_id)
 
-        def step(carry, h_t, lp=lp):
+        step_fn = _ssm2_step if cfg.variant == "mamba2" else _ssm_step
+
+        def step(carry, h_t, lp=lp, step_fn=step_fn):
             conv_s, ssm_s = carry
-            y, conv_s, ssm_s = _ssm_step(lp, cfg, h_t, conv_s, ssm_s)
+            y, conv_s, ssm_s = step_fn(lp, cfg, h_t, conv_s, ssm_s)
             return (conv_s, ssm_s), y
 
         hn = jax.vmap(lambda v: rms_norm(v[None], lp["norm"], cfg.rms_eps)[0])(h)
@@ -123,6 +190,13 @@ def forward(params: dict, cfg: SSMConfig, tokens: jax.Array,
     head = params.get("output", params["token_embd"])
     logits = hidden @ head.T.astype(hidden.dtype)
     return logits, cache
+
+
+def make_cache(cfg: SSMConfig, n_seqs: int = 1) -> RecurrentCache:
+    """State cache sized for the variant (mamba2's conv covers x|B|C)."""
+    return RecurrentCache.create(cfg.n_layers, n_seqs, cfg.d_conv,
+                                 cfg.d_inner, cfg.d_state,
+                                 conv_channels=cfg.conv_channels)
 
 
 def load_params(reader) -> dict:
@@ -152,16 +226,20 @@ def load_params(reader) -> dict:
     i = 0
     while f"blk.{i}.ssm_in.weight" in reader.tensors:
         p = f"blk.{i}."
+        mamba2 = f"{p}ssm_x.weight" not in reader.tensors
         params["layers"].append({
             "norm": get(p + "attn_norm.weight"),
             "ssm_in": get(p + "ssm_in.weight"),
             "ssm_conv1d": get(p + "ssm_conv1d.weight"),
             "ssm_conv1d_b": get(p + "ssm_conv1d.bias"),
-            "ssm_x": get(p + "ssm_x.weight"),
-            "ssm_dt": get(p + "ssm_dt.weight"),
+            # mamba2 folds dt into ssm_in (one scalar per head) and has
+            # no x_proj/dt_proj; only the dt bias remains
+            "ssm_x": get(p + "ssm_x.weight", required=not mamba2),
+            "ssm_dt": get(p + "ssm_dt.weight", required=not mamba2),
             "ssm_dt_b": get(p + "ssm_dt.bias"),
             "ssm_a": get(p + "ssm_a"),
             "ssm_d": get(p + "ssm_d"),
+            "ssm_norm": get(p + "ssm_norm.weight", required=False),
             "ssm_out": get(p + "ssm_out.weight"),
         })
         i += 1

@@ -32,9 +32,14 @@ class RecurrentCache:
 
     @staticmethod
     def create(n_layers: int, n_seqs: int, d_conv: int, d_inner: int,
-               d_state: int, dtype=jnp.float32) -> "RecurrentCache":
+               d_state: int, dtype=jnp.float32,
+               conv_channels: int | None = None) -> "RecurrentCache":
+        # mamba2 convolves over d_inner + 2*n_group*d_state channels
+        # (x|B|C share the conv, build_mamba2_layer) while the SSM state
+        # stays [d_inner, d_state]
         return RecurrentCache(
-            conv=jnp.zeros((n_layers, n_seqs, d_conv - 1, d_inner), dtype),
+            conv=jnp.zeros((n_layers, n_seqs, d_conv - 1,
+                            conv_channels or d_inner), dtype),
             ssm=jnp.zeros((n_layers, n_seqs, d_inner, d_state), dtype),
             pos=jnp.full((n_seqs,), -1, jnp.int32),
             in_use=jnp.zeros((n_seqs,), bool),
