@@ -23,7 +23,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
-          "glm4moe", "dots1", "ernie4_5_moe", "mamba2")
+          "glm4moe", "dots1", "ernie4_5_moe", "mamba2", "dbrx",
+          "hunyuan-moe", "hunyuan-dense")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -75,6 +76,9 @@ _HF_ARCH_MAP = {
     "Exaone4ForCausalLM": "exaone4",
     "Glm4MoeForCausalLM": "glm4moe",
     "Dots1ForCausalLM": "dots1",
+    "DbrxForCausalLM": "dbrx",
+    "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
+    "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "StableLmForCausalLM": "stablelm",
     "BertModel": "bert",
     "BertForMaskedLM": "bert",

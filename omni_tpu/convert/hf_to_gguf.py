@@ -225,6 +225,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "mamba2":
         return _convert_mamba2(state, config, out_path, qtype,
                                tokenizer_kv=tokenizer_kv)
+    if arch == "dbrx":
+        return _convert_dbrx(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -317,6 +320,22 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "num_experts": config.get("num_local_experts"),
                   "intermediate_size": config.get("intermediate_size_mlp"),
                   "expert_intermediate_size": config.get("intermediate_size")}
+    if arch in ("hunyuan-moe", "hunyuan-dense"):
+        # HunYuan naming: query/key_layernorm (post-rope norms),
+        # mlp.gate.wg router, shared_mlp shared expert
+        ren = {".self_attn.query_layernorm.": ".self_attn.q_norm.",
+               ".self_attn.key_layernorm.": ".self_attn.k_norm.",
+               ".mlp.gate.wg.": ".mlp.gate.",
+               ".mlp.shared_mlp.": ".mlp.shared_expert."}
+        out_state = {}
+        for k, v in state.items():
+            for a, bt in ren.items():
+                k = k.replace(a, bt)
+            out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "num_experts_per_tok": (config.get("moe_topk")
+                                          or config.get("num_experts_per_tok"))}
     if arch in ("glm4moe", "dots1", "ernie4_5_moe"):
         # deepseek-style MoE naming: shared_experts (plural) -> the
         # canonical shared_expert; per-config expert-count aliases
@@ -774,6 +793,83 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_dbrx(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF DbrxForCausalLM -> GGUF arch "dbrx" (reference
+    convert_hf_to_gguf.py DbrxModel + llm_build_dbrx): bias-free
+    LayerNorms, fused clamped Wqkv, flattened expert tensors w1/v1/w2
+    [E*F, d] split into gate/up/down stacks (w2 transposed per expert)."""
+    state = _strip(state, "transformer.")
+    arch = "dbrx"
+    d_model = int(config["d_model"])
+    n_layers = int(config["n_layers"])
+    ffn_cfg = config.get("ffn_config") or {}
+    attn_cfg = config.get("attn_config") or {}
+    if hasattr(ffn_cfg, "to_dict"):
+        ffn_cfg = ffn_cfg.to_dict()
+    if hasattr(attn_cfg, "to_dict"):
+        attn_cfg = attn_cfg.to_dict()
+    d_ff = int(ffn_cfg.get("ffn_hidden_size", 4 * d_model))
+    n_exp = int(ffn_cfg.get("moe_num_experts", 16))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.attention.head_count", int(config["n_heads"]))
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(attn_cfg.get("kv_n_heads", config["n_heads"])))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if attn_cfg.get("clip_qkv"):
+        w.add_kv(f"{arch}.attention.clamp_kqv",
+                 float(attn_cfg["clip_qkv"]))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(attn_cfg.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.expert_count", n_exp)
+    w.add_kv(f"{arch}.expert_used_count",
+             int(ffn_cfg.get("moe_top_k", 4)))
+    w.add_kv(f"{arch}.context_length", int(config.get("max_seq_len", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("output_norm.weight", state["norm_f.weight"], None)
+    if "lm_head.weight" in state:
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"blocks.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight",
+            state[pfx + "norm_attn_norm.norm_1.weight"], None)
+        put(b + "attn_qkv.weight",
+            state[pfx + "norm_attn_norm.attn.Wqkv.weight"])
+        put(b + "attn_output.weight",
+            state[pfx + "norm_attn_norm.attn.out_proj.weight"])
+        put(b + "ffn_norm.weight",
+            state[pfx + "norm_attn_norm.norm_2.weight"], None)
+        put(b + "ffn_gate_inp.weight",
+            state[pfx + "ffn.router.layer.weight"], None)
+        w1 = _np(state[pfx + "ffn.experts.mlp.w1"]).reshape(n_exp, d_ff,
+                                                            d_model)
+        v1 = _np(state[pfx + "ffn.experts.mlp.v1"]).reshape(n_exp, d_ff,
+                                                            d_model)
+        w2 = _np(state[pfx + "ffn.experts.mlp.w2"]).reshape(n_exp, d_ff,
+                                                            d_model)
+        put(b + "ffn_gate_exps.weight", w1, qtype)
+        put(b + "ffn_up_exps.weight", v1, qtype)
+        put(b + "ffn_down_exps.weight",
+            np.ascontiguousarray(w2.transpose(0, 2, 1)), qtype)
     w.write()
     return written
 

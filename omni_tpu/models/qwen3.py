@@ -114,6 +114,9 @@ class Qwen3Config:
     attn_temp_floor: int = 8192
     # weightless RMS (L2) norm on q/k AFTER rope, roped layers only
     qk_norm_l2: bool = False
+    # HunYuan: the WEIGHTED per-head q/k RMS norms apply AFTER rope
+    # (llm_build_hunyuan_moe, llama-model.cpp:18119)
+    qk_norm_post_rope: bool = False
     # chunked SWA (LLAMA_SWA_TYPE_CHUNKED): keys visible iff
     # k_pos >= floor(q_pos / window) * window
     swa_chunked: bool = False
@@ -151,6 +154,7 @@ class Qwen3Config:
                 moe_scale_w=float(g("expert_weights_scale", 1.0)),
                 n_expert_shared=int(g("expert_shared_count", 0)),
             )
+        hunyuan = arch in ("hunyuan-moe", "hunyuan-dense")
         moe_extra = {}
         if arch != "deepseek2" and g("expert_gating_func") is not None:
             # deepseek-style MoE gating outside the deepseek2 arch
@@ -241,7 +245,7 @@ class Qwen3Config:
                                            "starcoder2", "phi2",
                                            "gptneox", "stablelm",
                                            "falcon", "nemotron", "olmo",
-                                           "bloom", "mpt")
+                                           "bloom", "mpt", "dbrx")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron", "bloom"),
@@ -258,6 +262,7 @@ class Qwen3Config:
             **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
                if arch in ("command-r", "cohere2") else {}),
             clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
+            qk_norm_post_rope=hunyuan,
             moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
             d_model=d_model,
@@ -273,7 +278,7 @@ class Qwen3Config:
                           if arch in ("command-r", "cohere2", "gpt2",
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
-                                      "olmo", "bloom", "mpt")
+                                      "olmo", "bloom", "mpt", "dbrx")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -692,7 +697,7 @@ def forward(
             q = jnp.clip(q, -c, c)
             k = jnp.clip(k, -c, c)
             v = jnp.clip(v, -c, c)
-        if not mla:
+        if not mla and not cfg.qk_norm_post_rope:
             if (lp["q_norm"] is not None
                     and lp["q_norm"].shape[-1] == cfg.head_dim):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
@@ -724,6 +729,12 @@ def forward(
                 # llama4 L2 norm on roped q/k (weightless RMS, post-rope)
                 q = rms_norm(q, None, cfg.rms_eps)
                 k = rms_norm(k, None, cfg.rms_eps)
+        if cfg.qk_norm_post_rope and not mla:
+            # HunYuan: weighted per-head q/k norms AFTER rope
+            if lp["q_norm"] is not None:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            if lp["k_norm"] is not None:
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         elif not mla and cfg.attn_temp_scale > 0.0:
             # llama4 NoPE-layer temperature tuning: q scaled by
             # 1 + s·log(1 + floor(pos/floor_scale))

@@ -499,3 +499,122 @@ def test_ernie45_moe_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_hunyuan_dense_logits_match_transformers(tmp_path):
+    """HunYuan-Dense (llm_build_hunyuan_dense): weighted per-head q/k RMS
+    norms applied AFTER rope (qk_norm_post_rope)."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = HunYuanDenseV1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, use_qk_norm=True, rope_scaling=None,
+        max_position_embeddings=64, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = HunYuanDenseV1ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "hy_dense.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="hunyuan-dense")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.qk_norm_post_rope and cfg.rope_neox
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["q_norm"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_hunyuan_moe_logits_match_transformers(tmp_path):
+    """HunYuan-MoE (llm_build_hunyuan_moe): post-rope q/k norms + softmax
+    renormalized top-k routing + an always-on shared_mlp expert."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = HunYuanMoEV1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, num_experts=4, moe_topk=2, use_qk_norm=True,
+        rope_scaling=None, max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = HunYuanMoEV1ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "hy_moe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="hunyuan-moe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.qk_norm_post_rope and cfg.moe_norm_w
+    assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+    params = qwen3.load_params(reader)
+    assert params["layers"][0].get("gate_shexp") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_dbrx_logits_match_transformers(tmp_path):
+    """DBRX (llm_build_dbrx): bias-free LayerNorms, fused clamped Wqkv,
+    flattened w1/v1/w2 expert tensors, softmax renormalized top-k."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = DbrxConfig(
+        d_model=32, n_heads=4, n_layers=2, vocab_size=96, max_seq_len=64,
+        ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                    "moe_top_k": 2},
+        attn_config={"kv_n_heads": 2, "clip_qkv": 6.0},
+        attn_implementation="eager")
+    model = DbrxForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "dbrx.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="dbrx")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.norm_type == "layer" and cfg.clamp_kqv == 6.0
+    assert cfg.n_experts == 4 and cfg.moe_norm_w
+    params = qwen3.load_params(reader)
+    assert "wqkv" in params["layers"][0]
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
