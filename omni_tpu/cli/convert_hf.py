@@ -24,7 +24,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
           "glm4moe", "dots1", "ernie4_5_moe", "mamba2", "dbrx",
-          "hunyuan-moe", "hunyuan-dense")
+          "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -77,6 +77,8 @@ _HF_ARCH_MAP = {
     "Glm4MoeForCausalLM": "glm4moe",
     "Dots1ForCausalLM": "dots1",
     "DbrxForCausalLM": "dbrx",
+    "ApertusForCausalLM": "apertus",
+    "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "StableLmForCausalLM": "stablelm",

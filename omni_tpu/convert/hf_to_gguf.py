@@ -82,6 +82,27 @@ _LLM_LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+# Apertus: un-gated xIELU FFN, per-head q/k norms, its own norm names
+_APERTUS_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "attention_layernorm.weight": "attn_norm.weight",
+    "feedforward_layernorm.weight": "ffn_norm.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+# BitNet: llama layout + sub-norms inside both sublayers
+_BITNET_LAYER_MAP = {
+    **_LLM_LAYER_MAP,
+    "self_attn.attn_sub_norm.weight": "attn_sub_norm.weight",
+    "mlp.ffn_sub_norm.weight": "ffn_sub_norm.weight",
+}
+
 # StarCoder2: biased LayerNorms, biased projections, un-gated GELU FFN
 # named c_fc/c_proj (reference convert_hf_to_gguf.py StarCoder2Model)
 _STARCODER2_LAYER_MAP = {
@@ -451,6 +472,19 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(config.get("num_experts_per_tok", 2)))
+    if arch == "apertus":
+        # per-layer xIELU scalars -> unprefixed KV lists (reference
+        # ApertusModel add_xielu_* / LLM_KV_XIELU_*)
+        state = dict(state)
+        n_l = int(config["num_hidden_layers"])
+        for nm, key in (("alpha_n", "xielu.alpha_n"),
+                        ("alpha_p", "xielu.alpha_p"),
+                        ("beta", "xielu.beta"), ("eps", "xielu.eps")):
+            vals = [float(_np(state.pop(f"layers.{i}.mlp.act_fn.{nm}")))
+                    for i in range(n_l)]
+            w.add_kv(key, vals)
+    if arch == "bitnet" and config.get("hidden_act"):
+        w.add_kv(f"{arch}.activation", str(config["hidden_act"]))
     if arch == "exaone4" and config.get("sliding_window"):
         lt = config.get("layer_types") or []
         if any(t == "sliding_attention" for t in lt):
@@ -571,6 +605,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     # topology) — only gemma2/3 have the sandwich-norm naming
     layer_map = (_GEMMA_LAYER_MAP if gemma and arch != "gemma" else
                  _OLMO2_LAYER_MAP if arch in ("olmo2", "exaone4") else
+                 _APERTUS_LAYER_MAP if arch == "apertus" else
+                 _BITNET_LAYER_MAP if arch == "bitnet" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else

@@ -117,6 +117,9 @@ class Qwen3Config:
     # HunYuan: the WEIGHTED per-head q/k RMS norms apply AFTER rope
     # (llm_build_hunyuan_moe, llama-model.cpp:18119)
     qk_norm_post_rope: bool = False
+    # Apertus xIELU (ggml_xielu): per-layer (alpha_n, alpha_p, beta, eps)
+    # scalars; act == "xielu" selects it on the un-gated FFN
+    xielu: tuple = ()
     # chunked SWA (LLAMA_SWA_TYPE_CHUNKED): keys visible iff
     # k_pos >= floor(q_pos / window) * window
     swa_chunked: bool = False
@@ -284,12 +287,20 @@ class Qwen3Config:
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act=("relu2" if arch in ("nemotron", "arcee")
+            act=("relu2" if (arch in ("nemotron", "arcee")
+                             or (arch == "bitnet"
+                                 and g("activation") == "relu2"))
+                 else "xielu" if arch == "apertus"
                  else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
                                                    "phi2", "gptneox",
                                                    "falcon", "bloom",
                                                    "mpt"))
                  else "silu"),
+            xielu=tuple(zip(kv.get("xielu.alpha_n", ()),
+                            kv.get("xielu.alpha_p", ()),
+                            kv.get("xielu.beta", ()),
+                            kv.get("xielu.eps", ())))
+            if arch == "apertus" else (),
             **({} if arch in ("command-r", "cohere2")
                else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4",
@@ -416,6 +427,18 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             # learned attention-sink logits (gpt-oss, blk.N.attn_sinks)
             "sinks": get(p + "attn_sinks.weight", required=False,
                          keep_q=False),
+            # bitnet: sub-norms inside the sublayers + per-projection
+            # scalar scales of the i2_s packed format
+            "attn_sub_norm": get(p + "attn_sub_norm.weight",
+                                 required=False),
+            "wq_scale": get(p + "attn_q.scale", required=False,
+                            keep_q=False),
+            "wk_scale": get(p + "attn_k.scale", required=False,
+                            keep_q=False),
+            "wv_scale": get(p + "attn_v.scale", required=False,
+                            keep_q=False),
+            "wo_scale": get(p + "attn_output.scale", required=False,
+                            keep_q=False),
             "ffn_norm": get(p + "ffn_norm.weight", required=False),
             "ffn_norm_b": get(p + "ffn_norm.bias", required=False,
                               keep_q=False),
@@ -488,6 +511,14 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                              keep_q=False)
             lp["b_down"] = get(p + "ffn_down.bias", required=False,
                                keep_q=False)
+            lp["ffn_sub_norm"] = get(p + "ffn_sub_norm.weight",
+                                     required=False)
+            lp["gate_scale"] = get(p + "ffn_gate.scale", required=False,
+                                   keep_q=False)
+            lp["up_scale"] = get(p + "ffn_up.scale", required=False,
+                                 keep_q=False)
+            lp["down_scale"] = get(p + "ffn_down.scale", required=False,
+                                   keep_q=False)
         if fqkv:
             lp["wqkv"] = get(p + "attn_qkv.weight")
             lp["bqkv"] = get(p + "attn_qkv.bias", required=False,
@@ -683,6 +714,10 @@ def forward(
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
+            if lp.get("wq_scale") is not None:  # bitnet i2_s scales
+                q = q * lp["wq_scale"].astype(q.dtype)
+                k = k * lp["wk_scale"].astype(k.dtype)
+                v = v * lp["wv_scale"].astype(v.dtype)
             # OLMo-2 normalizes the FULL q/k projections (statistics over
             # n_heads*head_dim, weight that wide) before the head split
             if (lp["q_norm"] is not None
@@ -769,7 +804,15 @@ def forward(
                 "thr,hvr->thv", attn.astype(jnp.bfloat16),
                 lp["wv_b"].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        attn_out = matmul(attn.reshape(t, -1), lp["wo"])
+        attn_flat = attn.reshape(t, -1)
+        if lp.get("attn_sub_norm") is not None:
+            # bitnet: RMS norm on the attention output BEFORE wo
+            # (llm_build_bitnet attn_sub_norm)
+            attn_flat = rms_norm(attn_flat, lp["attn_sub_norm"],
+                                 cfg.rms_eps)
+        attn_out = matmul(attn_flat, lp["wo"])
+        if lp.get("wo_scale") is not None:  # bitnet i2_s scale
+            attn_out = attn_out * lp["wo_scale"].astype(attn_out.dtype)
         if lp.get("bo") is not None:  # gpt-oss output-projection bias
             attn_out = attn_out + lp["bo"].astype(attn_out.dtype)
         if cfg.sandwich_norms:  # Gemma post-attention norm
@@ -846,17 +889,35 @@ def forward(
             up = matmul(hn, lp["w_up"])
             if lp.get("b_up") is not None:
                 up = up + lp["b_up"].astype(up.dtype)
-            ffn_out = matmul(
-                act(up.astype(jnp.float32)).astype(jnp.bfloat16),
-                lp["w_down"])
+            if cfg.act == "xielu":
+                # Apertus per-layer xIELU (ggml_xielu/op_xielu): the op
+                # takes beta+softplus(alpha_n) and softplus(alpha_p)
+                import math
+
+                an, ap, bb, ee = cfg.xielu[li]
+                apk = math.log1p(math.exp(ap))  # softplus, host-side
+                ank = bb + math.log1p(math.exp(an))
+                z = up.astype(jnp.float32)
+                acted = jnp.where(
+                    z > 0.0, apk * z * z + bb * z,
+                    (jnp.expm1(jnp.minimum(z, ee)) - z) * ank + bb * z)
+            else:
+                acted = act(up.astype(jnp.float32))
+            ffn_out = matmul(acted.astype(jnp.bfloat16), lp["w_down"])
             if lp.get("b_down") is not None:
                 ffn_out = ffn_out + lp["b_down"].astype(ffn_out.dtype)
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])
-            ffn_out = matmul(
-                act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up,
-                lp["w_down"])
+            if lp.get("gate_scale") is not None:  # bitnet i2_s scales
+                gate = gate * lp["gate_scale"].astype(gate.dtype)
+                up = up * lp["up_scale"].astype(up.dtype)
+            h_ff = act(gate.astype(jnp.float32)).astype(jnp.bfloat16) * up
+            if lp.get("ffn_sub_norm") is not None:  # bitnet pre-down norm
+                h_ff = rms_norm(h_ff, lp["ffn_sub_norm"], cfg.rms_eps)
+            ffn_out = matmul(h_ff, lp["w_down"])
+            if lp.get("down_scale") is not None:
+                ffn_out = ffn_out * lp["down_scale"].astype(ffn_out.dtype)
         if cfg.sandwich_norms:  # Gemma post-ffw norm
             ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
         if cfg.residual_scale != 1.0:  # granite/minicpm

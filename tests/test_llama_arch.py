@@ -1106,3 +1106,81 @@ def test_exaone4_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_apertus_logits_match_transformers(tmp_path):
+    """Apertus (llm_build_apertus): un-gated FFN with the xIELU
+    activation — per-layer learnable (alpha_n, alpha_p, beta, eps)
+    scalars shipped as unprefixed xielu.* KV lists (ggml_xielu applies
+    softplus to the alphas) — plus per-head q/k norms."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = ApertusConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_scaling=None,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = ApertusForCausalLM(hcfg).eval()
+    # the xIELU scalars are bf16 buffers
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    path = tmp_path / "apertus.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="apertus")
+
+    reader = GGUFReader(path)
+    assert len(reader.kv["xielu.alpha_n"]) == 2
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.act == "xielu" and len(cfg.xielu) == 2
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["w_gate"] is None  # un-gated
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_bitnet_logits_match_transformers(tmp_path):
+    """BitNet (llm_build_bitnet): RMS sub-norms INSIDE both sublayers —
+    on the attention output before wo, and on the gated-FFN activation
+    before down. (The i2_s per-projection scales are optional tensors on
+    the same paths; the HF reference checkpoint is full-precision.)"""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import BitNetConfig, BitNetForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = BitNetConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        hidden_act="relu2", max_position_embeddings=64,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = BitNetForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "bitnet.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="bitnet")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.act == "relu2"
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["attn_sub_norm"] is not None
+    assert params["layers"][0]["ffn_sub_norm"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
