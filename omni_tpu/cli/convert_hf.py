@@ -24,7 +24,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
           "glm4moe", "dots1", "ernie4_5_moe", "mamba2", "dbrx",
-          "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet")
+          "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -78,6 +78,7 @@ _HF_ARCH_MAP = {
     "Dots1ForCausalLM": "dots1",
     "DbrxForCausalLM": "dbrx",
     "ApertusForCausalLM": "apertus",
+    "Lfm2ForCausalLM": "lfm2",
     "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",

@@ -249,6 +249,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "dbrx":
         return _convert_dbrx(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "lfm2":
+        return _convert_lfm2(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -829,6 +832,82 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_lfm2(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF Lfm2ForCausalLM -> GGUF arch "lfm2" (reference Lfm2Model +
+    llm_build_lfm2): per-layer head_count_kv VECTOR (0 = shortconv
+    layer), shortconv.{conv,in_proj,out_proj} tensors, embedding_norm as
+    the final token_embd_norm, w1/w3/w2 = gate/up/down."""
+    state = _strip(state, "model.")
+    arch = "lfm2"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_heads))
+    types = config.get("layer_types") or ["full_attention"] * n_layers
+    kvh = [n_kv if t == "full_attention" else 0 for t in types]
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvh)
+    w.add_kv(f"{arch}.attention.key_length", d_model // n_heads)
+    w.add_kv(f"{arch}.shortconv.l_cache",
+             int(config.get("conv_L_cache", 3)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 1000000.0)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("token_embd_norm.weight", state["embedding_norm.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "operator_norm.weight"],
+            None)
+        put(b + "ffn_norm.weight", state[pfx + "ffn_norm.weight"], None)
+        put(b + "ffn_gate.weight", state[pfx + "feed_forward.w1.weight"])
+        put(b + "ffn_up.weight", state[pfx + "feed_forward.w3.weight"])
+        put(b + "ffn_down.weight", state[pfx + "feed_forward.w2.weight"])
+        if kvh[i] == 0:
+            put(b + "shortconv.in_proj.weight",
+                state[pfx + "conv.in_proj.weight"])
+            put(b + "shortconv.out_proj.weight",
+                state[pfx + "conv.out_proj.weight"])
+            put(b + "shortconv.conv.weight",
+                _np(state[pfx + "conv.conv.weight"])[:, 0, :], None)
+        else:
+            put(b + "attn_q.weight", state[pfx + "self_attn.q_proj.weight"])
+            put(b + "attn_k.weight", state[pfx + "self_attn.k_proj.weight"])
+            put(b + "attn_v.weight", state[pfx + "self_attn.v_proj.weight"])
+            put(b + "attn_output.weight",
+                state[pfx + "self_attn.out_proj.weight"])
+            put(b + "attn_q_norm.weight",
+                state[pfx + "self_attn.q_layernorm.weight"], None)
+            put(b + "attn_k_norm.weight",
+                state[pfx + "self_attn.k_layernorm.weight"], None)
     w.write()
     return written
 

@@ -261,3 +261,54 @@ def test_mamba2_grouped_bc_consistency():
         steps.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
                                atol=1e-4)
+
+
+def test_lfm2_gguf_logits_match_transformers(tmp_path):
+    """LFM2 (llm_build_lfm2): hybrid gated-shortconv + attention layers
+    over the HybridCache; conv states roll in the RecurrentCache, the
+    final norm is the embedding_norm. HF-oracle parity on prefill AND
+    stepwise decode."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core.gguf import GGUFReader
+    from omni_tpu.models import lfm2
+
+    torch.manual_seed(0)
+    hcfg = Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=3, norm_eps=1e-5,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = Lfm2ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "lfm2.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="lfm2")
+
+    reader = GGUFReader(path)
+    cfg = lfm2.Lfm2Config.from_gguf(reader.kv)
+    assert cfg.kv_heads == (0, 2, 0, 2) and cfg.l_cache == 3
+    params = lfm2.load_params(reader, cfg)
+    assert "conv_kernel" in params["layers"][0]
+    assert "wq" in params["layers"][1]
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    fwd = jax.jit(lfm2.forward, static_argnums=(1,))
+    cache = lfm2.make_cache(cfg, kv_size=32, n_seqs=2)
+    logits, cache2 = fwd(params, cfg, jnp.asarray(toks), cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.02)
+
+    # stepwise decode equals prefill (conv window + KV both carried)
+    cache_b = lfm2.make_cache(cfg, kv_size=32, n_seqs=2)
+    steps = []
+    for t in toks:
+        lg, cache_b = fwd(params, cfg, jnp.asarray([t]), cache_b, 0)
+        steps.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
+                               atol=1e-4)
