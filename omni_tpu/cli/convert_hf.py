@@ -24,7 +24,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
           "glm4moe", "dots1", "ernie4_5_moe", "mamba2", "dbrx",
-          "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2")
+          "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2",
+          "granite-hybrid")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -79,6 +80,7 @@ _HF_ARCH_MAP = {
     "DbrxForCausalLM": "dbrx",
     "ApertusForCausalLM": "apertus",
     "Lfm2ForCausalLM": "lfm2",
+    "GraniteMoeHybridForCausalLM": "granite-hybrid",
     "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",

@@ -252,6 +252,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "lfm2":
         return _convert_lfm2(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "granite-hybrid":
+        return _convert_granite_hybrid(state, config, out_path, qtype,
+                                       tokenizer_kv=tokenizer_kv)
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -832,6 +835,121 @@ def _convert_mamba(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_granite_hybrid(state: Mapping[str, Any],
+                            config: Mapping[str, Any],
+                            out_path: str, qtype: GGMLType,
+                            tokenizer_kv: Mapping[str, Any] | None = None
+                            ) -> list[str]:
+    """HF GraniteMoeHybridForCausalLM -> GGUF arch "granite-hybrid"
+    (reference GraniteHybridModel): per-layer head_count_kv vector
+    (0 = mamba2 layer), granite mup scales as KVs, granitemoe fused
+    input_linear experts + GraniteMoeShared shared expert, NoPE
+    attention (no q/k permute: undo_permute)."""
+    state = _strip(state, "model.")
+    arch = "granite-hybrid"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_heads))
+    types = config.get("layer_types") or ["attention"] * n_layers
+    kvh = [n_kv if t == "attention" else 0 for t in types]
+    n_ssm_head = int(config.get("mamba_n_heads", 4))
+    d_inner = n_ssm_head * int(config.get("mamba_d_head", 16))
+    n_exp = int(config.get("num_local_experts", 0))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvh)
+    w.add_kv(f"{arch}.attention.key_length", d_model // n_heads)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 8)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_kv(f"{arch}.ssm.group_count",
+             int(config.get("mamba_n_groups", 1)))
+    if n_exp:
+        w.add_kv(f"{arch}.expert_count", n_exp)
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(config.get("num_experts_per_tok", 2)))
+    if config.get("shared_intermediate_size"):
+        w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+                 int(config["shared_intermediate_size"]))
+    w.add_kv(f"{arch}.embedding_scale",
+             float(config.get("embedding_multiplier", 1.0)))
+    w.add_kv(f"{arch}.residual_scale",
+             float(config.get("residual_multiplier", 1.0)))
+    w.add_kv(f"{arch}.logit_scale",
+             float(config.get("logits_scaling", 1.0)))
+    if config.get("attention_multiplier"):
+        w.add_kv(f"{arch}.attention.scale",
+                 float(config["attention_multiplier"]))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["norm.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "post_attention_layernorm.weight"], None)
+        if kvh[i] == 0:  # mamba2 mixer
+            mp = pfx + "mamba."
+            put(b + "ssm_in.weight", state[mp + "in_proj.weight"])
+            put(b + "ssm_conv1d.weight",
+                _np(state[mp + "conv1d.weight"])[:, 0, :], None)
+            put(b + "ssm_conv1d.bias", state[mp + "conv1d.bias"], None)
+            put(b + "ssm_dt.bias", state[mp + "dt_bias"], None)
+            put(b + "ssm_a", state[mp + "A_log"], None)
+            put(b + "ssm_d", state[mp + "D"], None)
+            put(b + "ssm_norm.weight", state[mp + "norm.weight"], None)
+            put(b + "ssm_out.weight", state[mp + "out_proj.weight"])
+        else:
+            put(b + "attn_q.weight", state[pfx + "self_attn.q_proj.weight"])
+            put(b + "attn_k.weight", state[pfx + "self_attn.k_proj.weight"])
+            put(b + "attn_v.weight", state[pfx + "self_attn.v_proj.weight"])
+            put(b + "attn_output.weight",
+                state[pfx + "self_attn.o_proj.weight"])
+        if n_exp:
+            moe = pfx + "block_sparse_moe."
+            put(b + "ffn_gate_inp.weight",
+                state[moe + "router.layer.weight"], None)
+            inl = _np(state[moe + "input_linear.weight"])  # [E, 2F, d]
+            f = inl.shape[1] // 2
+            put(b + "ffn_gate_exps.weight", inl[:, :f], qtype)
+            put(b + "ffn_up_exps.weight", inl[:, f:], qtype)
+            put(b + "ffn_down_exps.weight",
+                state[moe + "output_linear.weight"], qtype)
+        if pfx + "shared_mlp.input_linear.weight" in state:
+            sin = _np(state[pfx + "shared_mlp.input_linear.weight"])
+            fs = sin.shape[0] // 2
+            put(b + "ffn_gate_shexp.weight", sin[:fs])
+            put(b + "ffn_up_shexp.weight", sin[fs:])
+            put(b + "ffn_down_shexp.weight",
+                state[pfx + "shared_mlp.output_linear.weight"])
     w.write()
     return written
 

@@ -312,3 +312,63 @@ def test_lfm2_gguf_logits_match_transformers(tmp_path):
         steps.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
                                atol=1e-4)
+
+
+def test_granite_hybrid_gguf_logits_match_transformers(tmp_path):
+    """Granite-Hybrid (llm_build_granite_hybrid): Mamba2 + NoPE-attention
+    layer dispatch, granite mup scales (embedding/residual/logit/attn),
+    granitemoe fused-expert MoE + GraniteMoeShared always-on expert.
+    HF-oracle parity on prefill AND stepwise decode."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import (GraniteMoeHybridConfig,
+                              GraniteMoeHybridForCausalLM)
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core.gguf import GGUFReader
+    from omni_tpu.models import granite_hybrid as gh
+
+    torch.manual_seed(0)
+    hcfg = GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["mamba", "attention", "mamba"],
+        shared_intermediate_size=40, num_local_experts=4,
+        num_experts_per_tok=2, mamba_n_heads=4, mamba_d_head=16,
+        mamba_expand=2, mamba_d_state=8, mamba_n_groups=1, mamba_d_conv=4,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=3.0, attention_multiplier=0.2,
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = GraniteMoeHybridForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "ghybrid.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="granite-hybrid")
+
+    reader = GGUFReader(path)
+    cfg = gh.GraniteHybridConfig.from_gguf(reader.kv)
+    assert cfg.kv_heads == (0, 2, 0)
+    assert cfg.emb_scale == 2.0 and cfg.residual_scale == 0.5
+    assert cfg.logit_scale == 3.0 and cfg.attn_scale == pytest.approx(0.2)
+    assert cfg.d_inner == 64 and cfg.n_ssm_head == 4
+    params = gh.load_params(reader, cfg)
+    assert params["layers"][0].get("ssm_in") is not None
+    assert params["layers"][1].get("wq") is not None
+    assert params["layers"][0].get("gate_shexp") is not None
+    assert params["layers"][0].get("gate_inp") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    fwd = jax.jit(gh.forward, static_argnums=(1,))
+    cache = gh.make_cache(cfg, kv_size=32, n_seqs=2)
+    logits, _ = fwd(params, cfg, jnp.asarray(toks), cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.02)
+
+    cache_b = gh.make_cache(cfg, kv_size=32, n_seqs=2)
+    steps = []
+    for t in toks:
+        lg, cache_b = fwd(params, cfg, jnp.asarray([t]), cache_b, 0)
+        steps.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
+                               atol=1e-4)
