@@ -23,9 +23,9 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "t5encoder", "smollm3", "qwen2moe", "glm4", "nemotron",
           "olmoe", "arcee", "ernie4_5", "granitemoe", "olmo", "gemma",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
-          "glm4moe", "dots1", "ernie4_5_moe", "mamba2", "dbrx",
+          "glm4moe", "dots1", "ernie4_5-moe", "mamba2", "dbrx",
           "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2",
-          "granite-hybrid")
+          "granitehybrid")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -72,7 +72,7 @@ _HF_ARCH_MAP = {
     "OlmoeForCausalLM": "olmoe",
     "ArceeForCausalLM": "arcee",
     "Ernie4_5ForCausalLM": "ernie4_5",
-    "Ernie4_5_MoeForCausalLM": "ernie4_5_moe",
+    "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
     "SeedOssForCausalLM": "seed_oss",
     "Exaone4ForCausalLM": "exaone4",
     "Glm4MoeForCausalLM": "glm4moe",
@@ -80,7 +80,7 @@ _HF_ARCH_MAP = {
     "DbrxForCausalLM": "dbrx",
     "ApertusForCausalLM": "apertus",
     "Lfm2ForCausalLM": "lfm2",
-    "GraniteMoeHybridForCausalLM": "granite-hybrid",
+    "GraniteMoeHybridForCausalLM": "granitehybrid",
     "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",

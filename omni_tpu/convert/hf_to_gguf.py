@@ -252,7 +252,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "lfm2":
         return _convert_lfm2(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
-    if arch == "granite-hybrid":
+    if arch == "granitehybrid":
         return _convert_granite_hybrid(state, config, out_path, qtype,
                                        tokenizer_kv=tokenizer_kv)
     if arch == "bert":
@@ -363,7 +363,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         config = {**config,
                   "num_experts_per_tok": (config.get("moe_topk")
                                           or config.get("num_experts_per_tok"))}
-    if arch in ("glm4moe", "dots1", "ernie4_5_moe"):
+    if arch in ("glm4moe", "dots1", "ernie4_5-moe"):
         # deepseek-style MoE naming: shared_experts (plural) -> the
         # canonical shared_expert; per-config expert-count aliases
         state = {k.replace(".mlp.shared_experts.", ".mlp.shared_expert."): v
@@ -519,7 +519,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(float(config.get("partial_rotary_factor", 0.5))
                      * head_dim))
-    if arch in ("glm4moe", "dots1", "ernie4_5_moe"):
+    if arch in ("glm4moe", "dots1", "ernie4_5-moe"):
         # deepseek-style gating hparams (reference Glm4MoeModel /
         # Dots1Model / Ernie4_5MoeModel set_gguf_parameters)
         if config.get("moe_intermediate_size"):
@@ -528,7 +528,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.expert_shared_count",
                  int(config.get("n_shared_experts")
                      or config.get("moe_num_shared_experts") or 0))
-        if arch == "ernie4_5_moe":  # softmax + renormalize (llm graph)
+        if arch == "ernie4_5-moe":  # softmax + renormalize (llm graph)
             w.add_kv(f"{arch}.expert_gating_func", 1)
             w.add_kv(f"{arch}.expert_weights_norm", True)
         else:  # glm4moe / dots1: sigmoid scores + bias-corrected topk
@@ -623,7 +623,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
                       "granitemoe", "smollm3", "arcee",
-                      "ernie4_5", "ernie4_5_moe", "olmo")  # NORM rope
+                      "ernie4_5", "ernie4_5-moe", "olmo")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim
@@ -844,13 +844,13 @@ def _convert_granite_hybrid(state: Mapping[str, Any],
                             out_path: str, qtype: GGMLType,
                             tokenizer_kv: Mapping[str, Any] | None = None
                             ) -> list[str]:
-    """HF GraniteMoeHybridForCausalLM -> GGUF arch "granite-hybrid"
+    """HF GraniteMoeHybridForCausalLM -> GGUF arch "granitehybrid"
     (reference GraniteHybridModel): per-layer head_count_kv vector
     (0 = mamba2 layer), granite mup scales as KVs, granitemoe fused
     input_linear experts + GraniteMoeShared shared expert, NoPE
     attention (no q/k permute: undo_permute)."""
     state = _strip(state, "model.")
-    arch = "granite-hybrid"
+    arch = "granitehybrid"
     d_model = int(config["hidden_size"])
     n_layers = int(config["num_hidden_layers"])
     n_heads = int(config["num_attention_heads"])

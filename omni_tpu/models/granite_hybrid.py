@@ -1,5 +1,5 @@
 """Granite-Hybrid — Mamba2 + attention hybrid with Granite scales and
-(optionally) MoE + a shared expert. GGUF arch "granite-hybrid".
+(optionally) MoE + a shared expert. GGUF arch "granitehybrid".
 
 Counterpart of the reference's llm_build_granite_hybrid
 (src/llama-model.cpp:16226): per-layer dispatch between a Mamba2 (SSD)
@@ -62,7 +62,7 @@ class GraniteHybridConfig:
 
     @staticmethod
     def from_gguf(kv: dict[str, Any]) -> "GraniteHybridConfig":
-        g = lambda key, default=None: kv.get(f"granite-hybrid.{key}",
+        g = lambda key, default=None: kv.get(f"granitehybrid.{key}",
                                              default)
         d = int(g("embedding_length", 256))
         n_heads = int(g("attention.head_count", 8))
@@ -195,7 +195,7 @@ def forward(params: dict, cfg: GraniteHybridConfig, tokens: jax.Array,
 
 
 def load_params(reader, cfg: GraniteHybridConfig) -> dict:
-    """GGUF arch "granite-hybrid" -> forward() pytree."""
+    """GGUF arch "granitehybrid" -> forward() pytree."""
     from ..kernels import load_quantized
 
     def get(name, required=True):

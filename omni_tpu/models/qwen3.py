@@ -229,7 +229,7 @@ class Qwen3Config:
             rope_neox=arch not in ("llama", "minicpm", "minicpmtts",
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2", "smollm3", "glm4",
-                                   "arcee", "ernie4_5", "ernie4_5_moe",
+                                   "arcee", "ernie4_5", "ernie4_5-moe",
                                    "olmo", "cohere2", "llama4"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE

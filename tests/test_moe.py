@@ -483,7 +483,7 @@ def test_ernie45_moe_logits_match_transformers(tmp_path):
     model = Ernie4_5_MoeForCausalLM(hcfg).eval()
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     path = tmp_path / "ernie45moe.gguf"
-    convert_llm(sd, hcfg.to_dict(), path, arch="ernie4_5_moe")
+    convert_llm(sd, hcfg.to_dict(), path, arch="ernie4_5-moe")
 
     reader = GGUFReader(path)
     cfg = qwen3.Qwen3Config.from_gguf(reader.kv)

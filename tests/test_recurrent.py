@@ -342,7 +342,7 @@ def test_granite_hybrid_gguf_logits_match_transformers(tmp_path):
     model = GraniteMoeHybridForCausalLM(hcfg).eval()
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     path = tmp_path / "ghybrid.gguf"
-    convert_llm(sd, hcfg.to_dict(), path, arch="granite-hybrid")
+    convert_llm(sd, hcfg.to_dict(), path, arch="granitehybrid")
 
     reader = GGUFReader(path)
     cfg = gh.GraniteHybridConfig.from_gguf(reader.kv)
