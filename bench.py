@@ -104,6 +104,13 @@ def main():
     drain()
     log(f"warm turn (incl. scan compile): {(time.perf_counter() - t0):.1f} s")
 
+    # compile the scan at every ragged-KV bucket the session can reach
+    # (a mid-turn bucket crossing would otherwise recompile in the timed
+    # turn; production sessions warm these right after omni_init)
+    t0 = time.perf_counter()
+    pipe.warm_decode()
+    log(f"kv-bucket warm: {(time.perf_counter() - t0):.1f} s")
+
     # warm prefill measurement (the assistant prompt re-evals are tiny;
     # measure a realistic 64-token continuation through Context.decode)
     cont = np.asarray(rng.integers(0, 1000, n_prefill), np.int32)

@@ -113,7 +113,7 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
                    scale: float | None = None,
                    logit_softcap: float = 0.0,
                    sinks: jax.Array | None = None,
-                   alibi=None) -> jax.Array:
+                   alibi=None, kv_limit: int | None = None) -> jax.Array:
     """Attention over one layer of the KV cell pool, picking the best
     kernel for the storage dtype: int8 KV on TPU goes through the Pallas
     flash kernel (in-register dequant, half the HBM traffic); bf16 uses
@@ -124,10 +124,10 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
             and alibi is None and jax.default_backend() == "tpu"):
         from .flash_attention import flash_decode
 
-        k, v, ks, vs = cache.layer_planes(layer)
+        k, v, ks, vs = cache.layer_planes(layer, limit=kv_limit)
         return flash_decode(q, k, v, mask, k_scale=ks, v_scale=vs,
                             scale=scale)
-    kc, vc = cache.read_layer(layer)
+    kc, vc = cache.read_layer(layer, limit=kv_limit)
     return cache_attention(q, kc, vc, mask, scale=scale,
                            logit_softcap=logit_softcap, sinks=sinks,
                            alibi=alibi)

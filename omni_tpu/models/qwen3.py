@@ -576,10 +576,17 @@ def forward(
     cache: KVCache,
     slots: jax.Array,  # [T] cell indices from cache.find_slots
     write_mask: jax.Array | None = None,  # [T] bool; False = padding row
+    kv_limit: int | None = None,  # static: attend over cells [0, kv_limit)
 ) -> tuple[jax.Array, jax.Array, KVCache]:
     """One decode/prefill step. Returns (logits [T, vocab] f32,
     hidden [T, d_model] — the tap the omni TTS projector consumes
-    (reference tools/omni/omni.cpp:345-403), updated cache)."""
+    (reference tools/omni/omni.cpp:345-403), updated cache).
+
+    `kv_limit` is the ragged-KV read bound (reference llama_kv_cache's
+    n_kv high-water): attention and mask reads stream only the first
+    kv_limit pool cells instead of the whole static pool. The caller
+    (runtime.Context / the omni scan) guarantees every occupied cell —
+    and every slot this step writes — lies below it."""
     t = x.shape[0]
     h = x.astype(jnp.bfloat16)
     if cfg.emb_scale != 1.0:  # Gemma: embeddings × sqrt(d_model)
@@ -604,7 +611,7 @@ def forward(
     if deferred:
         from ..runtime.kv_cache import primary_seq_bit, seq_bits_of
 
-        mask = cache.attn_mask(pos, seq_id)  # pool only: batch cells unowned
+        mask = cache.attn_mask(pos, seq_id, limit=kv_limit)  # pool only
         # intra-batch visibility: key row's membership bits ∩ query's
         # primary seq (multi-membership rows use the packed encoding)
         mask_cur = ((seq_bits_of(seq_id)[None, :]
@@ -615,12 +622,13 @@ def forward(
     else:
         # commit metadata first so intra-batch causal attention sees it
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
-        mask = cache.attn_mask(pos, seq_id)  # [T, S]
+        mask = cache.attn_mask(pos, seq_id, limit=kv_limit)  # [T, S]
         mask_cur = None
 
     # interleaved SWA (Gemma-2/3): windowed layers additionally require
     # key_pos > q_pos - window (llama_kv_cache_iswa's mask term; the
     # dual-pool memory optimisation lives in runtime/swa.py)
+    cpos = cache.pos if kv_limit is None else cache.pos[:kv_limit]
     has_swa = cfg.swa_window > 0 and cfg.swa_every > 0
     if has_swa:
         w = cfg.swa_window
@@ -628,11 +636,11 @@ def forward(
             # llama4 chunked attention: same-chunk keys only
             # (LLAMA_SWA_TYPE_CHUNKED: k_pos >= floor(q_pos/w)*w)
             lo = (pos // w) * w
-            mask_swa = mask & (cache.pos[None, :] >= lo[:, None])
+            mask_swa = mask & (cpos[None, :] >= lo[:, None])
             mask_cur_swa = (mask_cur & (pos[None, :] >= lo[:, None])
                             if mask_cur is not None else None)
         else:
-            mask_swa = mask & (cache.pos[None, :] > pos[:, None] - w)
+            mask_swa = mask & (cpos[None, :] > pos[:, None] - w)
             mask_cur_swa = (mask_cur & (pos[None, :] > pos[:, None] - w)
                             if mask_cur is not None else None)
 
@@ -644,7 +652,7 @@ def forward(
         slopes = jnp.asarray(
             alibi_slopes(cfg.n_heads, cfg.max_alibi_bias))
         dist_pool = -jnp.abs(pos[:, None]
-                             - cache.pos[None, :]).astype(jnp.float32)
+                             - cpos[None, :]).astype(jnp.float32)
         alibi_pool = (slopes, dist_pool)
         if deferred:
             dist_cur = -jnp.abs(pos[:, None]
@@ -779,7 +787,7 @@ def forward(
             q = q * tt[:, None, None].astype(q.dtype)
         mask_l = mask_swa if swa_l else mask
         if deferred:
-            kc, vc = cache.read_layer(li)
+            kc, vc = cache.read_layer(li, limit=kv_limit)
             attn = mixed_attention(q, kc, vc, k, v, mask_l,
                                    mask_cur_swa if swa_l else mask_cur,
                                    scale=cfg.attn_scale,
@@ -792,7 +800,7 @@ def forward(
             # padding rows write into their (unowned) slots: metadata stays
             # free, so garbage K/V is never attended to
             cache = cache.write(li, slots, k, v)
-            attn = pool_attention(q, cache, li, mask_l,
+            attn = pool_attention(q, cache, li, mask_l, kv_limit=kv_limit,
                                   scale=cfg.attn_scale,
                                   logit_softcap=cfg.attn_softcap,
                                   sinks=lp.get("sinks"),

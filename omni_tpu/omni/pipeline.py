@@ -540,6 +540,10 @@ class OmniPipeline:
         }
         # host-side bound on in-flight fed tokens (for the overflow guard)
         inflight = [0]
+        # one ragged-KV bucket for the whole turn: occupied cells + the
+        # full token budget + assistant/turn-end eval margin
+        turn_kvb = [llm.kv_bucket(max(llm.kv_high, llm.cells_used)
+                                  + limit + 4 * STEP_SIZE)]
 
         def feed_budget(n_new_b, seg_b):
             b = limit - n_new_b
@@ -553,6 +557,16 @@ class OmniPipeline:
                 raise KVCacheFull(
                     f"omni decode: need {STEP_SIZE} free KV cells, have "
                     f"{free}; session windows are misconfigured")
+            # ragged-KV bound, fixed for the WHOLE turn (chosen below from
+            # the turn budget): a mid-turn bucket crossing would recompile
+            # the scan (~10-30 s) inside the hot loop. Guard the invariant
+            # anyway — an unexpected mid-turn eval could push cells past it.
+            kvb = turn_kvb[0]
+            if kvb is not None and (max(llm.kv_high, llm.cells_used)
+                                    + inflight[0] + STEP_SIZE) > kvb:
+                kvb = turn_kvb[0] = llm.kv_bucket(
+                    max(llm.kv_high, llm.cells_used) + inflight[0]
+                    + STEP_SIZE)
             with self.llama_mtx:
                 packed, hiddens, st["logits"], llm.cache, st["key"], \
                     st["prev"], st["pos"], st["done"] = omni_decode_scan(
@@ -562,7 +576,7 @@ class OmniPipeline:
                         n_steps=STEP_SIZE, sp=llm.sampler,
                         end_ids=end_ids, listen_id=listen_id,
                         stop_after=jnp.int32(min(stop_feed, STEP_SIZE)),
-                        done_in=st["done"])
+                        done_in=st["done"], kv_limit=kvb)
             inflight[0] += STEP_SIZE
             return packed, hiddens
 
@@ -580,6 +594,7 @@ class OmniPipeline:
             inflight[0] -= STEP_SIZE
             llm.n_past[0] = llm.n_past.get(0, 0) + n_fed
             llm.cells_used += n_fed
+            llm.kv_high = max(llm.kv_high, llm.cells_used)
             n_new += n_fed
             segment_tokens += n_fed
 
@@ -610,6 +625,7 @@ class OmniPipeline:
             inflight[0] -= STEP_SIZE
             llm.n_past[0] = llm.n_past.get(0, 0) + n_fed
             llm.cells_used += n_fed
+            llm.kv_high = max(llm.kv_high, llm.cells_used)
             n_new += n_fed
             segment_tokens += n_fed
             for j in range(n_fed):
@@ -859,6 +875,35 @@ class OmniPipeline:
             t = threading.Thread(target=fn, daemon=True)
             t.start()
             self._threads.append(t)
+
+    def warm_decode(self) -> None:
+        """Pre-compile the fused decode scan at every ragged-KV bucket the
+        session can reach, via no-op scans (done_in=True feeds nothing, so
+        the KV is semantically untouched). A mid-session bucket crossing
+        otherwise pays a fresh XLA compile (~10-30 s) inside the hot loop;
+        the server calls this right after omni_init, the bench after its
+        warm turn."""
+        from ..runtime.loop import omni_decode_scan
+
+        llm = self.llm
+        if not getattr(llm, "_fwd_takes_kv_limit", False):
+            return
+        kvbs = {llm.kv_bucket(b) for b in llm.kv_buckets} | {None}
+        for kvb in sorted((b for b in kvbs if b is not None)) + [None]:
+            # a turn's FIRST scan passes done_in=None (static structure) and
+            # later ones a chained bool array — two distinct jit signatures,
+            # both must be compiled to keep the hot loop compile-free
+            for done in (None, jnp.bool_(True)):
+                with self.llama_mtx:
+                    _, _, _, llm.cache, _, _, _, _ = omni_decode_scan(
+                        llm._forward, llm._embed, llm.cfg, llm.params,
+                        llm.cache, jnp.zeros(llm.cfg.n_vocab, jnp.float32),
+                        jnp.int32(0), jnp.int32(0), llm.key,
+                        llm.prev_tokens, n_steps=STEP_SIZE, sp=llm.sampler,
+                        end_ids=self._end_ids(),
+                        listen_id=self.special.get("<|listen|>", -3),
+                        stop_after=jnp.int32(0), done_in=done,
+                        kv_limit=kvb)
 
     def stop_speak(self) -> None:
         """Break: stop generation + drain downstream queues (omni.cpp:9548)."""

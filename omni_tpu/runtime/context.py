@@ -106,24 +106,56 @@ class Context:
         # seq ops re-sync it from the device.
         self.cells_used = 0
         self.buckets = tuple(sorted(buckets))
+        # ragged-KV read bound (reference llama_kv_cache n_kv high-water):
+        # with low-first find_slots, after any allocation the max occupied
+        # cell index obeys high' = max(high, cells_used') — attention then
+        # streams only the first kv-bucket(high) pool cells instead of the
+        # whole static pool. Exact under the low-first law; conservatively
+        # reset to pool size on state load.
+        self.kv_high = 0
+        import inspect
+
+        self._fwd_takes_kv_limit = (
+            "kv_limit" in inspect.signature(forward_fn).parameters)
+        self.kv_buckets = tuple(
+            b for b in (512, 1024, 2048, 4096, 8192, 16384, 32768)
+            if b < n_ctx) + (n_ctx,)
+        # ragged reads for the bucketed decode STEPS are opt-in: each
+        # (token-bucket, kv-bucket) pair is a fresh XLA compile of the
+        # whole model (~40 s on the tunnel), which the prefill/marker
+        # paths don't earn back — the hot scans (omni_decode_scan /
+        # fused_generate) are always ragged instead.
+        self.ragged_steps = False
         from ..log import PerfCounters
 
         self.perf = PerfCounters()  # llama_perf_context counterpart
 
     # ---- compiled step ----------------------------------------------------
-    def _step_fn(self, t: int) -> Callable:
-        if t in self._steps:
-            return self._steps[t]
+    def kv_bucket(self, need: int) -> int | None:
+        """Smallest kv-read bucket covering `need` cells (None = full pool,
+        either because the forward doesn't take kv_limit or the pool is
+        nearly full anyway)."""
+        if not self._fwd_takes_kv_limit:
+            return None
+        for b in self.kv_buckets:
+            if b >= need:
+                return b if b < self.cache.size else None
+        return None
+
+    def _step_fn(self, t: int, kvb: int | None = None) -> Callable:
+        if (t, kvb) in self._steps:
+            return self._steps[(t, kvb)]
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, cache: KVCache, x, pos, seq, write_mask):
             slots = cache.find_slots(x.shape[0])
+            kw = {"kv_limit": kvb} if kvb is not None else {}
             logits, hidden, cache = self._forward(
-                params, self.cfg, x, pos, seq, cache, slots, write_mask
+                params, self.cfg, x, pos, seq, cache, slots, write_mask, **kw
             )
             return logits, hidden, cache
 
-        self._steps[t] = step
+        self._steps[(t, kvb)] = step
         return step
 
     # ---- public API (llama_decode counterpart) ----------------------------
@@ -169,13 +201,19 @@ class Context:
         import time
 
         t0 = time.perf_counter()
-        logits, hidden, self.cache = self._step_fn(tb)(
+        # ragged-KV bound: every occupied cell is < max(kv_high, used), and
+        # this step's tb freshly-allocated slots (low-first) stay below
+        # max(kv_high, used) + tb
+        kvb = (self.kv_bucket(max(self.kv_high, self.cells_used) + tb)
+               if self.ragged_steps else None)
+        logits, hidden, self.cache = self._step_fn(tb, kvb)(
             self.params, self.cache, x, pos_p, seq_p, wmask
         )
         if block:
             logits.block_until_ready()
         self.perf.record_decode(t, time.perf_counter() - t0)
         self.cells_used += t  # valid rows only; padding cells stay free
+        self.kv_high = max(self.kv_high, self.cells_used)
         for s in np.unique(np.asarray(seq)):
             if s < 0:  # packed multi-membership rows (lookahead trees)
                 continue  # manage their own position bookkeeping
@@ -242,8 +280,15 @@ class Context:
     # ---- KV session ops (llama_memory_* counterparts) ----------------------
     def sync_cells_used(self) -> int:
         """Re-sync the host-side occupied-cell shadow from the device (one
-        scalar transfer; cold paths only)."""
-        self.cells_used = int(jax.device_get(self.cache.n_used()))
+        transfer; cold paths only). Also re-syncs the ragged-KV high-water
+        mark exactly (max occupied cell index + 1)."""
+        used, high = jax.device_get(jax.jit(
+            lambda c: (c.n_used(),
+                       jnp.max(jnp.where(c.seq_mask != 0,
+                                         jnp.arange(c.size) + 1, 0)))
+        )(self.cache))
+        self.cells_used = int(used)
+        self.kv_high = int(high)
         return self.cells_used
 
     def seq_rm(self, seq_id, p0=-1, p1=-1):
@@ -278,6 +323,7 @@ class Context:
         self.cache = self.cache.clear()
         self.n_past.clear()
         self.cells_used = 0
+        self.kv_high = 0
 
     # ---- state save/load (llama_state_{get,set}_data counterpart) ---------
     @staticmethod

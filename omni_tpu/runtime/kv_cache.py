@@ -195,21 +195,29 @@ class KVCache:
             seq_mask=self.seq_mask.at[slots].set(bit),
         )
 
-    def read_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
-        """Dequantized K/V of one layer: ([Hkv, S, D], [Hkv, S, D])."""
-        if self.quantized:
-            k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None].astype(jnp.bfloat16)
-            v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None].astype(jnp.bfloat16)
-            return k, v
-        return self.k[layer], self.v[layer]
+    def read_layer(self, layer: int,
+                   limit: int | None = None) -> tuple[jax.Array, jax.Array]:
+        """Dequantized K/V of one layer: ([Hkv, S, D], [Hkv, S, D]).
 
-    def layer_planes(self, layer: int):
+        `limit` (static) returns only the first `limit` cells — the ragged
+        decode path (reference llama_kv_cache keeps an `n_kv` high-water
+        mark and attends over [0, n) only; here the bound is a compile-time
+        bucket so XLA fuses the slice into the attention reads for free)."""
+        s = slice(None) if limit is None else slice(0, limit)
+        if self.quantized:
+            k = self.k[layer, :, s].astype(jnp.bfloat16) * self.k_scale[layer, :, s][..., None].astype(jnp.bfloat16)
+            v = self.v[layer, :, s].astype(jnp.bfloat16) * self.v_scale[layer, :, s][..., None].astype(jnp.bfloat16)
+            return k, v
+        return self.k[layer, :, s], self.v[layer, :, s]
+
+    def layer_planes(self, layer: int, limit: int | None = None):
         """Raw per-layer planes for the flash kernel: (k, v, k_scale,
         v_scale) with K/V [Hkv, S, D] and scales [Hkv, S] (None if bf16)."""
+        s = slice(None) if limit is None else slice(0, limit)
         if self.quantized:
-            return (self.k[layer], self.v[layer],
-                    self.k_scale[layer], self.v_scale[layer])
-        return self.k[layer], self.v[layer], None, None
+            return (self.k[layer, :, s], self.v[layer, :, s],
+                    self.k_scale[layer, :, s], self.v_scale[layer, :, s])
+        return self.k[layer, :, s], self.v[layer, :, s], None, None
 
     # ---- sequence ops (contract: include/llama.h:707-759 KV API) -----------
     def _owned(self, seq_id: int | jax.Array) -> jax.Array:
@@ -319,14 +327,18 @@ class KVCache:
 
     # ---- attention mask ----------------------------------------------------
     def attn_mask(self, q_pos: jax.Array, q_seq: jax.Array,
-                  slots: jax.Array | None = None) -> jax.Array:
+                  slots: jax.Array | None = None,
+                  limit: int | None = None) -> jax.Array:
         """[T, S] bool: query t may attend to cell c (same seq, causal).
 
         `slots`/metadata for the current ubatch must already be committed.
-        """
-        owned = (self.seq_mask[None, :] & primary_seq_bit(q_seq)[:, None]) != 0
-        causal = self.pos[None, :] <= q_pos[:, None]
-        used = self.seq_mask[None, :] != 0
+        `limit` (static) restricts to the first `limit` cells (ragged
+        decode; the caller guarantees every occupied cell is below it)."""
+        sm = self.seq_mask if limit is None else self.seq_mask[:limit]
+        cp = self.pos if limit is None else self.pos[:limit]
+        owned = (sm[None, :] & primary_seq_bit(q_seq)[:, None]) != 0
+        causal = cp[None, :] <= q_pos[:, None]
+        used = sm[None, :] != 0
         return owned & causal & used
 
 

@@ -75,7 +75,8 @@ def decode_scan(
 
 @functools.partial(jax.jit,
                    static_argnames=("forward", "embed", "cfg", "n_steps",
-                                    "sp", "end_ids", "listen_id"),
+                                    "sp", "end_ids", "listen_id",
+                                    "kv_limit"),
                    donate_argnames=("cache",))
 def omni_decode_scan(
     forward: Callable,
@@ -94,6 +95,8 @@ def omni_decode_scan(
     listen_id: int = -3,
     stop_after: jax.Array | None = None,  # [] int32 dynamic token budget
     done_in: jax.Array | None = None,  # [] bool: chain from the prior scan
+    kv_limit: int | None = None,  # static ragged-KV read bound; the caller
+    # guarantees occupied cells + this scan's n_steps slots all fit below
 ):
     """The SERVED omni hot loop, fused: up to n_steps sample→classify→decode
     steps in ONE device dispatch (reference hot loop #1,
@@ -136,9 +139,10 @@ def omni_decode_scan(
         # sample_token updates prev_tokens before the end-check break)
         prev = jnp.where(done, prev, jnp.concatenate([prev[1:], tok[None]]))
         x = embed(params, tok[None])
+        kw = {"kv_limit": kv_limit} if kv_limit is not None else {}
         new_logits, hidden, cache = forward(
             params, cfg, x, pos[None], seq_id[None], cache,
-            all_slots[i][None], feed[None])
+            all_slots[i][None], feed[None], **kw)
         logits = jnp.where(feed, new_logits[0], logits)
         pos = pos + feed.astype(pos.dtype)
         return (cache, logits, pos, key, prev, stop_now), (tok, feed, hidden[0])
@@ -187,17 +191,19 @@ def fused_generate(ctx, last_logits, seq_id: int, max_new: int,
 
                 raise KVCacheFull(
                     f"fused_generate: need {chunk} free KV cells, have {free}")
+            kvb = ctx.kv_bucket(max(ctx.kv_high, ctx.cells_used) + chunk)
             packed, _, logits, ctx.cache, key, prev, _, _ = omni_decode_scan(
                 ctx._forward, ctx._embed, ctx.cfg, ctx.params, ctx.cache,
                 logits, jnp.int32(ctx.n_past.get(seq_id, 0)),
                 jnp.int32(seq_id), key, prev,
                 n_steps=chunk, sp=sp, end_ids=tuple(stop_tokens),
-                stop_after=jnp.int32(min(budget, chunk)))
+                stop_after=jnp.int32(min(budget, chunk)), kv_limit=kvb)
             packed_np = np.asarray(packed)  # ONE fetch: (toks, fed)
             toks_np = packed_np[0]
             n_fed = int(packed_np[1].sum())
             ctx.n_past[seq_id] = ctx.n_past.get(seq_id, 0) + n_fed
             ctx.cells_used += n_fed
+            ctx.kv_high = max(ctx.kv_high, ctx.cells_used)
         # fed tokens are the output; the first un-fed token is either a
         # stop token (excluded, like Context.generate) or the budget stop
         for t in toks_np[:n_fed]:
