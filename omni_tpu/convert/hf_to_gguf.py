@@ -255,6 +255,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "granitehybrid":
         return _convert_granite_hybrid(state, config, out_path, qtype,
                                        tokenizer_kv=tokenizer_kv)
+    if arch == "falcon-h1":
+        return _convert_falcon_h1(state, config, out_path, qtype,
+                                  tokenizer_kv=tokenizer_kv)
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -950,6 +953,121 @@ def _convert_granite_hybrid(state: Mapping[str, Any],
             put(b + "ffn_up_shexp.weight", sin[fs:])
             put(b + "ffn_down_shexp.weight",
                 state[pfx + "shared_mlp.output_linear.weight"])
+    w.write()
+    return written
+
+
+def _convert_falcon_h1(state: Mapping[str, Any], config: Mapping[str, Any],
+                       out_path: str, qtype: GGMLType,
+                       tokenizer_kv: Mapping[str, Any] | None = None
+                       ) -> list[str]:
+    """HF FalconH1ForCausalLM -> GGUF arch "falcon-h1" (reference
+    FalconH1Model, convert_hf_to_gguf.py:8464): every mup multiplier is
+    baked into the weights — embed x embedding_multiplier, lm_head x
+    lm_head_multiplier, q/v x attention_in, k x key x attention_in,
+    o x attention_out, ssm in_proj x ssm_in x per-section zxBCdt vector,
+    ssm out_proj x ssm_out, ffn gate x mlp[0], down x mlp[1]. NEOX rope
+    (no q/k permute)."""
+    state = _strip(state, "model.")
+    arch = "falcon-h1"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_heads))
+    head_dim = int(config.get("head_dim") or d_model // n_heads)
+    d_inner = int(config.get("mamba_d_ssm")
+                  or int(config.get("mamba_expand", 2)) * d_model)
+    n_group = int(config.get("mamba_n_groups", 1))
+    d_state = int(config.get("mamba_d_state", 8))
+    gts = n_group * d_state
+    mlp_mult = config.get("mlp_multipliers") or [1.0, 1.0]
+    zxbcdt_mult = config.get("ssm_multipliers") or [1.0] * 5
+    attn_in = float(config.get("attention_in_multiplier", 1.0))
+    attn_out = float(config.get("attention_out_multiplier", 1.0))
+    key_mult = float(config.get("key_multiplier", 1.0))
+    ssm_in_m = float(config.get("ssm_in_multiplier", 1.0))
+    ssm_out_m = float(config.get("ssm_out_multiplier", 1.0))
+
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", d_state)
+    w.add_kv(f"{arch}.ssm.time_step_rank",
+             int(config.get("mamba_n_heads", 4)))
+    w.add_kv(f"{arch}.ssm.group_count", n_group)
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 100000.0)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    emb_m = float(config.get("embedding_multiplier", 1.0))
+    put("token_embd.weight", _np(state["embed_tokens.weight"]) * emb_m)
+    put("output_norm.weight", state["final_layernorm.weight"], None)
+    head_m = float(config.get("lm_head_multiplier", 1.0))
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", False)):
+        put("output.weight", _np(state["lm_head.weight"]) * head_m)
+    elif head_m != emb_m:
+        # tied embeddings with distinct embedding/lm_head multipliers:
+        # materialize a separate scaled output head
+        put("output.weight", _np(state["embed_tokens.weight"]) * head_m)
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "pre_ff_layernorm.weight"], None)
+        sa = pfx + "self_attn."
+        put(b + "attn_q.weight", _np(state[sa + "q_proj.weight"]) * attn_in)
+        put(b + "attn_k.weight",
+            _np(state[sa + "k_proj.weight"]) * key_mult * attn_in)
+        put(b + "attn_v.weight", _np(state[sa + "v_proj.weight"]) * attn_in)
+        put(b + "attn_output.weight",
+            _np(state[sa + "o_proj.weight"]) * attn_out)
+        mp = pfx + "mamba."
+        inp = _np(state[mp + "in_proj.weight"]).astype(np.float32) * ssm_in_m
+        inp = inp.copy()
+        inp[:d_inner] *= zxbcdt_mult[0]
+        inp[d_inner:2 * d_inner] *= zxbcdt_mult[1]
+        inp[2 * d_inner:2 * d_inner + gts] *= zxbcdt_mult[2]
+        inp[2 * d_inner + gts:2 * d_inner + 2 * gts] *= zxbcdt_mult[3]
+        inp[2 * d_inner + 2 * gts:] *= zxbcdt_mult[4]
+        put(b + "ssm_in.weight", inp)
+        put(b + "ssm_conv1d.weight",
+            _np(state[mp + "conv1d.weight"])[:, 0, :], None)
+        put(b + "ssm_conv1d.bias", state[mp + "conv1d.bias"], None)
+        put(b + "ssm_dt.bias", state[mp + "dt_bias"], None)
+        put(b + "ssm_a", state[mp + "A_log"], None)
+        put(b + "ssm_d", state[mp + "D"], None)
+        if mp + "norm.weight" in state:
+            put(b + "ssm_norm.weight", state[mp + "norm.weight"], None)
+        put(b + "ssm_out.weight",
+            _np(state[mp + "out_proj.weight"]) * ssm_out_m)
+        fp = pfx + "feed_forward."
+        put(b + "ffn_gate.weight",
+            _np(state[fp + "gate_proj.weight"]) * float(mlp_mult[0]))
+        put(b + "ffn_up.weight", state[fp + "up_proj.weight"])
+        put(b + "ffn_down.weight",
+            _np(state[fp + "down_proj.weight"]) * float(mlp_mult[1]))
     w.write()
     return written
 

@@ -372,3 +372,62 @@ def test_granite_hybrid_gguf_logits_match_transformers(tmp_path):
         steps.append(np.asarray(lg)[0])
     np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
                                atol=1e-4)
+
+
+def test_falcon_h1_gguf_logits_match_transformers(tmp_path):
+    """Falcon-H1 (llm_build_falcon_h1, llama-model.cpp:17546): every
+    layer runs NeoX-rope GQA attention AND a Mamba2 mixer in parallel on
+    the same normed input; all mup multipliers (embedding/lm_head/attn
+    in+out/key/ssm in+out/zxBCdt sections/mlp gate+down) are baked into
+    the converted weights. HF-oracle parity on prefill AND stepwise
+    decode."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core.gguf import GGUFReader
+    from omni_tpu.models import falcon_h1 as fh
+
+    torch.manual_seed(0)
+    hcfg = FalconH1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, mamba_d_ssm=32, mamba_n_heads=4, mamba_d_head=8,
+        mamba_d_state=8, mamba_n_groups=1, mamba_d_conv=4,
+        mamba_rms_norm=True, mamba_norm_before_gate=False,
+        rope_theta=10000.0, max_position_embeddings=64,
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        attention_in_multiplier=1.5, attention_out_multiplier=0.8,
+        key_multiplier=1.25, ssm_in_multiplier=0.75,
+        ssm_out_multiplier=1.1, mlp_multipliers=[1.2, 0.9],
+        ssm_multipliers=[1.0, 1.3, 0.7, 1.4, 0.6],
+        attn_implementation="eager", tie_word_embeddings=True)
+    model = FalconH1ForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "fh1.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="falcon-h1")
+
+    reader = GGUFReader(path)
+    cfg = fh.FalconH1Config.from_gguf(reader.kv)
+    assert cfg.d_inner == 32 and cfg.n_ssm_head == 4 and cfg.head_dim == 8
+    params = fh.load_params(reader, cfg)
+    assert "output" in params  # tied + distinct head multiplier
+    assert params["layers"][0]["ssm_norm"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    fwd = jax.jit(fh.forward, static_argnums=(1,))
+    cache = fh.make_cache(cfg, kv_size=32, n_seqs=2)
+    logits, _ = fwd(params, cfg, jnp.asarray(toks), cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.02)
+
+    cache_b = fh.make_cache(cfg, kv_size=32, n_seqs=2)
+    steps = []
+    for t in toks:
+        lg, cache_b = fwd(params, cfg, jnp.asarray([t]), cache_b, 0)
+        steps.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(steps), np.asarray(logits),
+                               atol=1e-4)
