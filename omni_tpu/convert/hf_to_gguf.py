@@ -82,6 +82,14 @@ _LLM_LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+# PhiMoE: biased TRUE LayerNorms around attention/MoE (HF Phimoe;
+# the reference loads the biases too — llama-model.cpp LLM_ARCH_PHIMOE)
+_PHIMOE_LAYER_MAP = {
+    **_LLM_LAYER_MAP,
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+}
+
 # Apertus: un-gated xIELU FFN, per-head q/k norms, its own norm names
 _APERTUS_LAYER_MAP = {
     "self_attn.q_proj.weight": "attn_q.weight",
@@ -502,6 +510,13 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "starcoder2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("norm_epsilon", 1e-5)))
+    if arch == "phimoe":
+        # HF Phimoe's LayerNorms use config.rms_norm_eps as their eps;
+        # jitter width drives the sparsemixer masked softmax
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("rms_norm_eps", 1e-5)))
+        w.add_kv(f"{arch}.expert_jitter_eps",
+                 float(config.get("router_jitter_noise", 0.01)))
     if arch == "phi2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("layer_norm_eps", 1e-5)))
@@ -618,6 +633,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _BITNET_LAYER_MAP if arch == "bitnet" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
+                 _PHIMOE_LAYER_MAP if arch == "phimoe" else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _GLM4_LAYER_MAP if arch == "glm4" else
                  _NEMOTRON_LAYER_MAP if arch in ("nemotron",

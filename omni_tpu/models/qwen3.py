@@ -50,8 +50,10 @@ class Qwen3Config:
     n_experts_used: int = 0
     # DeepSeek-V2/V3 MoE extensions (llm_build_deepseek2 / build_moe_ffn,
     # reference src/llama-model.cpp:13508, llama-graph.cpp:877):
-    moe_gating: str = "softmax"   # "sigmoid" = V3 scoring_func
+    moe_gating: str = "softmax"   # "sigmoid" = V3 scoring_func;
+    # "sparsemixer" = PhiMoE top-2 (HF modeling_phimoe.sparsemixer)
     moe_norm_w: bool = True       # norm_topk_prob
+    moe_jitter_eps: float = 0.0   # phimoe router_jitter_noise (mask width)
     moe_scale_w: float = 1.0      # routed_scaling_factor
     n_expert_shared: int = 0      # shared experts added to routed mix
     # --- MLA attention (deepseek2): KV cache holds ONE latent head of
@@ -170,6 +172,12 @@ class Qwen3Config:
                 moe_scale_w=float(g("expert_weights_scale", 1.0)),
                 n_expert_shared=int(g("expert_shared_count", 0)),
             )
+        if arch == "phimoe":
+            # PhiMoE (llm_build_phi3<false> + MoE branch): HF-exact
+            # sparsemixer top-2 routing, true biased LayerNorms
+            moe_extra = dict(
+                moe_gating="sparsemixer", moe_norm_w=False,
+                moe_jitter_eps=float(g("expert_jitter_eps", 0.01) or 0.0))
         exaone4_extra = {}
         if arch == "exaone4" and g("attention.sliding_window"):
             # llm_build_exaone4 iswa: 3-SWA:1-full where full layers are
@@ -248,10 +256,12 @@ class Qwen3Config:
                                            "starcoder2", "phi2",
                                            "gptneox", "stablelm",
                                            "falcon", "nemotron", "olmo",
-                                           "bloom", "mpt", "dbrx")
+                                           "bloom", "mpt", "dbrx",
+                                           "phimoe")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
-                               "stablelm", "falcon", "nemotron", "bloom"),
+                               "stablelm", "falcon", "nemotron", "bloom",
+                               "phimoe"),
             # bloom/mpt replace rope with ALiBi score biases
             use_rope=arch not in ("gpt2", "bloom", "mpt"),
             max_alibi_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
@@ -281,7 +291,8 @@ class Qwen3Config:
                           if arch in ("command-r", "cohere2", "gpt2",
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
-                                      "olmo", "bloom", "mpt", "dbrx")
+                                      "olmo", "bloom", "mpt", "dbrx",
+                                      "phimoe")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -992,20 +1003,45 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
     # gating (build_moe_ffn, llama-graph.cpp:877): softmax (default; also
     # covers gpt-oss's SOFTMAX_WEIGHT — softmax-then-topk-then-renorm ==
     # softmax over the selected logits) or sigmoid (DeepSeek-V3)
-    if cfg.moe_gating == "sigmoid":
-        probs = jax.nn.sigmoid(router)
+    if cfg.moe_gating == "sparsemixer":
+        # PhiMoE top-2 routing (HF modeling_phimoe.sparsemixer, eval
+        # path — the reference approximates it with plain softmax top-2
+        # in build_moe_ffn): expert 1 = argmax; its weight = softmax over
+        # the scores with every entry where (max-s)/max(|s|,max) exceeds
+        # 2*jitter_eps masked to -inf, gathered at the argmax; expert 2
+        # repeats the procedure with expert 1 masked out. The two weights
+        # come from separate masked softmaxes and are NOT renormalized.
+        eps2 = 2.0 * cfg.moe_jitter_eps
+        neg = jnp.finfo(jnp.float32).min
+
+        def _pick(base):
+            m = jnp.max(base, axis=-1, keepdims=True)
+            idx = jnp.argmax(base, axis=-1)
+            factor = jnp.maximum(jnp.abs(router), m)
+            masked = jnp.where((m - router) / factor > eps2, neg, base)
+            p = jax.nn.softmax(masked, axis=-1)
+            return idx, jnp.take_along_axis(p, idx[:, None], axis=-1)[:, 0]
+
+        e1, p1 = _pick(router)
+        base2 = jnp.where(jax.nn.one_hot(e1, e, dtype=bool), neg, router)
+        e2, p2 = _pick(base2)
+        top_i = jnp.stack([e1, e2], axis=-1)
+        top_w = jnp.stack([p1, p2], axis=-1)
     else:
-        probs = jax.nn.softmax(router, axis=-1)  # [T, E]
-    # V3 expert-selection bias (e_score_correction): biases SELECTION only,
-    # weights come from the unbiased probs
-    sel = (probs + lp["exp_probs_b"].astype(jnp.float32)
-           if lp.get("exp_probs_b") is not None else probs)
-    _, top_i = jax.lax.top_k(sel, k)
-    top_w = jnp.take_along_axis(probs, top_i, axis=-1)
-    if cfg.moe_norm_w:  # norm_topk_prob
-        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
-    if cfg.moe_scale_w != 1.0:  # routed_scaling_factor
-        top_w = top_w * cfg.moe_scale_w
+        if cfg.moe_gating == "sigmoid":
+            probs = jax.nn.sigmoid(router)
+        else:
+            probs = jax.nn.softmax(router, axis=-1)  # [T, E]
+        # V3 expert-selection bias (e_score_correction): biases SELECTION
+        # only, weights come from the unbiased probs
+        sel = (probs + lp["exp_probs_b"].astype(jnp.float32)
+               if lp.get("exp_probs_b") is not None else probs)
+        _, top_i = jax.lax.top_k(sel, k)
+        top_w = jnp.take_along_axis(probs, top_i, axis=-1)
+        if cfg.moe_norm_w:  # norm_topk_prob
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        if cfg.moe_scale_w != 1.0:  # routed_scaling_factor
+            top_w = top_w * cfg.moe_scale_w
     hb = hn.astype(jnp.bfloat16)
     quant = isinstance(lp["gate_exps"], QExpertStack)
     # llama4 applies the (sigmoid) weights to the expert INPUT, not the

@@ -618,3 +618,56 @@ def test_dbrx_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_phimoe_logits_match_transformers(tmp_path):
+    """PhiMoE (llm_build_phi3 MoE branch, LLM_ARCH_PHIMOE): true biased
+    LayerNorms, biased q/k/v/o + lm_head, HF-exact sparsemixer top-2
+    routing (separate masked softmaxes, no pairwise renorm — the
+    reference approximates this with plain softmax top-2)."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = PhimoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, rope_theta=10000.0, rope_scaling=None,
+        attention_bias=True, lm_head_bias=True, router_jitter_noise=0.01,
+        sliding_window=None, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model = PhimoeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "phimoe.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="phimoe")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.moe_gating == "sparsemixer" and cfg.norm_bias
+    assert cfg.norm_type == "layer"
+    assert abs(cfg.moe_jitter_eps - 0.01) < 1e-6
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["attn_norm_b"] is not None
+    assert params["layers"][0]["bq"] is not None
+    assert params["output_b"] is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.03)
+    for i in range(len(toks)):
+        top2 = np.sort(ref[i])[-2:]
+        if top2[1] - top2[0] > 0.03:
+            assert np.argmax(ours[i]) == np.argmax(ref[i]), i
