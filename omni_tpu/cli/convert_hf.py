@@ -25,7 +25,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
           "glm4moe", "dots1", "ernie4_5-moe", "mamba2", "dbrx",
           "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2",
-          "granitehybrid", "falcon-h1", "phimoe")
+          "granitehybrid", "falcon-h1", "phimoe", "starcoder")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -83,6 +83,7 @@ _HF_ARCH_MAP = {
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",
+    "GPTBigCodeForCausalLM": "starcoder",
     "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",

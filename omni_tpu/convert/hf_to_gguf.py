@@ -278,6 +278,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "gpt2":
         return _convert_gpt2(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "starcoder":
+        return _convert_starcoder(state, config, out_path, qtype,
+                                  tokenizer_kv=tokenizer_kv)
     if arch == "bloom":
         return _convert_bloom(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
@@ -1731,6 +1734,68 @@ def _convert_gpt2(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ffn_up.weight", _np(state[pfx + "mlp.c_fc.weight"]).T)
         put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
         put(b + "ffn_down.weight", _np(state[pfx + "mlp.c_proj.weight"]).T)
+        put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_starcoder(state: Mapping[str, Any], config: Mapping[str, Any],
+                       out_path: str, qtype: GGMLType,
+                       tokenizer_kv: Mapping[str, Any] | None = None
+                       ) -> list[str]:
+    """HF GPTBigCodeForCausalLM -> GGUF arch "starcoder" (reference
+    StarCoderModel + llm_build_starcoder, llama-model.cpp:7670): GPT-2
+    topology with multi-query attention — fused c_attn is
+    [d + 2*kv_dim, d] (nn.Linear, NOT Conv1D: no transpose), learned
+    positions, biased LayerNorms, un-gated GELU FFN."""
+    state = _strip(state, "transformer.")
+    arch = "starcoder"
+    d_model = int(config["n_embd"])
+    n_layers = int(config["n_layer"])
+    n_heads = int(config["n_head"])
+    n_kv = 1 if config.get("multi_query", True) else n_heads
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("n_inner") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("n_positions", 8192)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("position_embd.weight", state["wpe.weight"])
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "ln_1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln_1.bias"], None)
+        put(b + "attn_qkv.weight", state[pfx + "attn.c_attn.weight"])
+        put(b + "attn_qkv.bias", state[pfx + "attn.c_attn.bias"], None)
+        put(b + "attn_output.weight", state[pfx + "attn.c_proj.weight"])
+        put(b + "attn_output.bias", state[pfx + "attn.c_proj.bias"], None)
+        put(b + "ffn_norm.weight", state[pfx + "ln_2.weight"], None)
+        put(b + "ffn_norm.bias", state[pfx + "ln_2.bias"], None)
+        put(b + "ffn_up.weight", state[pfx + "mlp.c_fc.weight"])
+        put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
+        put(b + "ffn_down.weight", state[pfx + "mlp.c_proj.weight"])
         put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
     w.write()
     return written

@@ -257,13 +257,13 @@ class Qwen3Config:
                                            "gptneox", "stablelm",
                                            "falcon", "nemotron", "olmo",
                                            "bloom", "mpt", "dbrx",
-                                           "phimoe")
+                                           "phimoe", "starcoder")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron", "bloom",
-                               "phimoe"),
+                               "phimoe", "starcoder"),
             # bloom/mpt replace rope with ALiBi score biases
-            use_rope=arch not in ("gpt2", "bloom", "mpt"),
+            use_rope=arch not in ("gpt2", "bloom", "mpt", "starcoder"),
             max_alibi_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
@@ -292,7 +292,7 @@ class Qwen3Config:
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
                                       "olmo", "bloom", "mpt", "dbrx",
-                                      "phimoe")
+                                      "phimoe", "starcoder")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -305,7 +305,7 @@ class Qwen3Config:
                  else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
                                                    "phi2", "gptneox",
                                                    "falcon", "bloom",
-                                                   "mpt"))
+                                                   "mpt", "starcoder"))
                  else "silu"),
             xielu=tuple(zip(kv.get("xielu.alpha_n", ()),
                             kv.get("xielu.alpha_p", ()),

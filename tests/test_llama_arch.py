@@ -1184,3 +1184,43 @@ def test_bitnet_logits_match_transformers(tmp_path):
     ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
     logits, _ = ctx.decode(Batch(tokens=toks))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
+
+
+def test_starcoder_logits_match_transformers(tmp_path):
+    """StarCoder / GPTBigCode (llm_build_starcoder, llama-model.cpp:7670):
+    GPT-2 topology with multi-query attention (fused c_attn Linear split
+    as [q | 1-head k | 1-head v]), learned positions, biased LayerNorms,
+    un-gated GELU. Gold parity vs HF eager."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    hcfg = GPTBigCodeConfig(
+        vocab_size=96, n_embd=32, n_inner=64, n_layer=2, n_head=4,
+        n_positions=64, multi_query=True, attn_implementation="eager",
+        tie_word_embeddings=True)
+    model = GPTBigCodeForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    path = tmp_path / "sc.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="starcoder")
+
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.n_kv_heads == 1 and cfg.norm_bias and not cfg.use_rope
+    assert cfg.act == "gelu"
+    params = qwen3.load_params(reader)
+    assert params["position_embd"] is not None
+    assert params["layers"][0].get("wqkv") is not None
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
