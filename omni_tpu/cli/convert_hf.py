@@ -25,7 +25,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "cohere2", "bloom", "mpt", "llama4", "seed_oss", "exaone4",
           "glm4moe", "dots1", "ernie4_5-moe", "mamba2", "dbrx",
           "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2",
-          "granitehybrid", "falcon-h1", "phimoe", "starcoder")
+          "granitehybrid", "falcon-h1", "phimoe", "starcoder",
+          "baichuan", "xverse", "internlm2", "exaone", "orion", "qwen")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -84,6 +85,13 @@ _HF_ARCH_MAP = {
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",
     "GPTBigCodeForCausalLM": "starcoder",
+    "BaichuanForCausalLM": "baichuan",
+    "BaiChuanForCausalLM": "baichuan",
+    "XverseForCausalLM": "xverse",
+    "InternLM2ForCausalLM": "internlm2",
+    "ExaoneForCausalLM": "exaone",
+    "OrionForCausalLM": "orion",
+    "QWenLMHeadModel": "qwen",
     "BitNetForCausalLM": "bitnet",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",

@@ -296,7 +296,110 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch in ("t5", "t5encoder"):
         return _convert_t5(state, config, out_path, qtype,
                            tokenizer_kv=tokenizer_kv)
+    if arch == "exaone":
+        # EXAONE-3 (reference ExaoneModel): transformer.h naming ->
+        # llama-style; c_fc_0 = gate, c_fc_1 = up; NEOX rope (no permute)
+        state = _strip(state, "transformer.")
+        ren = {"wte.weight": "embed_tokens.weight",
+               "ln_f.weight": "norm.weight"}
+        out_state = {}
+        for k, v in state.items():
+            k = ren.get(k, k)
+            k = (k.replace("h.", "layers.", 1)
+                 .replace(".ln_1.", ".input_layernorm.")
+                 .replace(".ln_2.", ".post_attention_layernorm.")
+                 .replace(".attn.attention.out_proj.", ".self_attn.o_proj.")
+                 .replace(".attn.attention.", ".self_attn.")
+                 .replace(".mlp.c_fc_0.", ".mlp.gate_proj.")
+                 .replace(".mlp.c_fc_1.", ".mlp.up_proj.")
+                 .replace(".mlp.c_proj.", ".mlp.down_proj."))
+            out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "rms_norm_eps": config.get("layer_norm_epsilon", 1e-5),
+                  "partial_rotary_factor":
+                      float(config.get("rotary_factor", 1.0))}
+    if arch == "qwen":
+        # Qwen v1 (reference QwenModel): fused biased c_attn [3d, d]
+        # de-fuses into q/k/v; mlp.w2 = gate, mlp.w1 = up (that order);
+        # RMS ln_1/ln_2; NEOX rope
+        state = _strip(state, "transformer.")
+        ren = {"wte.weight": "embed_tokens.weight",
+               "ln_f.weight": "norm.weight"}
+        out_state = {}
+        for k, v in state.items():
+            k = ren.get(k, k)
+            k = (k.replace("h.", "layers.", 1)
+                 .replace(".ln_1.", ".input_layernorm.")
+                 .replace(".ln_2.", ".post_attention_layernorm.")
+                 .replace(".attn.c_proj.", ".self_attn.o_proj.")
+                 .replace(".mlp.w2.", ".mlp.gate_proj.")
+                 .replace(".mlp.w1.", ".mlp.up_proj.")
+                 .replace(".mlp.c_proj.", ".mlp.down_proj."))
+            if k.endswith(".attn.c_attn.weight") or \
+                    k.endswith(".attn.c_attn.bias"):
+                arr = _np(v)
+                d = arr.shape[0] // 3
+                suffix = k.rsplit(".", 1)[1]
+                base = k[: -len("attn.c_attn." + suffix)] + "self_attn."
+                out_state[base + "q_proj." + suffix] = arr[:d]
+                out_state[base + "k_proj." + suffix] = arr[d:2 * d]
+                out_state[base + "v_proj." + suffix] = arr[2 * d:]
+            else:
+                out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "rms_norm_eps": config.get("layer_norm_epsilon", 1e-6),
+                  "rope_theta": config.get("rotary_emb_base", 10000.0)}
     state = _strip(state, "model.")
+    if arch == "baichuan":
+        # W_pack fused [3d, d] -> q/k/v (reference BaichuanModel
+        # _reverse_hf_permute_part); the NORM-rope q/k permute then
+        # applies through the standard permute path below
+        out_state = {}
+        for k, v in state.items():
+            if k.endswith("self_attn.W_pack.weight"):
+                arr = _np(v)
+                d = arr.shape[0] // 3
+                base = k[: -len("W_pack.weight")]
+                out_state[base + "q_proj.weight"] = arr[:d]
+                out_state[base + "k_proj.weight"] = arr[d:2 * d]
+                out_state[base + "v_proj.weight"] = arr[2 * d:]
+            else:
+                out_state[k] = v
+        state = out_state
+    if arch == "internlm2":
+        # InternLM2 (reference InternLM2Model): grouped fused wqkv
+        # [(q_per_kv + 2) * kv_heads * head_dim, d] de-fuses into q/k/v;
+        # its own tensor names -> llama-style; lm head is "output"
+        n_h = int(config["num_attention_heads"])
+        n_k = int(config.get("num_key_value_heads", n_h))
+        hd = int(config["hidden_size"]) // n_h
+        qpk = n_h // n_k
+        out_state = {}
+        for k, v in state.items():
+            if k.endswith("attention.wqkv.weight"):
+                arr = _np(v).reshape(n_k, qpk + 2, hd, -1)
+                base = k[: -len("attention.wqkv.weight")] + "self_attn."
+                out_state[base + "q_proj.weight"] = \
+                    arr[:, :qpk].reshape(n_h * hd, -1)
+                out_state[base + "k_proj.weight"] = \
+                    arr[:, -2].reshape(n_k * hd, -1)
+                out_state[base + "v_proj.weight"] = \
+                    arr[:, -1].reshape(n_k * hd, -1)
+            else:
+                k = (k.replace("tok_embeddings.weight",
+                               "embed_tokens.weight")
+                     .replace(".attention_norm.", ".input_layernorm.")
+                     .replace(".attention.wo.", ".self_attn.o_proj.")
+                     .replace(".ffn_norm.", ".post_attention_layernorm.")
+                     .replace(".feed_forward.w1.", ".mlp.gate_proj.")
+                     .replace(".feed_forward.w3.", ".mlp.up_proj.")
+                     .replace(".feed_forward.w2.", ".mlp.down_proj."))
+                if k == "output.weight":
+                    k = "lm_head.weight"
+                out_state[k] = v
+        state = out_state
     if arch == "granitemoe":
         # GraniteMoE fuses each expert's gate|up into one 3-D
         # input_linear [E, 2F, d] (GraniteMoeParallelExperts; reference
@@ -513,6 +616,15 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "starcoder2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("norm_epsilon", 1e-5)))
+    if arch == "orion":
+        # Orion: true biased LayerNorms keyed by rms_norm_eps in the HF
+        # config (OrionModel add_layer_norm_eps)
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("rms_norm_eps", 1e-5)))
+    if arch == "exaone" and float(config.get("partial_rotary_factor",
+                                             1.0)) != 1.0:
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(float(config["partial_rotary_factor"]) * head_dim))
     if arch == "phimoe":
         # HF Phimoe's LayerNorms use config.rms_norm_eps as their eps;
         # jitter width drives the sparsemixer masked softmax
@@ -636,7 +748,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _BITNET_LAYER_MAP if arch == "bitnet" else
                  _STARCODER2_LAYER_MAP if arch == "starcoder2" else
                  _PHI2_LAYER_MAP if arch == "phi2" else
-                 _PHIMOE_LAYER_MAP if arch == "phimoe" else
+                 _PHIMOE_LAYER_MAP if arch in ("phimoe",
+                                               "orion") else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _GLM4_LAYER_MAP if arch == "glm4" else
                  _NEMOTRON_LAYER_MAP if arch in ("nemotron",
@@ -645,7 +758,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_kv = int(config.get("num_key_value_heads", n_heads))
     permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
                       "granitemoe", "smollm3", "arcee",
-                      "ernie4_5", "ernie4_5-moe", "olmo")  # NORM rope
+                      "ernie4_5", "ernie4_5-moe", "olmo",
+                      "baichuan", "xverse", "internlm2")  # NORM rope
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim

@@ -238,7 +238,8 @@ class Qwen3Config:
                                    "granite", "granitemoe", "command-r",
                                    "deepseek2", "smollm3", "glm4",
                                    "arcee", "ernie4_5", "ernie4_5-moe",
-                                   "olmo", "cohere2", "llama4"),
+                                   "olmo", "cohere2", "llama4",
+                                   "baichuan", "xverse", "internlm2"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -257,11 +258,11 @@ class Qwen3Config:
                                            "gptneox", "stablelm",
                                            "falcon", "nemotron", "olmo",
                                            "bloom", "mpt", "dbrx",
-                                           "phimoe", "starcoder")
+                                           "phimoe", "starcoder", "orion")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron", "bloom",
-                               "phimoe", "starcoder"),
+                               "phimoe", "starcoder", "orion"),
             # bloom/mpt replace rope with ALiBi score biases
             use_rope=arch not in ("gpt2", "bloom", "mpt", "starcoder"),
             max_alibi_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
@@ -292,7 +293,7 @@ class Qwen3Config:
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
                                       "olmo", "bloom", "mpt", "dbrx",
-                                      "phimoe", "starcoder")
+                                      "phimoe", "starcoder", "orion")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),

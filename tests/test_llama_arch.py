@@ -1224,3 +1224,224 @@ def test_starcoder_logits_match_transformers(tmp_path):
     logits, _ = ctx.decode(Batch(tokens=toks))
     ours = np.asarray(logits)
     np.testing.assert_allclose(ours, ref, atol=0.02)
+
+
+def _llama_logits(model, toks):
+    import torch
+    with torch.no_grad():
+        return model(torch.tensor(toks[None].astype(np.int64))).logits[0].numpy()
+
+
+def _assert_ctx_matches(cfg, params, toks, ref, atol=0.02):
+    from omni_tpu.runtime import Batch, Context
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=atol)
+
+
+def test_baichuan_xverse_internlm2_logits_match_transformers(tmp_path):
+    """The llama-semantics clone family (NORM rope):
+    - Baichuan fuses q/k/v into W_pack [3d, d] (llm_build_baichuan;
+      reference BaichuanModel de-fuses with the reverse permute)
+    - XVERSE is tensor-for-tensor llama naming (llm_build_xverse)
+    - InternLM2 fuses a GROUPED wqkv [(q_per_kv+2)*kv*hd, d] and uses
+      its own tensor names (llm_build_internlm2, InternLM2Model)
+    Oracle: one HF LlamaForCausalLM whose weights are re-packed into
+    each arch's HF naming — the converted GGUF must reproduce the
+    llama logits exactly."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    torch.manual_seed(0)
+    hcfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        attention_bias=False, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+    ref = _llama_logits(model, toks)
+
+    # ---- baichuan: fuse q/k/v -> W_pack --------------------------------
+    bsd = {}
+    for k, v in sd.items():
+        if k.endswith("self_attn.q_proj.weight"):
+            base = k[: -len("q_proj.weight")]
+            bsd[base + "W_pack.weight"] = np.concatenate(
+                [sd[base + "q_proj.weight"], sd[base + "k_proj.weight"],
+                 sd[base + "v_proj.weight"]])
+        elif ".k_proj." in k or ".v_proj." in k:
+            continue
+        else:
+            bsd[k] = v
+    path = tmp_path / "bc.gguf"
+    convert_llm(bsd, hcfg.to_dict(), path, arch="baichuan")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is False
+    _assert_ctx_matches(cfg, qwen3.load_params(reader), toks, ref)
+
+    # ---- xverse: identical naming --------------------------------------
+    path = tmp_path / "xv.gguf"
+    convert_llm(sd, hcfg.to_dict(), path, arch="xverse")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is False
+    _assert_ctx_matches(cfg, qwen3.load_params(reader), toks, ref)
+
+    # ---- internlm2: grouped wqkv + own names (GQA this time) -----------
+    hcfg2 = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=False)
+    torch.manual_seed(1)
+    model2 = LlamaForCausalLM(hcfg2).eval()
+    sd2 = {k: v.detach().numpy() for k, v in model2.state_dict().items()}
+    ref2 = _llama_logits(model2, toks)
+    n_h, n_k, hd = 4, 2, 8
+    qpk = n_h // n_k
+    isd = {"model.tok_embeddings.weight": sd2["model.embed_tokens.weight"],
+           "model.norm.weight": sd2["model.norm.weight"],
+           "output.weight": sd2["lm_head.weight"]}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        q = sd2[p + "self_attn.q_proj.weight"].reshape(n_k, qpk, hd, -1)
+        k = sd2[p + "self_attn.k_proj.weight"].reshape(n_k, 1, hd, -1)
+        v = sd2[p + "self_attn.v_proj.weight"].reshape(n_k, 1, hd, -1)
+        isd[p + "attention.wqkv.weight"] = np.concatenate(
+            [q, k, v], axis=1).reshape(-1, 32)
+        isd[p + "attention.wo.weight"] = sd2[p + "self_attn.o_proj.weight"]
+        isd[p + "attention_norm.weight"] = sd2[p + "input_layernorm.weight"]
+        isd[p + "ffn_norm.weight"] = \
+            sd2[p + "post_attention_layernorm.weight"]
+        isd[p + "feed_forward.w1.weight"] = sd2[p + "mlp.gate_proj.weight"]
+        isd[p + "feed_forward.w3.weight"] = sd2[p + "mlp.up_proj.weight"]
+        isd[p + "feed_forward.w2.weight"] = sd2[p + "mlp.down_proj.weight"]
+    path = tmp_path / "il2.gguf"
+    convert_llm(isd, hcfg2.to_dict(), path, arch="internlm2")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is False and cfg.n_kv_heads == 2
+    _assert_ctx_matches(cfg, qwen3.load_params(reader), toks, ref2)
+
+
+def test_exaone_qwen1_orion_logits_match_transformers(tmp_path):
+    """NEOX-rope clone family:
+    - EXAONE-3 (llm_build_exaone): transformer.h naming, c_fc_0/c_fc_1
+      gate/up split, NEOX rope (no permute). Oracle: LlamaForCausalLM
+      re-named (HF llama's half-split rotary IS the NEOX layout).
+    - Qwen v1 (llm_build_qwen): fused biased c_attn, mlp.w2=gate/w1=up.
+      Oracle: LlamaForCausalLM with attention biases, re-fused.
+    - Orion (llm_build_orion): biased TRUE LayerNorms + SwiGLU. Oracle:
+      StableLmForCausalLM with partial_rotary_factor=1.0 (same math)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import (LlamaConfig, LlamaForCausalLM,
+                              StableLmConfig, StableLmForCausalLM)
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    toks = np.array([3, 11, 7, 29, 13, 5], np.int32)
+
+    # ---- exaone ---------------------------------------------------------
+    torch.manual_seed(0)
+    hcfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=False)
+    model = LlamaForCausalLM(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    ref = _llama_logits(model, toks)
+    esd = {"transformer.wte.weight": sd["model.embed_tokens.weight"],
+           "transformer.ln_f.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["lm_head.weight"]}
+    for i in range(2):
+        p, e = f"model.layers.{i}.", f"transformer.h.{i}."
+        esd[e + "ln_1.weight"] = sd[p + "input_layernorm.weight"]
+        esd[e + "ln_2.weight"] = sd[p + "post_attention_layernorm.weight"]
+        for w in ("q", "k", "v"):
+            esd[e + f"attn.attention.{w}_proj.weight"] = \
+                sd[p + f"self_attn.{w}_proj.weight"]
+        esd[e + "attn.attention.out_proj.weight"] = \
+            sd[p + "self_attn.o_proj.weight"]
+        esd[e + "mlp.c_fc_0.weight"] = sd[p + "mlp.gate_proj.weight"]
+        esd[e + "mlp.c_fc_1.weight"] = sd[p + "mlp.up_proj.weight"]
+        esd[e + "mlp.c_proj.weight"] = sd[p + "mlp.down_proj.weight"]
+    ecfg = {**hcfg.to_dict(), "layer_norm_epsilon": hcfg.rms_norm_eps}
+    path = tmp_path / "ex.gguf"
+    convert_llm(esd, ecfg, path, arch="exaone")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is True
+    _assert_ctx_matches(cfg, qwen3.load_params(reader), toks, ref)
+
+    # ---- qwen v1 (MHA + attn biases, fused c_attn) ----------------------
+    torch.manual_seed(1)
+    hcfg_q = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        attention_bias=True, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model_q = LlamaForCausalLM(hcfg_q).eval()
+    sdq = {k: v.detach().numpy() for k, v in model_q.state_dict().items()}
+    # llama's o_proj has no bias even with attention_bias — zero it is
+    refq = _llama_logits(model_q, toks)
+    qsd = {"transformer.wte.weight": sdq["model.embed_tokens.weight"],
+           "transformer.ln_f.weight": sdq["model.norm.weight"],
+           "lm_head.weight": sdq["lm_head.weight"]}
+    for i in range(2):
+        p, e = f"model.layers.{i}.", f"transformer.h.{i}."
+        qsd[e + "ln_1.weight"] = sdq[p + "input_layernorm.weight"]
+        qsd[e + "ln_2.weight"] = sdq[p + "post_attention_layernorm.weight"]
+        qsd[e + "attn.c_attn.weight"] = np.concatenate(
+            [sdq[p + "self_attn.q_proj.weight"],
+             sdq[p + "self_attn.k_proj.weight"],
+             sdq[p + "self_attn.v_proj.weight"]])
+        qsd[e + "attn.c_attn.bias"] = np.concatenate(
+            [sdq[p + "self_attn.q_proj.bias"],
+             sdq[p + "self_attn.k_proj.bias"],
+             sdq[p + "self_attn.v_proj.bias"]])
+        qsd[e + "attn.c_proj.weight"] = sdq[p + "self_attn.o_proj.weight"]
+        qsd[e + "mlp.w2.weight"] = sdq[p + "mlp.gate_proj.weight"]
+        qsd[e + "mlp.w1.weight"] = sdq[p + "mlp.up_proj.weight"]
+        qsd[e + "mlp.c_proj.weight"] = sdq[p + "mlp.down_proj.weight"]
+    qcfg = {**hcfg_q.to_dict(), "layer_norm_epsilon": hcfg_q.rms_norm_eps,
+            "rotary_emb_base": 10000.0}
+    path = tmp_path / "qw1.gguf"
+    convert_llm(qsd, qcfg, path, arch="qwen")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.rope_neox is True
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["bq"] is not None
+    _assert_ctx_matches(cfg, params, toks, refq)
+
+    # ---- orion (biased LayerNorms, full rotary) -------------------------
+    torch.manual_seed(2)
+    scfg = StableLmConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=1.0, use_qkv_bias=False, qk_layernorm=False,
+        use_parallel_residual=False, max_position_embeddings=64,
+        rope_theta=10000.0, attn_implementation="eager",
+        tie_word_embeddings=False)
+    model_s = StableLmForCausalLM(scfg).eval()
+    sds = {k: v.detach().numpy() for k, v in model_s.state_dict().items()}
+    refs = _llama_logits(model_s, toks)
+    ocfg = {**scfg.to_dict(), "rms_norm_eps": scfg.layer_norm_eps}
+    path = tmp_path / "orion.gguf"
+    convert_llm(sds, ocfg, path, arch="orion")
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.norm_type == "layer" and cfg.norm_bias and cfg.rope_neox
+    params = qwen3.load_params(reader)
+    assert params["layers"][0]["attn_norm_b"] is not None
+    _assert_ctx_matches(cfg, params, toks, refs)
