@@ -48,6 +48,90 @@ def _add(w: GGUFWriter, name: str, arr, qtype: GGMLType | None = None) -> None:
     w.add_tensor(name, quants.quantize(x, qtype), qtype, logical_shape=x.shape)
 
 
+def _emit_rope_scaling(w: GGUFWriter, arch: str, config: Mapping[str, Any],
+                       rot_dim: int) -> dict[str, np.ndarray]:
+    """Emit {arch}.rope.scaling.* KVs for HF rope_scaling configs and
+    return any per-dim factor tensors to write (rope_freqs.weight for
+    llama3, rope_factors_{short,long}.weight for longrope) — the same
+    on-disk contract the reference converter produces
+    (convert_hf_to_gguf.py:2410-2436 llama3 rope_factors,
+    Phi3MiniModel longrope factors; gguf constants.py:166-175).
+
+    The attention (mscale) factor is RESOLVED here per the HF rules
+    (modeling_rope_utils.py: yarn get_mscale incl. mscale/mscale_all_dim;
+    longrope sqrt(1+ln(f)/ln(orig))) so the engine reads one number."""
+    import math
+
+    rs = config.get("rope_scaling") or {}
+    if not rs:
+        return {}
+    typ = str(rs.get("rope_type", rs.get("type", ""))).lower()
+    extra: dict[str, np.ndarray] = {}
+    if typ == "linear" and rs.get("factor"):
+        w.add_kv(f"{arch}.rope.scaling.type", "linear")
+        w.add_kv(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    elif typ in ("yarn", "original") and rs.get("factor"):
+        factor = float(rs["factor"])
+        orig = int(rs.get("original_max_position_embeddings")
+                   or config.get("max_position_embeddings", 4096))
+
+        def _gm(s: float, m: float = 1.0) -> float:
+            return 1.0 if s <= 1 else 0.1 * m * math.log(s) + 1.0
+
+        attn = rs.get("attention_factor")
+        if attn is None:
+            ms, msa = rs.get("mscale"), rs.get("mscale_all_dim")
+            attn = (_gm(factor, ms) / _gm(factor, msa) if ms and msa
+                    else _gm(factor))
+        w.add_kv(f"{arch}.rope.scaling.type", "yarn")
+        w.add_kv(f"{arch}.rope.scaling.factor", factor)
+        w.add_kv(f"{arch}.rope.scaling.original_context_length", orig)
+        w.add_kv(f"{arch}.rope.scaling.attn_factor", float(attn))
+        w.add_kv(f"{arch}.rope.scaling.yarn_beta_fast",
+                 float(rs.get("beta_fast") or 32.0))
+        w.add_kv(f"{arch}.rope.scaling.yarn_beta_slow",
+                 float(rs.get("beta_slow") or 1.0))
+    elif typ in ("longrope", "su"):
+        # factor for the attention scale: phi3-family overrides via the
+        # top-level original_max_position_embeddings ratio
+        orig_top = config.get("original_max_position_embeddings")
+        if orig_top:
+            factor = (float(config["max_position_embeddings"])
+                      / float(orig_top))
+            orig = int(orig_top)
+        else:
+            factor = rs.get("factor")
+            orig = int(rs.get("original_max_position_embeddings")
+                       or config.get("max_position_embeddings", 4096))
+        attn = rs.get("attention_factor")
+        if attn is None:
+            attn = (1.0 if not factor or factor <= 1.0
+                    else math.sqrt(1 + math.log(factor) / math.log(orig)))
+        w.add_kv(f"{arch}.rope.scaling.type", "longrope")
+        w.add_kv(f"{arch}.rope.scaling.original_context_length", orig)
+        w.add_kv(f"{arch}.rope.scaling.attn_factor", float(attn))
+        extra["rope_factors_short.weight"] = np.asarray(
+            rs["short_factor"], np.float32)
+        extra["rope_factors_long.weight"] = np.asarray(
+            rs["long_factor"], np.float32)
+    elif typ == "llama3":
+        base = float(config.get("rope_theta", 10000.0))
+        factor = float(rs.get("factor", 8.0))
+        lo_f = float(rs.get("low_freq_factor", 1.0))
+        hi_f = float(rs.get("high_freq_factor", 4.0))
+        old = float(rs.get("original_max_position_embeddings", 8192))
+        inv = 1.0 / (base ** (np.arange(0, rot_dim, 2, dtype=np.float64)
+                              / rot_dim))
+        wavelen = 2 * math.pi / inv
+        smooth = (old / wavelen - lo_f) / (hi_f - lo_f)
+        divisors = np.where(
+            wavelen < old / hi_f, 1.0,
+            np.where(wavelen > old / lo_f, factor,
+                     1.0 / ((1 - smooth) / factor + smooth)))
+        extra["rope_freqs.weight"] = divisors.astype(np.float32)
+    return extra
+
+
 def _strip(state: Mapping[str, Any], *prefixes: str) -> dict[str, Any]:
     out = {}
     for k, v in state.items():
@@ -315,10 +399,15 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  .replace(".mlp.c_proj.", ".mlp.down_proj."))
             out_state[k] = v
         state = out_state
+        # partial rotary: HF EXAONE configs use partial_rotary_factor
+        # or rope_pct (reference ExaoneModel reads
+        # ["partial_rotary_factor", "rope_pct"]); never clobber a real
+        # value with the non-existent "rotary_factor" key
         config = {**config,
                   "rms_norm_eps": config.get("layer_norm_epsilon", 1e-5),
                   "partial_rotary_factor":
-                      float(config.get("rotary_factor", 1.0))}
+                      float(config.get("partial_rotary_factor",
+                                       config.get("rope_pct", 1.0)))}
     if arch == "qwen":
         # Qwen v1 (reference QwenModel): fused biased c_attn [3d, d]
         # de-fuses into q/k/v; mlp.w2 = gate, mlp.w1 = up (that order);
@@ -348,7 +437,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             else:
                 out_state[k] = v
         state = out_state
+        # HF Qwen-v1 sets intermediate_size to 2x the true w1/w2 width
+        # (QWenMLP projects to intermediate_size // 2; the reference
+        # builds ffn tensors at n_ff/2) — halve so d_ff matches the
+        # actual gate/up projection width
         config = {**config,
+                  "intermediate_size": int(config["intermediate_size"]) // 2,
                   "rms_norm_eps": config.get("layer_norm_epsilon", 1e-6),
                   "rope_theta": config.get("rotary_emb_base", 10000.0)}
     state = _strip(state, "model.")
@@ -565,6 +659,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.context_length",
              int(config.get("max_position_embeddings", 4096)))
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    rope_extra = _emit_rope_scaling(
+        w, arch, config,
+        rot_dim=(int(config["qk_rope_head_dim"]) if ds2 else
+                 int(head_dim
+                     * float(config.get("partial_rotary_factor", 1.0)))))
     if arch == "gpt-oss":
         config = {**config, "num_experts": config.get("num_experts")
                   or config.get("num_local_experts")}
@@ -621,6 +720,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         # config (OrionModel add_layer_norm_eps)
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("rms_norm_eps", 1e-5)))
+    if arch == "baichuan" and int(config["num_hidden_layers"]) == 40:
+        # Baichuan-13B (40 layers) is ALiBi with NO rope — the reference
+        # sets f_max_alibi_bias=8 for LLM_TYPE_13B and skips rope
+        # (llama-model.cpp:779, llm_build_baichuan); only the 7B
+        # variants rope
+        w.add_kv(f"{arch}.attention.max_alibi_bias", 8.0)
     if arch == "exaone" and float(config.get("partial_rotary_factor",
                                              1.0)) != 1.0:
         w.add_kv(f"{arch}.rope.dimension_count",
@@ -632,6 +737,11 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  float(config.get("rms_norm_eps", 1e-5)))
         w.add_kv(f"{arch}.expert_jitter_eps",
                  float(config.get("router_jitter_noise", 0.01)))
+    if arch in ("phi3", "phimoe") and config.get("sliding_window"):
+        # phi3-family windows every layer (reference llm_build_phi3
+        # iswa=true path with all-SWA pattern)
+        w.add_kv(f"{arch}.attention.sliding_window",
+                 int(config["sliding_window"]))
     if arch == "phi2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("layer_norm_eps", 1e-5)))
@@ -731,6 +841,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         written.append(name)
 
     put("token_embd.weight", state["embed_tokens.weight"])
+    for nm, arr in rope_extra.items():  # llama3/longrope factor tensors
+        put(nm, arr, None)
     if "norm.weight" in state:  # absent for OLMo (non-parametric norms)
         put("output_norm.weight", state["norm.weight"], None)
     if "norm.bias" in state:  # starcoder2 biased final LayerNorm
@@ -1061,7 +1173,10 @@ def _convert_granite_hybrid(state: Mapping[str, Any],
             put(b + "ssm_dt.bias", state[mp + "dt_bias"], None)
             put(b + "ssm_a", state[mp + "A_log"], None)
             put(b + "ssm_d", state[mp + "D"], None)
-            put(b + "ssm_norm.weight", state[mp + "norm.weight"], None)
+            # reference reshapes mamba norms to [n_group, d_inner/n_group]
+            put(b + "ssm_norm.weight",
+                _np(state[mp + "norm.weight"]).reshape(
+                    int(config.get("mamba_n_groups", 1)), -1), None)
             put(b + "ssm_out.weight", state[mp + "out_proj.weight"])
         else:
             put(b + "attn_q.weight", state[pfx + "self_attn.q_proj.weight"])
@@ -1192,7 +1307,12 @@ def _convert_falcon_h1(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_a", state[mp + "A_log"], None)
         put(b + "ssm_d", state[mp + "D"], None)
         if mp + "norm.weight" in state:
-            put(b + "ssm_norm.weight", state[mp + "norm.weight"], None)
+            # reference FalconH1Model reshapes mamba.norm to
+            # [n_group, d_inner/n_group] on disk (element order is the
+            # flat one either way; ssm.py re-flattens at use)
+            put(b + "ssm_norm.weight",
+                _np(state[mp + "norm.weight"]).reshape(
+                    n_group, d_inner // n_group), None)
         put(b + "ssm_out.weight",
             _np(state[mp + "out_proj.weight"]) * ssm_out_m)
         fp = pfx + "feed_forward."
@@ -1412,7 +1532,10 @@ def _convert_mamba2(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ssm_dt.bias", state[pfx + "dt_bias"], None)
         put(b + "ssm_a", state[pfx + "A_log"], None)
         put(b + "ssm_d", state[pfx + "D"], None)
-        put(b + "ssm_norm.weight", state[pfx + "norm.weight"], None)
+        # reference Mamba2Model reshapes norm to [n_group, d_inner/n_group]
+        put(b + "ssm_norm.weight",
+            _np(state[pfx + "norm.weight"]).reshape(
+                int(config.get("n_groups", 1)), -1), None)
         put(b + "ssm_out.weight", state[pfx + "out_proj.weight"])
     w.write()
     return written

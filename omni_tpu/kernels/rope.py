@@ -10,6 +10,8 @@ an incremental rotation by the delta.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -20,14 +22,50 @@ def rope_freqs(head_dim: int, base: float, dtype=jnp.float32) -> jax.Array:
     return 1.0 / (base ** exponents)
 
 
+def yarn_freqs(head_dim: int, base: float, factor: float, orig_ctx: int,
+               beta_fast: float = 32.0, beta_slow: float = 1.0,
+               ) -> jax.Array:
+    """YaRN-corrected inverse frequencies [head_dim/2] (NTK-by-parts).
+
+    Matches HF `_compute_yarn_parameters` (and the reference's
+    ggml rope_yarn corrections, ggml/src/ggml-cpu/ops.cpp): frequencies
+    whose full rotation period fits inside the original context
+    (high-frequency dims) extrapolate unchanged; slow dims interpolate
+    by 1/factor; a linear ramp between the beta_fast/beta_slow
+    correction dims blends the two. The attention (mscale) factor is
+    carried separately — see Qwen3Config.rope_attn_factor."""
+
+    def correction_dim(n_rot: float) -> float:
+        return (head_dim
+                * math.log(orig_ctx / (n_rot * 2 * math.pi))
+                / (2 * math.log(base)))
+
+    low = max(math.floor(correction_dim(beta_fast)), 0)
+    high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(head_dim // 2, dtype=jnp.float32) - low) / (high - low),
+        0.0, 1.0)
+    extrap_mask = 1.0 - ramp  # 1 = pure extrapolation (fast dims)
+    pos_f = base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                     / head_dim)
+    return ((1.0 / (factor * pos_f)) * ramp
+            + (1.0 / pos_f) * extrap_mask)
+
+
 def apply_rope(x: jax.Array, pos: jax.Array, base: float = 10000.0,
                freqs: jax.Array | None = None,
-               neox: bool = True) -> jax.Array:
+               neox: bool = True, scale: float = 1.0) -> jax.Array:
     """Rotate x[..., T, H, D] by per-token positions pos[..., T].
 
     neox=True: the first D/2 lanes pair with the last D/2 (NeoX/Qwen,
     GGML_ROPE_TYPE_NEOX). neox=False: adjacent lanes pair (original
     rotary, GGML_ROPE_TYPE_NORM — LLaMA/Mistral family).
+
+    `scale` is the YaRN/LongRoPE attention factor (mscale): it
+    multiplies cos AND sin, i.e. the rotated vector itself, which is
+    how HF applies attention_scaling to its cos/sin caches.
     """
     d = x.shape[-1]
     if freqs is None:
@@ -35,6 +73,9 @@ def apply_rope(x: jax.Array, pos: jax.Array, base: float = 10000.0,
     angles = pos[..., None].astype(jnp.float32) * freqs  # [..., T, D/2]
     cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., None, :]
+    if scale != 1.0:
+        cos = cos * scale
+        sin = sin * scale
     if neox:
         x1 = x[..., : d // 2].astype(jnp.float32)
         x2 = x[..., d // 2 :].astype(jnp.float32)

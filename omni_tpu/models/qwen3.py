@@ -45,6 +45,27 @@ class Qwen3Config:
     # NeoX (half-split) vs NORM (adjacent-pair) rotary: LLaMA/Mistral/
     # MiniCPM-family archs use NORM (reference llama_rope_type)
     rope_neox: bool = True
+    # --- RoPE context scaling ({arch}.rope.scaling.* GGUF keys;
+    # reference llama-hparams rope_scaling_type_train + rope_yarn in
+    # ggml; formulas match HF modeling_rope_utils, our parity oracle).
+    # "none" | "linear" (freqs / factor) | "yarn" (NTK-by-parts ramp)
+    # | "longrope" (per-dim factor tensors rope_factors_{short,long}).
+    # llama3-style scaling arrives as a per-dim divisor tensor
+    # (params["rope_freqs"], reference rope_freqs.weight) with type
+    # "none". rope_attn_factor is the RESOLVED mscale (cos/sin
+    # multiplier): the converter computes it per the HF rules
+    # (yarn get_mscale incl. mscale/mscale_all_dim; longrope
+    # sqrt(1+ln(f)/ln(orig))) so the engine never re-derives it.
+    rope_scaling: str = "none"
+    rope_scale_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    # longrope branch selection: True once the runtime context exceeds
+    # rope_orig_ctx (HF picks long_factor when seq_len > original_max;
+    # the reference picks by n_ctx_per_seq at graph build)
+    rope_long: bool = False
     # MoE (qwen3moe/mixtral-style): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
@@ -263,8 +284,11 @@ class Qwen3Config:
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron", "bloom",
                                "phimoe", "starcoder", "orion"),
-            # bloom/mpt replace rope with ALiBi score biases
-            use_rope=arch not in ("gpt2", "bloom", "mpt", "starcoder"),
+            # bloom/mpt (and ALiBi baichuan-13B) replace rope with ALiBi
+            # score biases; any arch with max_alibi_bias > 0 skips rope
+            use_rope=(arch not in ("gpt2", "bloom", "mpt", "starcoder")
+                      and float(g("attention.max_alibi_bias", 0.0)
+                                or 0.0) <= 0.0),
             max_alibi_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
@@ -287,6 +311,19 @@ class Qwen3Config:
             n_vocab=len(kv["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in kv
             else int(g("vocab_size")),
             rope_base=float(g("rope.freq_base", 10000.0)),
+            # rope context scaling (reference llama-arch LLM_KV_ROPE_
+            # SCALING_*; "none" also covers the llama3 per-dim-divisor
+            # tensor path — see rope_scaling docstring above)
+            rope_scaling=str(g("rope.scaling.type", "none") or "none"),
+            rope_scale_factor=float(g("rope.scaling.factor", 1.0) or 1.0),
+            rope_orig_ctx=int(g("rope.scaling.original_context_length",
+                                0) or 0),
+            rope_attn_factor=float(g("rope.scaling.attn_factor", 1.0)
+                                   or 1.0),
+            yarn_beta_fast=float(g("rope.scaling.yarn_beta_fast", 32.0)
+                                 or 32.0),
+            yarn_beta_slow=float(g("rope.scaling.yarn_beta_slow", 1.0)
+                                 or 1.0),
             rms_eps=float(g("attention.layer_norm_epsilon",
                             g("attention.layer_norm_rms_epsilon", 1e-6))
                           if arch in ("command-r", "cohere2", "gpt2",
@@ -324,16 +361,23 @@ class Qwen3Config:
             final_softcap=float(g("final_logit_softcapping", 30.0))
             if arch == "gemma2" else 0.0,
             swa_window=int(g("attention.sliding_window",
-                             4096 if arch == "gemma2" else 0))
-            if (gemma or arch in ("gpt-oss", "cohere2")) else 0,
+                             4096 if arch == "gemma2" else 0) or 0)
+            if (gemma or arch in ("gpt-oss", "cohere2", "phi3",
+                                  "phimoe")) else 0,
             # gemma2 and gpt-oss alternate SWA/full (pattern 2); gemma3
             # runs 5 SWA + 1 full (pattern 6); cohere2 3 SWA + 1 full
-            # NoPE (pattern 4) — set_swa_pattern calls
+            # NoPE (pattern 4) — set_swa_pattern calls; phi3-family
+            # windows EVERY layer (hparams.set_swa_pattern(1) stays
+            # all-SWA: swa_every > n_layers makes il%e < e-1 always true)
             swa_every=(2 if arch in ("gemma2", "gpt-oss") else
                        6 if arch == "gemma3" else
-                       4 if arch == "cohere2" else 0),
+                       4 if arch == "cohere2" else
+                       n_layers_ + 1 if (arch in ("phi3", "phimoe")
+                                         and g("attention.sliding_window"))
+                       else 0),
             rope_base_swa=(float(g("rope.freq_base", 10000.0))
-                           if arch in ("gpt-oss", "cohere2", "llama4")
+                           if arch in ("gpt-oss", "cohere2", "llama4",
+                                       "phi3", "phimoe")
                            else 10000.0),
         )
         kw.update(moe_extra)  # deepseek-style gating KVs (glm4moe/dots1/…)
@@ -410,6 +454,15 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     params["cls_b"] = get("cls.bias", required=False, keep_q=False)
     params["cls_out"] = get("cls.output.weight", required=False, keep_q=False)
     params["cls_out_b"] = get("cls.output.bias", required=False, keep_q=False)
+    # rope per-dim frequency divisors: llama3-scaling rope_freqs.weight
+    # (reference LlamaModel.generate_extra_tensors) and the phi3-longrope
+    # short/long factor tensors (reference LLM_TENSOR_ROPE_FACTORS_*)
+    params["rope_freqs"] = get("rope_freqs.weight", required=False,
+                               keep_q=False)
+    params["rope_factors_short"] = get("rope_factors_short.weight",
+                                       required=False, keep_q=False)
+    params["rope_factors_long"] = get("rope_factors_long.weight",
+                                      required=False, keep_q=False)
 
     i = 0
     while (f"blk.{i}.attn_norm.weight" in reader.tensors
@@ -579,6 +632,38 @@ def embed(params: dict, tokens: jax.Array) -> jax.Array:
     return params["token_embd"][tokens].astype(jnp.bfloat16)
 
 
+def resolve_rope_freqs(cfg: Qwen3Config, params: dict
+                       ) -> tuple[jax.Array | None, float]:
+    """Per-dim inverse frequencies + attention (mscale) factor for the
+    FULL-rope layers. Returns (None, 1.0) for plain rope — the caller
+    falls back to apply_rope's base-derived frequencies. SWA layers
+    always rope at the unscaled rope_base_swa (gemma3 semantics: HF
+    applies rope_scaling only to the global-attention layers)."""
+    from ..kernels.rope import rope_freqs, yarn_freqs
+
+    dim = cfg.rope_dim if cfg.rope_dim > 0 else cfg.head_dim
+    freqs = None
+    if cfg.rope_scaling == "linear":
+        freqs = rope_freqs(dim, cfg.rope_base) / cfg.rope_scale_factor
+    elif cfg.rope_scaling == "yarn":
+        freqs = yarn_freqs(dim, cfg.rope_base, cfg.rope_scale_factor,
+                           cfg.rope_orig_ctx or 1,
+                           cfg.yarn_beta_fast, cfg.yarn_beta_slow)
+    elif cfg.rope_scaling == "longrope":
+        fac = (params["rope_factors_long"] if cfg.rope_long
+               else params["rope_factors_short"])
+        freqs = rope_freqs(dim, cfg.rope_base) / fac.astype(jnp.float32)
+    if params.get("rope_freqs") is not None:
+        # llama3 scaling: per-dim divisors precomputed by the converter
+        # (reference rope_freqs.weight tensor)
+        base_f = (freqs if freqs is not None
+                  else rope_freqs(dim, cfg.rope_base))
+        freqs = base_f / params["rope_freqs"].astype(jnp.float32)
+    if freqs is None:
+        return None, 1.0
+    return freqs, cfg.rope_attn_factor
+
+
 def forward(
     params: dict,
     cfg: Qwen3Config,
@@ -673,6 +758,14 @@ def forward(
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
+    # rope context scaling (yarn/linear/longrope/llama3 divisors):
+    # resolved once; None = plain base-derived frequencies. SWA layers
+    # scale too UNLESS the arch defines a distinct local base
+    # (gemma3: local layers rope plain at rope_local_base_freq while
+    # only global layers carry the linear factor; phi3-style all-SWA
+    # archs share one base and scale everywhere)
+    rfreqs, rscale = resolve_rope_freqs(cfg, params)
+    swa_scaled = cfg.rope_base_swa == cfg.rope_base
     for li, lp in enumerate(params["layers"]):
         h_in = h
         if cfg.norm_type == "rms":
@@ -703,8 +796,10 @@ def forward(
             kv_cmpr = rms_norm(kv_a[:, :cfg.kv_lora_rank],
                                lp["kv_a_norm"], cfg.rms_eps)
             k_pe = kv_a[:, cfg.kv_lora_rank:].reshape(t, 1, cfg.rope_dim)
-            q_pe = apply_rope(q_pe, pos, cfg.rope_base, neox=cfg.rope_neox)
-            k_pe = apply_rope(k_pe, pos, cfg.rope_base, neox=cfg.rope_neox)
+            q_pe = apply_rope(q_pe, pos, cfg.rope_base, freqs=rfreqs,
+                              neox=cfg.rope_neox, scale=rscale)
+            k_pe = apply_rope(k_pe, pos, cfg.rope_base, freqs=rfreqs,
+                              neox=cfg.rope_neox, scale=rscale)
             # absorb: q_abs[t,h,r] = sum_n q_nope[t,h,n] * wk_b[h,r,n]
             q_abs = jnp.einsum(
                 "thn,hrn->thr", q_nope.astype(jnp.bfloat16),
@@ -771,15 +866,23 @@ def forward(
                 # rope_dim columns rotate — same layout the cache
                 # re-rotation assumes (llm_build_phi2 n_rot)
                 r = cfg.rope_dim
+                fl, sl = ((rfreqs, rscale)
+                          if (not swa_l or swa_scaled) else (None, 1.0))
                 q = jnp.concatenate(
-                    [apply_rope(q[..., :r], pos, base_l,
-                                neox=cfg.rope_neox), q[..., r:]], -1)
+                    [apply_rope(q[..., :r], pos, base_l, freqs=fl,
+                                neox=cfg.rope_neox, scale=sl),
+                     q[..., r:]], -1)
                 k = jnp.concatenate(
-                    [apply_rope(k[..., :r], pos, base_l,
-                                neox=cfg.rope_neox), k[..., r:]], -1)
+                    [apply_rope(k[..., :r], pos, base_l, freqs=fl,
+                                neox=cfg.rope_neox, scale=sl),
+                     k[..., r:]], -1)
             else:
-                q = apply_rope(q, pos, base_l, neox=cfg.rope_neox)
-                k = apply_rope(k, pos, base_l, neox=cfg.rope_neox)
+                fl, sl = ((rfreqs, rscale)
+                          if (not swa_l or swa_scaled) else (None, 1.0))
+                q = apply_rope(q, pos, base_l, freqs=fl,
+                               neox=cfg.rope_neox, scale=sl)
+                k = apply_rope(k, pos, base_l, freqs=fl,
+                               neox=cfg.rope_neox, scale=sl)
             if cfg.qk_norm_l2:
                 # llama4 L2 norm on roped q/k (weightless RMS, post-rope)
                 q = rms_norm(q, None, cfg.rms_eps)

@@ -72,6 +72,15 @@ class Context:
         sampler: SamplerParams | None = None,
         buckets: tuple[int, ...] = BUCKETS,
     ):
+        # longrope branch selection: HF applies long_factor once
+        # seq_len exceeds original_max_position_embeddings; the engine
+        # picks statically by the context size (the reference picks by
+        # n_ctx_per_seq at graph build — same rule)
+        if (getattr(cfg, "rope_scaling", "none") == "longrope"
+                and getattr(cfg, "rope_orig_ctx", 0)
+                and n_ctx > cfg.rope_orig_ctx and not cfg.rope_long):
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, rope_long=True)
         self.cfg = cfg
         self.params = params
         self._forward = forward_fn

@@ -1413,7 +1413,11 @@ def test_exaone_qwen1_orion_logits_match_transformers(tmp_path):
         qsd[e + "mlp.w2.weight"] = sdq[p + "mlp.gate_proj.weight"]
         qsd[e + "mlp.w1.weight"] = sdq[p + "mlp.up_proj.weight"]
         qsd[e + "mlp.c_proj.weight"] = sdq[p + "mlp.down_proj.weight"]
+    # real HF Qwen-v1 configs set intermediate_size to 2x the actual
+    # w1/w2 width (QWenMLP projects to intermediate_size // 2) — the
+    # converter halves it back
     qcfg = {**hcfg_q.to_dict(), "layer_norm_epsilon": hcfg_q.rms_norm_eps,
+            "intermediate_size": 2 * hcfg_q.intermediate_size,
             "rotary_emb_base": 10000.0}
     path = tmp_path / "qw1.gguf"
     convert_llm(qsd, qcfg, path, arch="qwen")
@@ -1445,3 +1449,49 @@ def test_exaone_qwen1_orion_logits_match_transformers(tmp_path):
     params = qwen3.load_params(reader)
     assert params["layers"][0]["attn_norm_b"] is not None
     _assert_ctx_matches(cfg, params, toks, refs)
+
+
+def test_baichuan_13b_converts_as_alibi_no_rope(tmp_path):
+    """40-layer Baichuan (the 13B shape) is ALiBi with NO rope — the
+    reference sets f_max_alibi_bias=8 for LLM_TYPE_13B and skips rope
+    (llama-model.cpp:779); only the 7B variants rope. The converter
+    detects the 40-layer variant and emits max_alibi_bias=8."""
+    import numpy as np
+
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+    from omni_tpu.runtime import Context, SamplerParams
+
+    rng = np.random.default_rng(0)
+    d, ff, vocab, n_l = 16, 32, 32, 40
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    sd = {"model.embed_tokens.weight": w(vocab, d),
+          "model.norm.weight": np.ones(d, np.float32),
+          "lm_head.weight": w(vocab, d)}
+    for i in range(n_l):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(d, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(d, np.float32)
+        sd[p + "self_attn.W_pack.weight"] = w(3 * d, d)
+        sd[p + "self_attn.o_proj.weight"] = w(d, d)
+        sd[p + "mlp.gate_proj.weight"] = w(ff, d)
+        sd[p + "mlp.up_proj.weight"] = w(ff, d)
+        sd[p + "mlp.down_proj.weight"] = w(d, ff)
+    config = dict(vocab_size=vocab, hidden_size=d, intermediate_size=ff,
+                  num_hidden_layers=n_l, num_attention_heads=2,
+                  num_key_value_heads=2, max_position_embeddings=64,
+                  rms_norm_eps=1e-6, tie_word_embeddings=False)
+    path = tmp_path / "bc13.gguf"
+    convert_llm(sd, config, path, arch="baichuan")
+    reader = GGUFReader(path)
+    assert reader.kv["baichuan.attention.max_alibi_bias"] == 8.0
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.use_rope is False
+    assert cfg.max_alibi_bias == 8.0
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                  qwen3.embed, n_ctx=32, buckets=(8,),
+                  sampler=SamplerParams(greedy=True))
+    out = ctx.generate(np.array([3, 7, 5], np.int32), max_new=4)
+    assert len(out) == 4
