@@ -26,7 +26,9 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "glm4moe", "dots1", "ernie4_5-moe", "mamba2", "dbrx",
           "hunyuan-moe", "hunyuan-dense", "apertus", "bitnet", "lfm2",
           "granitehybrid", "falcon-h1", "phimoe", "starcoder",
-          "baichuan", "xverse", "internlm2", "exaone", "orion", "qwen")
+          "baichuan", "xverse", "internlm2", "exaone", "orion", "qwen",
+          "plamo", "refact", "jais", "codeshell", "gptj", "chatglm",
+          "deepseek", "bailingmoe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -99,6 +101,15 @@ _HF_ARCH_MAP = {
     "BertModel": "bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",
+    "PlamoForCausalLM": "plamo",
+    "RefactForCausalLM": "refact",
+    "JAISLMHeadModel": "jais",
+    "CodeShellForCausalLM": "codeshell",
+    "GPTJForCausalLM": "gptj",
+    "ChatGLMModel": "chatglm",
+    "ChatGLMForConditionalGeneration": "chatglm",
+    "DeepseekForCausalLM": "deepseek",
+    "BailingMoeForCausalLM": "bailingmoe",
 }
 
 

@@ -374,6 +374,15 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "gptneox":
         return _convert_gptneox(state, config, out_path, qtype,
                                 tokenizer_kv=tokenizer_kv)
+    if arch == "jais":
+        return _convert_jais(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
+    if arch == "codeshell":
+        return _convert_codeshell(state, config, out_path, qtype,
+                                  tokenizer_kv=tokenizer_kv)
+    if arch == "gptj":
+        return _convert_gptj(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
     if arch == "falcon":
         return _convert_falcon(state, config, out_path, qtype,
                                tokenizer_kv=tokenizer_kv)
@@ -445,6 +454,171 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "intermediate_size": int(config["intermediate_size"]) // 2,
                   "rms_norm_eps": config.get("layer_norm_epsilon", 1e-6),
                   "rope_theta": config.get("rotary_emb_base", 10000.0)}
+    if arch == "plamo":
+        # PLaMo (reference PlamoModel + llm_build_plamo): one shared
+        # pre-norm feeds attention AND ffn (parallel residual), NeoX
+        # full-head rope; HF orders q heads q-per-group-major while the
+        # GGUF GQA contract is kv-group-major — shuffle q rows and the
+        # matching o columns (PlamoModel.shuffle_attn_{q,output}_weight)
+        state = {k.replace("layers.layers.", "layers.", 1): v
+                 for k, v in state.items()}
+        n_h = int(config["num_attention_heads"])
+        n_k = int(config.get("num_key_value_heads") or n_h)
+        hd = int(config["hidden_size"]) // n_h
+        qpk = n_h // n_k
+        out_state = {}
+        for k, v in state.items():
+            if k.endswith("self_attn.q_proj.weight") and qpk > 1:
+                a = _np(v)
+                d = a.shape[1]
+                a = a.reshape(qpk, n_k, hd, d).swapaxes(0, 1)
+                out_state[k] = a.reshape(n_h * hd, d)
+            elif k.endswith("self_attn.o_proj.weight") and qpk > 1:
+                a = _np(v)
+                d = a.shape[0]
+                a = a.reshape(d, qpk, n_k, hd).swapaxes(1, 2)
+                out_state[k] = a.reshape(d, n_h * hd)
+            elif k.endswith(".norm.weight") and ".layers." in k:
+                out_state[k.replace(".norm.weight",
+                                    ".input_layernorm.weight")] = v
+            else:
+                out_state[k] = v
+        state = out_state
+    if arch == "refact":
+        # Refact (reference RefactModel + llm_build_refact): MQA
+        # (head_count_kv=1), ALiBi (f_max_alibi_bias=8, no rope), RMS
+        # norms, SwiGLU with disk-split gate_up; ff_dim follows the
+        # llama-style 2/3*4d rounding
+        state = _strip(state, "transformer.")
+        d = int(config["n_embd"])
+        n_h = int(config["n_head"])
+        hd = d // n_h
+        ff = 256 * ((int(2 * 4 * d / 3) + 255) // 256)
+        ren = {"wte.weight": "embed_tokens.weight",
+               "ln_f.weight": "norm.weight"}
+        out_state = {}
+        for k, v in state.items():
+            k = ren.get(k, k)
+            k = k.replace("h.", "layers.", 1)
+            if k.endswith(".attn.kv.weight"):
+                a = _np(v)
+                base = k[: -len("attn.kv.weight")] + "self_attn."
+                out_state[base + "k_proj.weight"] = a[:hd]
+                out_state[base + "v_proj.weight"] = a[hd:]
+            elif k.endswith(".mlp.gate_up_proj.weight"):
+                a = _np(v)
+                base = k[: -len("gate_up_proj.weight")]
+                out_state[base + "gate_proj.weight"] = a[:ff]
+                out_state[base + "up_proj.weight"] = a[ff:]
+            else:
+                k = (k.replace(".ln_1.", ".input_layernorm.")
+                     .replace(".ln_2.", ".post_attention_layernorm.")
+                     .replace(".attn.q.", ".self_attn.q_proj.")
+                     .replace(".attn.c_proj.", ".self_attn.o_proj.")
+                     .replace(".mlp.linear_3.", ".mlp.down_proj."))
+                out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "hidden_size": d, "num_attention_heads": n_h,
+                  "num_key_value_heads": 1, "intermediate_size": ff,
+                  "num_hidden_layers": int(config["n_layer"]),
+                  "vocab_size": int(config["vocab_size"]),
+                  "max_position_embeddings":
+                      int(config.get("n_positions", 4096)),
+                  "rms_norm_eps": config.get("layer_norm_epsilon", 1e-6),
+                  "tie_word_embeddings": False}
+    if arch == "chatglm":
+        # ChatGLM-2/3 / GLM-4-9b legacy (reference ChatGLMModel +
+        # llm_build_chatglm): RMS norms, NORM rope over HALF the head
+        # dims (partial_rotary_factor 0.5), fused biased qkv de-fused,
+        # SwiGLU with disk-fused gate|up (dense_h_to_4h)
+        state = _strip(state, "transformer.")
+        n_h = int(config.get("num_attention_heads", config.get("n_head")))
+        n_k = int(config.get("multi_query_group_num",
+                             config.get("num_key_value_heads", n_h)))
+        d = int(config.get("hidden_size", config.get("n_embed")))
+        hd = int(config.get("attention_dim", d // n_h))
+        ren = {"embedding.word_embeddings.weight": "embed_tokens.weight",
+               "encoder.final_layernorm.weight": "norm.weight",
+               "output_layer.weight": "lm_head.weight"}
+        out_state = {}
+        for k, v in state.items():
+            if k.endswith("rotary_pos_emb.inv_freq"):
+                continue
+            k = ren.get(k, k)
+            k = k.replace("encoder.layers.", "layers.", 1)
+            if ".self_attention.query_key_value." in k:
+                a = _np(v)
+                suffix = k.rsplit(".", 1)[1]
+                base = (k[: k.index("self_attention.")]
+                        + "self_attn.")
+                qd, kvd = n_h * hd, n_k * hd
+                out_state[base + "q_proj." + suffix] = a[:qd]
+                out_state[base + "k_proj." + suffix] = a[qd:qd + kvd]
+                out_state[base + "v_proj." + suffix] = a[qd + kvd:]
+            else:
+                k = (k.replace(".self_attention.dense.",
+                               ".self_attn.o_proj.")
+                     .replace(".mlp.dense_h_to_4h.", ".mlp.gate_up_proj.")
+                     .replace(".mlp.dense_4h_to_h.", ".mlp.down_proj."))
+                out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "hidden_size": d, "num_attention_heads": n_h,
+                  "num_key_value_heads": n_k,
+                  "num_hidden_layers": int(config.get(
+                      "num_layers", config.get("num_hidden_layers"))),
+                  "intermediate_size": int(config.get(
+                      "ffn_hidden_size",
+                      config.get("intermediate_size", 4 * d))),
+                  "max_position_embeddings":
+                      int(config.get("seq_length", 4096)),
+                  "rms_norm_eps": config.get("layernorm_epsilon", 1e-5),
+                  "rope_theta": 10000.0 * float(config.get("rope_ratio",
+                                                           1.0)),
+                  "tie_word_embeddings": False}
+    if arch in ("deepseek", "bailingmoe"):
+        # DeepSeek-V1 / BailingMoe (llm_build_{deepseek,bailingmoe}):
+        # llama attention (NORM rope; bailing ships fused
+        # query_key_value) + softmax-gated MoE with shared experts and
+        # leading dense layers
+        state = {k.replace(".mlp.shared_experts.", ".mlp.shared_expert.")
+                 : v for k, v in state.items()}
+        if arch == "bailingmoe":
+            state = {k.replace("model.word_embeddings.",
+                               "model.embed_tokens."): v
+                     for k, v in state.items()}
+            n_h = int(config["num_attention_heads"])
+            n_k = int(config.get("num_key_value_heads", n_h))
+            hd = int(config.get("head_dim")
+                     or config["hidden_size"] // n_h)
+            out_state = {}
+            for k, v in state.items():
+                if k.endswith("attention.query_key_value.weight"):
+                    a = _np(v)
+                    base = k[: -len("attention.query_key_value.weight")]
+                    out_state[base + "self_attn.q_proj.weight"] = \
+                        a[: n_h * hd]
+                    out_state[base + "self_attn.k_proj.weight"] = \
+                        a[n_h * hd: (n_h + n_k) * hd]
+                    out_state[base + "self_attn.v_proj.weight"] = \
+                        a[(n_h + n_k) * hd:]
+                elif k.endswith("attention.dense.weight"):
+                    out_state[k.replace("attention.dense.",
+                                        "self_attn.o_proj.")] = v
+                else:
+                    out_state[k] = v
+            state = out_state
+            if config.get("norm_head"):
+                # bailing norm_head: L2-normalize lm_head columns
+                # (reference BailingMoeModel modify_tensors)
+                hw = _np(state["lm_head.weight"]).astype(np.float32)
+                norm = np.sqrt((hw ** 2).sum(0, keepdims=True)) + 1e-7
+                state = dict(state)
+                state["lm_head.weight"] = hw / norm
+        config = {**config,
+                  "num_experts": (config.get("n_routed_experts")
+                                  or config.get("num_experts"))}
     state = _strip(state, "model.")
     if arch == "baichuan":
         # W_pack fused [3d, d] -> q/k/v (reference BaichuanModel
@@ -742,6 +916,31 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         # iswa=true path with all-SWA pattern)
         w.add_kv(f"{arch}.attention.sliding_window",
                  int(config["sliding_window"]))
+    if arch == "refact":
+        # Refact is ALiBi (reference llama-model.cpp refact hparams:
+        # f_max_alibi_bias = 8, no rope)
+        w.add_kv(f"{arch}.attention.max_alibi_bias", 8.0)
+    if arch == "chatglm":
+        # NORM rope over half the head dims (ChatGLMModel
+        # set_gguf_parameters: rope_dim * partial_rotary_factor=0.5)
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(head_dim * float(config.get("partial_rotary_factor",
+                                                 0.5))))
+    if arch in ("deepseek", "bailingmoe"):
+        # softmax-gated MoE with shared experts + leading dense layers
+        # (reference DeepseekModel / BailingMoeModel set_gguf_parameters)
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(config.get("first_k_dense_replace", 0)))
+        if config.get("moe_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(config.get("n_shared_experts")
+                     or config.get("num_shared_experts") or 0))
+        w.add_kv(f"{arch}.expert_weights_scale", 1.0)
+        w.add_kv(f"{arch}.expert_weights_norm",
+                 bool(config.get("norm_topk_prob", False)))
+        w.add_kv(f"{arch}.expert_gating_func", 1)  # softmax
     if arch == "phi2":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(config.get("layer_norm_eps", 1e-5)))
@@ -863,7 +1062,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _PHIMOE_LAYER_MAP if arch in ("phimoe",
                                                "orion") else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
-                 _GLM4_LAYER_MAP if arch == "glm4" else
+                 _GLM4_LAYER_MAP if arch in ("glm4", "chatglm") else
                  _NEMOTRON_LAYER_MAP if arch in ("nemotron",
                                                  "arcee") else
                  _LLM_LAYER_MAP)
@@ -871,7 +1070,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     permute_qk = arch in ("llama", "minicpm", "minicpmtts", "granite",
                       "granitemoe", "smollm3", "arcee",
                       "ernie4_5", "ernie4_5-moe", "olmo",
-                      "baichuan", "xverse", "internlm2")  # NORM rope
+                      "baichuan", "xverse", "internlm2",
+                      "deepseek", "bailingmoe")  # NORM rope
+    # (chatglm is NORM rope too but HF stores the interleaved layout
+    # natively — no permute, like cohere)
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
         state = dict(state)
         qd, kvd = n_heads * head_dim, n_kv * head_dim
@@ -1972,6 +2174,203 @@ def _convert_gpt2(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
         put(b + "ffn_down.weight", _np(state[pfx + "mlp.c_proj.weight"]).T)
         put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_jais(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF JAISLMHeadModel -> GGUF arch "jais" (reference JaisModel +
+    llm_build_jais): GPT-2 topology (Conv1D transpose, fused biased qkv,
+    biased LayerNorms) but ALiBi instead of positions, biased SwiGLU FFN
+    (c_fc=up, c_fc2=gate), muP scales baked into the embedding/output
+    tensors at convert time, and kq_scale = 1/head_dim."""
+    import math
+
+    state = _strip(state, "transformer.")
+    arch = "jais"
+    d_model = int(config["n_embd"])
+    n_layers = int(config["n_layer"])
+    n_heads = int(config["n_head"])
+    emb_scale = float(config.get("mup_embeddings_scale")
+                      or config.get("embeddings_scale") or 1.0)
+    if config.get("mup_output_alpha") is not None:
+        width_scale = (float(config["mup_output_alpha"])
+                       * float(config.get("mup_width_scale", 1.0)))
+    else:
+        width_scale = float(config.get("width_scale", 1.0))
+    max_alibi = 8.0
+    if "relative_pe.slopes" in state:
+        # invert the precomputed slopes into f_max_alibi_bias
+        # (JaisModel.modify_tensors)
+        closest = 2 ** math.floor(math.log2(n_heads))
+        max_alibi = -round(
+            math.log2(float(_np(state["relative_pe.slopes"])[0]))
+            * closest)
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("n_inner") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("n_positions", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.attention.max_alibi_bias", float(max_alibi))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    wte = _np(state["wte.weight"]).astype(np.float32)
+    put("token_embd.weight", wte * emb_scale)
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    head = _np(state.get("lm_head.weight", wte)).astype(np.float32)
+    put("output.weight", head * width_scale)
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "ln_1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln_1.bias"], None)
+        put(b + "attn_qkv.weight", _np(state[pfx + "attn.c_attn.weight"]).T)
+        put(b + "attn_qkv.bias", state[pfx + "attn.c_attn.bias"], None)
+        put(b + "attn_output.weight",
+            _np(state[pfx + "attn.c_proj.weight"]).T)
+        put(b + "attn_output.bias", state[pfx + "attn.c_proj.bias"], None)
+        put(b + "ffn_norm.weight", state[pfx + "ln_2.weight"], None)
+        put(b + "ffn_norm.bias", state[pfx + "ln_2.bias"], None)
+        put(b + "ffn_up.weight", _np(state[pfx + "mlp.c_fc.weight"]).T)
+        put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
+        put(b + "ffn_gate.weight", _np(state[pfx + "mlp.c_fc2.weight"]).T)
+        put(b + "ffn_gate.bias", state[pfx + "mlp.c_fc2.bias"], None)
+        put(b + "ffn_down.weight", _np(state[pfx + "mlp.c_proj.weight"]).T)
+        put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_codeshell(state: Mapping[str, Any], config: Mapping[str, Any],
+                       out_path: str, qtype: GGMLType,
+                       tokenizer_kv: Mapping[str, Any] | None = None
+                       ) -> list[str]:
+    """HF CodeShellForCausalLM -> GGUF arch "codeshell" (reference
+    CodeShellModel + llm_build_codeshell): StarCoder-style grouped-query
+    fused c_attn (nn.Linear, no transpose) + biased LayerNorms + un-gated
+    GELU FFN, but NeoX rope instead of learned positions."""
+    state = _strip(state, "transformer.")
+    arch = "codeshell"
+    d_model = int(config["n_embd"])
+    n_layers = int(config["n_layer"])
+    n_heads = int(config["n_head"])
+    n_kv = int(config.get("num_query_groups", 1))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("n_inner") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("n_positions", 8192)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "ln_1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln_1.bias"], None)
+        put(b + "attn_qkv.weight", state[pfx + "attn.c_attn.weight"])
+        put(b + "attn_qkv.bias", state[pfx + "attn.c_attn.bias"], None)
+        put(b + "attn_output.weight", state[pfx + "attn.c_proj.weight"])
+        put(b + "attn_output.bias", state[pfx + "attn.c_proj.bias"], None)
+        put(b + "ffn_norm.weight", state[pfx + "ln_2.weight"], None)
+        put(b + "ffn_norm.bias", state[pfx + "ln_2.bias"], None)
+        put(b + "ffn_up.weight", state[pfx + "mlp.c_fc.weight"])
+        put(b + "ffn_up.bias", state[pfx + "mlp.c_fc.bias"], None)
+        put(b + "ffn_down.weight", state[pfx + "mlp.c_proj.weight"])
+        put(b + "ffn_down.bias", state[pfx + "mlp.c_proj.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_gptj(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
+    """HF GPTJForCausalLM -> GGUF arch "gptj": parallel residual (one
+    shared ln_1 feeds attention AND ffn), partial NORM rotary over the
+    first rotary_dim columns, un-gated GELU FFN with biases, biased LM
+    head. The reference declares LLM_ARCH_GPTJ (llama-arch.h) but ships
+    no graph for it — we support both conversion and inference."""
+    state = _strip(state, "transformer.")
+    arch = "gptj"
+    d_model = int(config["n_embd"])
+    n_layers = int(config["n_layer"])
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("n_inner") or 4 * d_model))
+    w.add_kv(f"{arch}.attention.head_count", int(config["n_head"]))
+    w.add_kv(f"{arch}.rope.dimension_count",
+             int(config.get("rotary_dim") or d_model // int(config["n_head"])))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("n_positions", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["wte.weight"])
+    put("output_norm.weight", state["ln_f.weight"], None)
+    put("output_norm.bias", state["ln_f.bias"], None)
+    put("output.weight", state["lm_head.weight"])
+    if "lm_head.bias" in state:
+        put("output.bias", state["lm_head.bias"], None)
+    for i in range(n_layers):
+        pfx, b = f"h.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "ln_1.weight"], None)
+        put(b + "attn_norm.bias", state[pfx + "ln_1.bias"], None)
+        put(b + "attn_q.weight", state[pfx + "attn.q_proj.weight"])
+        put(b + "attn_k.weight", state[pfx + "attn.k_proj.weight"])
+        put(b + "attn_v.weight", state[pfx + "attn.v_proj.weight"])
+        put(b + "attn_output.weight", state[pfx + "attn.out_proj.weight"])
+        put(b + "ffn_up.weight", state[pfx + "mlp.fc_in.weight"])
+        put(b + "ffn_up.bias", state[pfx + "mlp.fc_in.bias"], None)
+        put(b + "ffn_down.weight", state[pfx + "mlp.fc_out.weight"])
+        put(b + "ffn_down.bias", state[pfx + "mlp.fc_out.bias"], None)
     w.write()
     return written
 

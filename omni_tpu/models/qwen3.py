@@ -252,6 +252,9 @@ class Qwen3Config:
                 attn_scale = float(g("attention.scale"))
         elif gemma:
             emb_scale = float(d_model) ** 0.5
+        if arch == "jais":
+            # llm_build_jais: kq_scale = 1/n_embd_head (NOT 1/sqrt)
+            attn_scale = 1.0 / head_dim
         attn_scale = mla_extra.pop("attn_scale", attn_scale)
         kw = dict(
             **mla_extra,
@@ -260,7 +263,9 @@ class Qwen3Config:
                                    "deepseek2", "smollm3", "glm4",
                                    "arcee", "ernie4_5", "ernie4_5-moe",
                                    "olmo", "cohere2", "llama4",
-                                   "baichuan", "xverse", "internlm2"),
+                                   "baichuan", "xverse", "internlm2",
+                                   "chatglm", "deepseek", "bailingmoe",
+                                   "gptj", "chameleon", "llada"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -270,7 +275,7 @@ class Qwen3Config:
             **({"moe_norm_w": False} if arch in ("qwen2moe", "olmoe")
                else {}),
             parallel_residual=(arch in ("command-r", "cohere2", "phi2",
-                                        "falcon")
+                                        "falcon", "plamo", "gptj")
                                or (arch == "gptneox"
                                    and bool(g("use_parallel_residual",
                                               True)))),
@@ -279,11 +284,13 @@ class Qwen3Config:
                                            "gptneox", "stablelm",
                                            "falcon", "nemotron", "olmo",
                                            "bloom", "mpt", "dbrx",
-                                           "phimoe", "starcoder", "orion")
+                                           "phimoe", "starcoder", "orion",
+                                           "jais", "codeshell", "gptj")
                        else "rms"),
             norm_bias=arch in ("gpt2", "starcoder2", "phi2", "gptneox",
                                "stablelm", "falcon", "nemotron", "bloom",
-                               "phimoe", "starcoder", "orion"),
+                               "phimoe", "starcoder", "orion",
+                               "jais", "codeshell", "gptj"),
             # bloom/mpt (and ALiBi baichuan-13B) replace rope with ALiBi
             # score biases; any arch with max_alibi_bias > 0 skips rope
             use_rope=(arch not in ("gpt2", "bloom", "mpt", "starcoder")
@@ -330,7 +337,8 @@ class Qwen3Config:
                                       "starcoder2", "phi2", "gptneox",
                                       "stablelm", "falcon", "nemotron",
                                       "olmo", "bloom", "mpt", "dbrx",
-                                      "phimoe", "starcoder", "orion")
+                                      "phimoe", "starcoder", "orion",
+                                      "jais", "codeshell", "gptj")
                           else g("attention.layer_norm_rms_epsilon", 1e-6)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
@@ -343,7 +351,8 @@ class Qwen3Config:
                  else "gelu" if (gemma or arch in ("gpt2", "starcoder2",
                                                    "phi2", "gptneox",
                                                    "falcon", "bloom",
-                                                   "mpt", "starcoder"))
+                                                   "mpt", "starcoder",
+                                                   "codeshell", "gptj"))
                  else "silu"),
             xielu=tuple(zip(kv.get("xielu.alpha_n", ()),
                             kv.get("xielu.alpha_p", ()),
@@ -406,7 +415,11 @@ def fuse_layer(layer: dict) -> dict:
                                        layer["bv"]])
         for k in ("bq", "bk", "bv"):
             del out[k]
-    if layer.get("w_gate") is not None:  # dense FFN only (MoE keeps experts)
+    if (layer.get("w_gate") is not None
+            and layer.get("b_gate") is None
+            and layer.get("b_up") is None):
+        # dense FFN only (MoE keeps experts); biased SwiGLU (jais)
+        # stays unfused — the fused path has no bias slots
         out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
         for k in ("w_gate", "w_up"):
             del out[k]
@@ -572,6 +585,8 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                 # glm4-style disk-fused gate|up in ffn_up (LLM_FFN_SWIGLU
                 # with no separate gate, llm_build_glm4)
                 lp["w_gateup"] = lp.pop("w_up")
+            lp["b_gate"] = get(p + "ffn_gate.bias", required=False,
+                               keep_q=False)
             lp["b_up"] = get(p + "ffn_up.bias", required=False,
                              keep_q=False)
             lp["b_down"] = get(p + "ffn_down.bias", required=False,
@@ -1032,6 +1047,10 @@ def forward(
         else:
             gate = matmul(hn, lp["w_gate"])
             up = matmul(hn, lp["w_up"])
+            if lp.get("b_gate") is not None:  # jais biased SwiGLU
+                gate = gate + lp["b_gate"].astype(gate.dtype)
+            if lp.get("b_up") is not None:
+                up = up + lp["b_up"].astype(up.dtype)
             if lp.get("gate_scale") is not None:  # bitnet i2_s scales
                 gate = gate * lp["gate_scale"].astype(gate.dtype)
                 up = up * lp["up_scale"].astype(up.dtype)
@@ -1039,6 +1058,8 @@ def forward(
             if lp.get("ffn_sub_norm") is not None:  # bitnet pre-down norm
                 h_ff = rms_norm(h_ff, lp["ffn_sub_norm"], cfg.rms_eps)
             ffn_out = matmul(h_ff, lp["w_down"])
+            if lp.get("b_down") is not None:  # jais biased down proj
+                ffn_out = ffn_out + lp["b_down"].astype(ffn_out.dtype)
             if lp.get("down_scale") is not None:
                 ffn_out = ffn_out * lp["down_scale"].astype(ffn_out.dtype)
         if cfg.sandwich_norms:  # Gemma post-ffw norm
