@@ -577,6 +577,59 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "rope_theta": 10000.0 * float(config.get("rope_ratio",
                                                            1.0)),
                   "tie_word_embeddings": False}
+    if arch == "llada":
+        # LLaDA diffusion LM (reference LLaDAModel + llm_build_llada):
+        # llama graph with NON-CAUSAL attention; HF uses OLMo-style
+        # names (model.transformer.blocks.N.*) and d_model config keys
+        state = {k.replace("model.transformer.", "model.", 1)
+                 : v for k, v in state.items()}
+        ren = {"wte.weight": "embed_tokens.weight",
+               "ln_f.weight": "norm.weight",
+               "ff_out.weight": "lm_head.weight"}
+        out_state = {}
+        for k, v in state.items():
+            if k.startswith("model.") and "." in k[6:]:
+                tail = k[6:]
+                tail = ren.get(tail, tail)
+                if tail.startswith("blocks."):
+                    tail = ("layers." + tail[len("blocks."):])
+                    tail = (tail
+                            .replace(".attn_norm.", ".input_layernorm.")
+                            .replace(".attn_out.", ".self_attn.o_proj.")
+                            .replace(".q_proj.", ".self_attn.q_proj.")
+                            .replace(".k_proj.", ".self_attn.k_proj.")
+                            .replace(".v_proj.", ".self_attn.v_proj.")
+                            .replace(".ff_norm.",
+                                     ".post_attention_layernorm.")
+                            .replace(".ff_proj.", ".mlp.gate_proj.")
+                            .replace(".up_proj.", ".mlp.up_proj.")
+                            .replace(".ff_out.", ".mlp.down_proj."))
+                out_state["model." + tail] = v
+            else:
+                out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "hidden_size": int(config.get("d_model")
+                                     or config.get("hidden_size")),
+                  "num_attention_heads": int(config.get("n_heads")
+                                             or config.get(
+                                                 "num_attention_heads")),
+                  "num_key_value_heads": int(
+                      config.get("n_kv_heads")
+                      or config.get("num_key_value_heads")
+                      or config.get("n_heads")
+                      or config.get("num_attention_heads")),
+                  "num_hidden_layers": int(config.get("n_layers")
+                                           or config.get(
+                                               "num_hidden_layers")),
+                  "intermediate_size": int(config.get("mlp_hidden_size")
+                                           or config.get(
+                                               "intermediate_size")),
+                  "max_position_embeddings": int(
+                      config.get("max_sequence_length", 4096)),
+                  "rms_norm_eps": float(config.get("rms_norm_eps", 1e-5)),
+                  "tie_word_embeddings":
+                      bool(config.get("weight_tying", False))}
     if arch in ("deepseek", "bailingmoe"):
         # DeepSeek-V1 / BailingMoe (llm_build_{deepseek,bailingmoe}):
         # llama attention (NORM rope; bailing ships fused
@@ -926,6 +979,26 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
         w.add_kv(f"{arch}.rope.dimension_count",
                  int(head_dim * float(config.get("partial_rotary_factor",
                                                  0.5))))
+    if arch in ("llada", "dream", "llada_moe"):
+        # diffusion LMs attend bidirectionally; the mask token id and
+        # (llada) shifted-logits convention drive examples/diffusion.py
+        # (reference {LLaDA,Dream,LLaDAMoE}Model set_gguf_parameters +
+        # examples/diffusion/diffusion-cli.cpp)
+        w.add_kv(f"{arch}.attention.causal", False)
+        if config.get("mask_token_id") is not None:
+            w.add_kv("tokenizer.ggml.mask_token_id",
+                     int(config["mask_token_id"]))
+        elif arch == "llada_moe":
+            w.add_kv("tokenizer.ggml.mask_token_id", 156895)
+        w.add_kv(f"{arch}.diffusion.shift_logits", arch == "llada")
+    if arch == "llada_moe":
+        # qwen3moe-shaped MoE: per-head q/k norms, softmax routing
+        # WITHOUT top-k renorm (llm_build_llada_moe norm_w=false)
+        if config.get("expert_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["expert_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_weights_norm", False)
+        w.add_kv(f"{arch}.expert_gating_func", 1)
     if arch in ("deepseek", "bailingmoe"):
         # softmax-gated MoE with shared experts + leading dense layers
         # (reference DeepseekModel / BailingMoeModel set_gguf_parameters)
@@ -1071,7 +1144,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                       "granitemoe", "smollm3", "arcee",
                       "ernie4_5", "ernie4_5-moe", "olmo",
                       "baichuan", "xverse", "internlm2",
-                      "deepseek", "bailingmoe")  # NORM rope
+                      "deepseek", "bailingmoe", "llada")  # NORM rope
     # (chatglm is NORM rope too but HF stores the interleaved layout
     # natively — no permute, like cohere)
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections

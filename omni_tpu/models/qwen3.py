@@ -146,6 +146,9 @@ class Qwen3Config:
     # chunked SWA (LLAMA_SWA_TYPE_CHUNKED): keys visible iff
     # k_pos >= floor(q_pos / window) * window
     swa_chunked: bool = False
+    # diffusion LMs (llada/dream/llada_moe) attend bidirectionally
+    # ({arch}.attention.causal=false; reference build_attn_inp_no_cache)
+    causal: bool = True
 
     def is_swa_layer(self, il: int) -> bool:
         return (self.swa_every > 0 and self.swa_window > 0
@@ -307,6 +310,7 @@ class Qwen3Config:
             **({"logit_scale": 1.0 / float(g("logit_scale", 1.0))}
                if arch in ("command-r", "cohere2") else {}),
             clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
+            causal=bool(g("attention.causal", True)),
             qk_norm_post_rope=hunyuan,
             moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
@@ -723,18 +727,21 @@ def forward(
     if deferred:
         from ..runtime.kv_cache import primary_seq_bit, seq_bits_of
 
-        mask = cache.attn_mask(pos, seq_id, limit=kv_limit)  # pool only
+        mask = cache.attn_mask(pos, seq_id, limit=kv_limit,
+                               causal=cfg.causal)  # pool only
         # intra-batch visibility: key row's membership bits ∩ query's
         # primary seq (multi-membership rows use the packed encoding)
         mask_cur = ((seq_bits_of(seq_id)[None, :]
                      & primary_seq_bit(seq_id)[:, None]) != 0)
-        mask_cur = (mask_cur & (pos[None, :] <= pos[:, None])
-                    & write_mask[None, :])
+        if cfg.causal:
+            mask_cur = mask_cur & (pos[None, :] <= pos[:, None])
+        mask_cur = mask_cur & write_mask[None, :]
         new_ks, new_vs = [], []
     else:
         # commit metadata first so intra-batch causal attention sees it
         cache = cache.commit(slots, pos, seq_id, valid=write_mask)
-        mask = cache.attn_mask(pos, seq_id, limit=kv_limit)  # [T, S]
+        mask = cache.attn_mask(pos, seq_id, limit=kv_limit,
+                               causal=cfg.causal)  # [T, S]
         mask_cur = None
 
     # interleaved SWA (Gemma-2/3): windowed layers additionally require

@@ -328,18 +328,23 @@ class KVCache:
     # ---- attention mask ----------------------------------------------------
     def attn_mask(self, q_pos: jax.Array, q_seq: jax.Array,
                   slots: jax.Array | None = None,
-                  limit: int | None = None) -> jax.Array:
+                  limit: int | None = None,
+                  causal: bool = True) -> jax.Array:
         """[T, S] bool: query t may attend to cell c (same seq, causal).
 
         `slots`/metadata for the current ubatch must already be committed.
         `limit` (static) restricts to the first `limit` cells (ragged
-        decode; the caller guarantees every occupied cell is below it)."""
+        decode; the caller guarantees every occupied cell is below it).
+        causal=False drops the position condition (diffusion LMs:
+        reference build_attn_inp_no_cache for llada/dream)."""
         sm = self.seq_mask if limit is None else self.seq_mask[:limit]
         cp = self.pos if limit is None else self.pos[:limit]
         owned = (sm[None, :] & primary_seq_bit(q_seq)[:, None]) != 0
-        causal = cp[None, :] <= q_pos[:, None]
         used = sm[None, :] != 0
-        return owned & causal & used
+        vis = owned & used
+        if causal:
+            vis = vis & (cp[None, :] <= q_pos[:, None])
+        return vis
 
 
 def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:

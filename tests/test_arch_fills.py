@@ -349,7 +349,7 @@ def test_deepseek_v1_parity(tmp_path):
             st[p + "mlp.up_proj.weight"] = w(rng, FF, D)
             st[p + "mlp.down_proj.weight"] = w(rng, D, FF)
         else:
-            st[p + "mlp.gate.weight"] = w(rng, E, D, s=0.3)
+            st[p + "mlp.gate.weight"] = w(rng, E, D, s=0.8)
             for e in range(E):
                 ep = p + f"mlp.experts.{e}."
                 st[ep + "gate_proj.weight"] = w(rng, EFF, D)
@@ -422,7 +422,7 @@ def test_bailingmoe_parity(tmp_path):
         st[p + "attention.query_key_value.weight"] = \
             w(rng, (NH + 2 * NKV) * HD, D)
         st[p + "attention.dense.weight"] = w(rng, D, NH * HD)
-        st[p + "mlp.gate.weight"] = w(rng, E, D, s=0.3)
+        st[p + "mlp.gate.weight"] = w(rng, E, D, s=0.8)
         for e in range(E):
             ep = p + f"mlp.experts.{e}."
             st[ep + "gate_proj.weight"] = w(rng, EFF, D)
