@@ -28,7 +28,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "granitehybrid", "falcon-h1", "phimoe", "starcoder",
           "baichuan", "xverse", "internlm2", "exaone", "orion", "qwen",
           "plamo", "refact", "jais", "codeshell", "gptj", "chatglm",
-          "deepseek", "bailingmoe")
+          "deepseek", "bailingmoe", "llada", "dream", "llada_moe",
+          "arctic", "grok", "smallthinker", "minicpm3", "plm")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -110,6 +111,15 @@ _HF_ARCH_MAP = {
     "ChatGLMForConditionalGeneration": "chatglm",
     "DeepseekForCausalLM": "deepseek",
     "BailingMoeForCausalLM": "bailingmoe",
+    "LLaDAModelLM": "llada",
+    "DreamModel": "dream",
+    "LLaDAMoEModelLM": "llada_moe",
+    "ArcticForCausalLM": "arctic",
+    "Grok1ForCausalLM": "grok",
+    "SmallThinkerForCausalLM": "smallthinker",
+    "SmallthinkerForCausalLM": "smallthinker",
+    "MiniCPM3ForCausalLM": "minicpm3",
+    "PLMForCausalLM": "plm",
 }
 
 

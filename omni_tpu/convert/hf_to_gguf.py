@@ -630,6 +630,69 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "rms_norm_eps": float(config.get("rms_norm_eps", 1e-5)),
                   "tie_word_embeddings":
                       bool(config.get("weight_tying", False))}
+    if arch == "arctic":
+        # Arctic (reference ArcticModel + llm_build_arctic): a dense
+        # residual_mlp runs from ffn_norm(ffn_inp) IN PARALLEL with the
+        # MoE on ffn_norm_exps(layer input); w1=gate w3=up w2=down.
+        # HF residual_layernorm feeds the dense branch (-> the
+        # post_attention_layernorm slot = GGUF ffn_norm) and HF
+        # post_attention_layernorm feeds the MoE (-> ffn_norm_exps)
+        out_state = {}
+        for k, v in state.items():
+            k = (k.replace(".post_attention_layernorm.",
+                           ".moe_norm_exps.")
+                 .replace(".residual_layernorm.",
+                          ".post_attention_layernorm.")
+                 .replace(".residual_mlp.w1.", ".mlp.gate_proj.")
+                 .replace(".residual_mlp.w3.", ".mlp.up_proj.")
+                 .replace(".residual_mlp.w2.", ".mlp.down_proj."))
+            out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "num_experts": config.get("num_local_experts")
+                  or config.get("num_experts")}
+    if arch == "grok":
+        # Grok (reference GrokModel + llm_build_grok): sandwich norms
+        # (pre/post attn + pre/post moe) -> the gemma-style map slots;
+        # experts arrive in mixtral block_sparse_moe naming (w1/w2/w3)
+        out_state = {}
+        for k, v in state.items():
+            k = (k.replace(".pre_attn_norm.", ".input_layernorm.")
+                 .replace(".post_attn_norm.",
+                          ".post_attention_layernorm.")
+                 .replace(".pre_moe_norm.", ".pre_feedforward_layernorm.")
+                 .replace(".post_moe_norm.",
+                          ".post_feedforward_layernorm."))
+            out_state[k] = v
+        state = out_state
+        config = {**config,
+                  "num_experts": config.get("num_local_experts")
+                  or config.get("num_experts")}
+    if arch == "smallthinker":
+        # SmallThinker (reference SmallThinkerModel +
+        # llm_build_smallthinker): router reads the LAYER INPUT, ReGLU
+        # experts, optional 4:1 SWA with NoPE on the dense layers
+        out_state = {}
+        for k, v in state.items():
+            k = (k.replace(".block_sparse_moe.primary_router.",
+                           ".mlp.gate.")
+                 .replace(".block_sparse_moe.experts.", ".mlp.experts."))
+            if ".mlp.experts." in k:
+                k = (k.replace(".gate.weight", ".gate_proj.weight")
+                     .replace(".up.weight", ".up_proj.weight")
+                     .replace(".down.weight", ".down_proj.weight"))
+            out_state[k] = v
+        state = out_state
+        n_e = (config.get("num_experts")
+               or config.get("moe_num_primary_experts"))
+        config = {**config,
+                  "num_experts": n_e,
+                  "num_experts_per_tok":
+                      (config.get("num_experts_per_tok")
+                       or config.get("moe_num_active_primary_experts")),
+                  "intermediate_size":
+                      (config.get("moe_ffn_hidden_size")
+                       or config.get("intermediate_size"))}
     if arch in ("deepseek", "bailingmoe"):
         # DeepSeek-V1 / BailingMoe (llm_build_{deepseek,bailingmoe}):
         # llama attention (NORM rope; bailing ships fused
@@ -833,12 +896,20 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     d_model = int(config["hidden_size"])
     head_dim = int(config.get("head_dim") or d_model // n_heads)
     ds2 = arch == "deepseek2"
+    mla_ref = arch in ("plm", "minicpm3")
     if ds2:
         # MLA converts into MQA with one latent head: cache key =
         # kv_lora_rank + qk_rope_head_dim, value = kv_lora_rank
         # (reference convert_hf_to_gguf.py DeepseekV2Model)
         config = {**config, "num_key_value_heads": 1}
         head_dim = (int(config["kv_lora_rank"])
+                    + int(config["qk_rope_head_dim"]))
+    if mla_ref:
+        # plm/minicpm3 follow the reference GGUF convention instead:
+        # key_length = qk_nope + qk_rope (PLMModel/MiniCPM3Model
+        # add_key_length); the engine derives the latent cache geometry
+        # from kv_lora_rank + rope.dimension_count at load
+        head_dim = (int(config["qk_nope_head_dim"])
                     + int(config["qk_rope_head_dim"]))
     w.add_kv("general.architecture", arch)
     w.add_kv(f"{arch}.block_count", int(config["num_hidden_layers"]))
@@ -849,7 +920,16 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
              int(config.get("num_key_value_heads", n_heads)))
     w.add_kv(f"{arch}.attention.key_length", head_dim)
     w.add_kv(f"{arch}.attention.value_length",
-             int(config["kv_lora_rank"]) if ds2 else head_dim)
+             int(config["kv_lora_rank"]) if ds2 else
+             int(config["v_head_dim"]) if mla_ref else head_dim)
+    if mla_ref:
+        w.add_kv(f"{arch}.attention.kv_lora_rank",
+                 int(config["kv_lora_rank"]))
+        if config.get("q_lora_rank"):
+            w.add_kv(f"{arch}.attention.q_lora_rank",
+                     int(config["q_lora_rank"]))
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(config["qk_rope_head_dim"]))
     if ds2:
         rope = int(config["qk_rope_head_dim"])
         nope = int(config["qk_nope_head_dim"])
@@ -888,7 +968,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
     rope_extra = _emit_rope_scaling(
         w, arch, config,
-        rot_dim=(int(config["qk_rope_head_dim"]) if ds2 else
+        rot_dim=(int(config["qk_rope_head_dim"]) if (ds2 or mla_ref) else
                  int(head_dim
                      * float(config.get("partial_rotary_factor", 1.0)))))
     if arch == "gpt-oss":
@@ -999,6 +1079,33 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                      int(config["expert_intermediate_size"]))
         w.add_kv(f"{arch}.expert_weights_norm", False)
         w.add_kv(f"{arch}.expert_gating_func", 1)
+    if arch == "grok":
+        w.add_kv(f"{arch}.attn_logit_softcapping",
+                 float(config.get("attn_logit_softcapping", 30.0)))
+        w.add_kv(f"{arch}.router_logit_softcapping",
+                 float(config.get("router_logit_softcapping", 30.0)))
+        if config.get("final_logit_softcapping"):
+            w.add_kv(f"{arch}.final_logit_softcapping",
+                     float(config["final_logit_softcapping"]))
+        w.add_kv(f"{arch}.attention.output_scale",
+                 float(config.get("attn_output_multiplier",
+                                  head_dim ** -0.5)))
+        w.add_kv(f"{arch}.embedding_scale",
+                 float(config["embedding_multiplier_scale"]))
+        w.add_kv(f"{arch}.logit_scale",
+                 float(config["output_multiplier_scale"]))
+        if config.get("moe_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(config["moe_intermediate_size"]))
+    if arch == "smallthinker":
+        w.add_kv(f"{arch}.expert_gating_func",
+                 1 if config.get("moe_primary_router_apply_softmax", True)
+                 else 2)
+        w.add_kv(f"{arch}.expert_weights_norm", True)
+        layout = config.get("sliding_window_layout") or []
+        if any(layout) and config.get("sliding_window_size"):
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(config["sliding_window_size"]))
     if arch in ("deepseek", "bailingmoe"):
         # softmax-gated MoE with shared experts + leading dense layers
         # (reference DeepseekModel / BailingMoeModel set_gguf_parameters)
@@ -1126,7 +1233,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     n_layers = int(config["num_hidden_layers"])
     # gemma v1's post_attention_layernorm is its FFN pre-norm (llama
     # topology) — only gemma2/3 have the sandwich-norm naming
-    layer_map = (_GEMMA_LAYER_MAP if gemma and arch != "gemma" else
+    layer_map = (_GEMMA_LAYER_MAP if ((gemma and arch != "gemma")
+                                      or arch == "grok") else
                  _OLMO2_LAYER_MAP if arch in ("olmo2", "exaone4") else
                  _APERTUS_LAYER_MAP if arch == "apertus" else
                  _BITNET_LAYER_MAP if arch == "bitnet" else
@@ -1144,7 +1252,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                       "granitemoe", "smollm3", "arcee",
                       "ernie4_5", "ernie4_5-moe", "olmo",
                       "baichuan", "xverse", "internlm2",
-                      "deepseek", "bailingmoe", "llada")  # NORM rope
+                      "deepseek", "bailingmoe", "llada",
+                      "arctic")  # NORM rope
     # (chatglm is NORM rope too but HF stores the interleaved layout
     # natively — no permute, like cohere)
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections
@@ -1159,7 +1268,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
             gu = _np(state.pop(f"layers.{i}.mlp.gate_up_proj.weight"))
             state[f"layers.{i}.mlp.gate_proj.weight"] = gu[:d_ff]
             state[f"layers.{i}.mlp.up_proj.weight"] = gu[d_ff:]
-    if ds2:
+    if ds2 or mla_ref:
         _put_deepseek2_layers(put, state, config, n_layers, qtype)
         w.write()
         return written
@@ -1221,6 +1330,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                     _np(state[f"layers.{i}.mlp.experts.{e}.{hfp}.weight"])
                     for e in range(n_exp)])
                 put(f"blk.{i}.{gg}.weight", stack, qtype)
+            if arch == "arctic":
+                put(f"blk.{i}.ffn_norm_exps.weight",
+                    state[f"layers.{i}.moe_norm_exps.weight"], None)
+            if (arch in ("arctic", "grok")
+                    and f"layers.{i}.mlp.gate_proj.weight" in state):
+                # parallel dense branch alongside the MoE
+                for hfp, gg in (("gate_proj", "ffn_gate"),
+                                ("up_proj", "ffn_up"),
+                                ("down_proj", "ffn_down")):
+                    put(f"blk.{i}.{gg}.weight",
+                        state[f"layers.{i}.mlp.{hfp}.weight"])
             sh = f"layers.{i}.mlp.shared_expert."
             if sh + "gate_proj.weight" in state:  # qwen2moe gated shexp
                 put(f"blk.{i}.ffn_gate_shexp.weight",
@@ -1282,6 +1402,10 @@ def _put_deepseek2_layers(put, state: Mapping[str, Any],
             for hfp, gg in (("gate_proj", "ffn_gate"), ("up_proj", "ffn_up"),
                             ("down_proj", "ffn_down")):
                 put(b + gg + ".weight", state[pfx + f"mlp.{hfp}.weight"])
+        elif pfx + "mlp.experts.0.gate_proj.weight" not in state:
+            # un-gated dense FFN (plm relu^2, llm_build_plm)
+            put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
+            put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
         else:
             put(b + "ffn_gate_inp.weight", state[pfx + "mlp.gate.weight"],
                 None)

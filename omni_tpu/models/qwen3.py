@@ -149,10 +149,30 @@ class Qwen3Config:
     # diffusion LMs (llada/dream/llada_moe) attend bidirectionally
     # ({arch}.attention.causal=false; reference build_attn_inp_no_cache)
     causal: bool = True
+    # --- MoE wiring variants ---
+    # "layer_input": router reads the PRE-norm layer input
+    # (llm_build_smallthinker routes on inpL before attention)
+    moe_router_input: str = "hn"
+    # grok: router logits softcapped at 30 (f_router_logit_softcapping)
+    moe_router_softcap: float = 0.0
+    # "arctic": dense FFN on ffn_norm(ffn_inp) PLUS MoE on
+    #   ffn_norm_exps(layer input), summed (llm_build_arctic)
+    # "grok": optional dense FFN parallel to the MoE on the same input,
+    #   (dense + moe) * sqrt(2)/2 (llm_build_grok)
+    moe_parallel_ffn: str = ""
+    # smallthinker NoPE pattern: rope only when il % no_rope_step != 0
+    # (layer 0 is NoPE — the opposite offset of smollm3's (il+1) rule)
+    no_rope_mod_zero: bool = False
+    # SWA pattern offset: set_swa_pattern(n, dense_first=true) makes
+    # layer il windowed iff il % n != 0 (smallthinker)
+    swa_dense_first: bool = False
 
     def is_swa_layer(self, il: int) -> bool:
-        return (self.swa_every > 0 and self.swa_window > 0
-                and il % self.swa_every < self.swa_every - 1)
+        if not (self.swa_every > 0 and self.swa_window > 0):
+            return False
+        if self.swa_dense_first:  # set_swa_pattern(n, true)
+            return il % self.swa_every != 0
+        return il % self.swa_every < self.swa_every - 1
 
     @staticmethod
     def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
@@ -162,21 +182,33 @@ class Qwen3Config:
         d_model = int(g("embedding_length"))
         head_dim = int(g("attention.key_length", d_model // n_heads))
         mla_extra = {}
-        if arch == "deepseek2":
+        mla = arch in ("deepseek2", "plm", "minicpm3")
+        if mla:
             # MLA geometry (reference convert_hf_to_gguf.py DeepseekV2Model
-            # set_gguf_parameters): cache key = kv_lora_rank + rope_dim,
+            # set_gguf_parameters; PLMModel / MiniCPM3Model share the
+            # key/rope/lora keys): cache key = kv_lora_rank + rope_dim,
             # cache value = kv_lora_rank, score scale = 1/sqrt(key_len_mla)
             kv_rank = int(g("attention.kv_lora_rank"))
             rope_dim = int(g("rope.dimension_count"))
-            k_mla = int(g("attention.key_length_mla",
-                          head_dim - kv_rank + rope_dim))
+            if arch == "deepseek2":
+                # our ds2 GGUFs write cache geometry into key_length
+                k_mla = int(g("attention.key_length_mla",
+                              head_dim - kv_rank + rope_dim))
+                v_dim = int(g("attention.value_length", kv_rank))
+            else:
+                # plm/minicpm3 GGUFs follow the reference convention:
+                # attention.key_length = qk_nope + qk_rope (the SCORE
+                # width); the absorbed-MLA cache is [rope | rank] wide
+                k_mla = head_dim
+                head_dim = kv_rank + rope_dim
+                v_dim = kv_rank
             gating = int(g("expert_gating_func", 1))  # 1=softmax 2=sigmoid
             mla_extra = dict(
                 kv_lora_rank=kv_rank,
                 q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
                 rope_dim=rope_dim,
                 qk_nope_dim=k_mla - rope_dim,
-                v_head_dim=int(g("attention.value_length", kv_rank)),
+                v_head_dim=v_dim,
                 attn_scale=1.0 / k_mla ** 0.5,
                 moe_gating="sigmoid" if gating == 2 else "softmax",
                 moe_norm_w=bool(g("expert_weights_norm", False)),
@@ -185,7 +217,7 @@ class Qwen3Config:
             )
         hunyuan = arch in ("hunyuan-moe", "hunyuan-dense")
         moe_extra = {}
-        if arch != "deepseek2" and g("expert_gating_func") is not None:
+        if not mla and g("expert_gating_func") is not None:
             # deepseek-style MoE gating outside the deepseek2 arch
             # (glm4moe / dots1 / ernie4_5_moe; build_moe_ffn args)
             moe_extra = dict(
@@ -230,6 +262,34 @@ class Qwen3Config:
                                       8192)),
                 n_expert_shared=1 if g("expert_count") else 0,
             )
+        grok_extra = {}
+        if arch == "grok":
+            # llm_build_grok + llama-graph.cpp:1375: scores scaled by
+            # f_attn_out_scale then softcapped at 30; GEGLU experts with
+            # optional parallel dense FFN summed * sqrt(2)/2; router
+            # logits softcapped; embeddings scaled; logits MULTIPLIED
+            # by f_logit_scale
+            grok_extra = dict(
+                moe_act="gelu", moe_parallel_ffn="grok", moe_norm_w=True,
+                moe_router_softcap=float(g("router_logit_softcapping",
+                                           30.0)),
+                attn_softcap=float(g("attn_logit_softcapping", 30.0)),
+                final_softcap=float(g("final_logit_softcapping", 0.0)
+                                    or 0.0),
+            )
+        if arch == "arctic":
+            grok_extra = dict(moe_parallel_ffn="arctic", moe_norm_w=True)
+        if arch == "smallthinker":
+            sw = int(g("attention.sliding_window", 0) or 0)
+            grok_extra = dict(
+                moe_act="relu", moe_router_input="layer_input",
+                moe_norm_w=True,
+                **({"swa_window": sw, "swa_every": 4,
+                    "swa_dense_first": True, "no_rope_step": 4,
+                    "no_rope_mod_zero": True,
+                    "rope_base_swa": float(g("rope.freq_base", 10000.0))}
+                   if sw else {}),
+            )
         gemma = arch.startswith("gemma")
         # Gemma 27B variants scale queries by 1/sqrt(d_model/n_heads)
         # instead of 1/sqrt(head_dim) (llama-model.cpp:1175-1178/1201-1204;
@@ -247,12 +307,26 @@ class Qwen3Config:
             residual_scale = float(g("residual_scale",
                                      1.4 / n_layers_ ** 0.5))
             logit_scale = float(g("logit_scale", 256.0 / d_model))
+        elif arch == "minicpm3":
+            # llm_build_minicpm3 hardcodes the muP scales: embeddings
+            # x12, residual branches x 1.4/sqrt(L), lm head MULTIPLIED
+            # by 256/n_embd (our logit_scale divides -> d/256)
+            emb_scale = 12.0
+            residual_scale = 1.4 / n_layers_ ** 0.5
+            logit_scale = d_model / 256.0
         elif arch in ("granite", "granitemoe"):
             emb_scale = float(g("embedding_scale", 1.0))
             residual_scale = float(g("residual_scale", 1.0))
             logit_scale = float(g("logit_scale", 1.0))
             if g("attention.scale") is not None:
                 attn_scale = float(g("attention.scale"))
+        elif arch == "grok":
+            emb_scale = float(g("embedding_scale", 78.38367176906169))
+            # grok's logit scale MULTIPLIES (default 1/sqrt(3))
+            logit_scale = 1.0 / float(g("logit_scale",
+                                        0.5773502691896257))
+            attn_scale = float(g("attention.output_scale",
+                                 0.08838834764831845))
         elif gemma:
             emb_scale = float(d_model) ** 0.5
         if arch == "jais":
@@ -268,7 +342,8 @@ class Qwen3Config:
                                    "olmo", "cohere2", "llama4",
                                    "baichuan", "xverse", "internlm2",
                                    "chatglm", "deepseek", "bailingmoe",
-                                   "gptj", "chameleon", "llada"),
+                                   "gptj", "chameleon", "llada",
+                                   "arctic", "plm"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -303,7 +378,7 @@ class Qwen3Config:
             # partial rotary (phi2/neox): rope only the first
             # rope.dimension_count columns of each head
             **({"rope_dim": int(g("rope.dimension_count", 0) or 0)}
-               if arch != "deepseek2" else {}),
+               if not mla else {}),
             # command-r/cohere2 logit_scale MULTIPLIES logits
             # (build_command_r); our logit_scale divides (granite
             # semantics) — invert
@@ -348,7 +423,7 @@ class Qwen3Config:
             n_experts_used=int(g("expert_used_count", 0)),
             emb_scale=emb_scale,
             residual_scale=residual_scale,
-            act=("relu2" if (arch in ("nemotron", "arcee")
+            act=("relu2" if (arch in ("nemotron", "arcee", "plm")
                              or (arch == "bitnet"
                                  and g("activation") == "relu2"))
                  else "xielu" if arch == "apertus"
@@ -366,7 +441,7 @@ class Qwen3Config:
             **({} if arch in ("command-r", "cohere2")
                else {"logit_scale": logit_scale}),
             sandwich_norms=arch in ("gemma2", "gemma3", "olmo2", "glm4",
-                                    "exaone4"),
+                                    "exaone4", "grok"),
             pre_norm=arch not in ("olmo2", "exaone4"),
             attn_scale=attn_scale,
             attn_softcap=float(g("attn_logit_softcapping", 50.0))
@@ -394,6 +469,9 @@ class Qwen3Config:
                            else 10000.0),
         )
         kw.update(moe_extra)  # deepseek-style gating KVs (glm4moe/dots1/…)
+        kw.update(grok_extra)  # grok/arctic/smallthinker MoE wiring
+        if mla:
+            kw["n_kv_heads"] = 1  # absorbed MLA = one latent MQA head
         kw.update(exaone4_extra)
         kw.update(llama4_extra)  # llama4 overrides (swa/nope/moe wiring)
         return Qwen3Config(**kw)
@@ -421,9 +499,11 @@ def fuse_layer(layer: dict) -> dict:
             del out[k]
     if (layer.get("w_gate") is not None
             and layer.get("b_gate") is None
-            and layer.get("b_up") is None):
-        # dense FFN only (MoE keeps experts); biased SwiGLU (jais)
-        # stays unfused — the fused path has no bias slots
+            and layer.get("b_up") is None
+            and layer.get("gate_inp") is None):
+        # dense FFN only (MoE keeps experts; arctic/grok parallel dense
+        # branches stay split); biased SwiGLU (jais) stays unfused —
+        # the fused path has no bias slots
         out["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
         for k in ("w_gate", "w_up"):
             del out[k]
@@ -568,6 +648,9 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             # dispatched expert batch); dense sources load as bf16 stacks
             # whose expert axis is EP-shardable
             lp["gate_inp"] = get(p + "ffn_gate_inp.weight", keep_q=False)
+            # arctic/grok: a dense FFN runs in PARALLEL with the MoE
+            lp["ffn_norm_exps"] = get(p + "ffn_norm_exps.weight",
+                                      required=False)
             # gpt-oss routed-expert biases (router + per-projection)
             lp["gate_inp_b"] = get(p + "ffn_gate_inp.bias", required=False,
                                    keep_q=False)
@@ -578,7 +661,10 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                              keep_quantized)
                 lp[key + "_b"] = get(p + nm + ".bias", required=False,
                                      keep_q=False)
-            lp["w_gate"] = lp["w_up"] = lp["w_down"] = None
+            # arctic residual_mlp / grok-2 parallel dense branch
+            lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
+            lp["w_up"] = get(p + "ffn_up.weight", required=False)
+            lp["w_down"] = get(p + "ffn_down.weight", required=False)
         else:
             # gate is absent for un-gated FFN archs (GPT-2 family)
             lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
@@ -790,6 +876,7 @@ def forward(
     swa_scaled = cfg.rope_base_swa == cfg.rope_base
     for li, lp in enumerate(params["layers"]):
         h_in = h
+        layer_in = h  # pre-attention residual (arctic MoE / smallthinker router input)
         if cfg.norm_type == "rms":
             def bnorm(x, w, eps, b=None):
                 return rms_norm(x, w, eps)
@@ -878,8 +965,10 @@ def forward(
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         swa_l = has_swa and cfg.is_swa_layer(li)
         base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
-        rope_l = cfg.use_rope and (cfg.no_rope_step == 0
-                                   or (li + 1) % cfg.no_rope_step != 0)
+        rope_l = cfg.use_rope and (
+            cfg.no_rope_step == 0
+            or ((li % cfg.no_rope_step != 0) if cfg.no_rope_mod_zero
+                else ((li + 1) % cfg.no_rope_step != 0)))
         if not mla and rope_l:  # MLA ropes only its q_pe/k_pe
             # sections (above); GPT-2 has learned absolute positions;
             # SmolLM3 NoPE layers skip rotation per-layer
@@ -985,7 +1074,32 @@ def forward(
         else:
             act = lambda z: jax.nn.gelu(z, approximate=True)  # noqa: E731
         if lp.get("gate_inp") is not None:
-            ffn_out = moe_ffn(lp, cfg, hn)
+            router_x = (layer_in if cfg.moe_router_input == "layer_input"
+                        else None)
+            if cfg.moe_parallel_ffn == "arctic":
+                # llm_build_arctic: dense FFN on ffn_norm(ffn_inp) +
+                # MoE on ffn_norm_exps(LAYER INPUT), summed
+                moe_in = rms_norm(layer_in, lp["ffn_norm_exps"],
+                                  cfg.rms_eps)
+                moe_out = moe_ffn(lp, cfg, moe_in)
+                dg = matmul(hn, lp["w_gate"])
+                du = matmul(hn, lp["w_up"])
+                dense = matmul(
+                    act(dg.astype(jnp.float32)).astype(jnp.bfloat16) * du,
+                    lp["w_down"])
+                ffn_out = moe_out + dense.astype(moe_out.dtype)
+            else:
+                ffn_out = moe_ffn(lp, cfg, hn, router_x=router_x)
+                if (cfg.moe_parallel_ffn == "grok"
+                        and lp.get("w_gate") is not None):
+                    # llm_build_grok: (dense + moe) * sqrt(2)/2
+                    dg = matmul(hn, lp["w_gate"])
+                    du = matmul(hn, lp["w_up"])
+                    dense = matmul(
+                        act(dg.astype(jnp.float32)).astype(jnp.bfloat16)
+                        * du, lp["w_down"])
+                    ffn_out = ((ffn_out + dense.astype(ffn_out.dtype))
+                               * jnp.bfloat16(2 ** 0.5 / 2))
             if lp.get("gate_shexp") is not None:
                 # DeepSeek shared experts: a dense SwiGLU branch added to
                 # the routed mix (llm_build_deepseek2 ffn_shexp)
@@ -1107,7 +1221,8 @@ def forward(
 MOE_CAPACITY_FACTOR = 2.0  # GShard-style slack over the perfect k/E split
 
 
-def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
+def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array,
+            router_x: jax.Array | None = None) -> jax.Array:
     """Top-k routed SwiGLU expert mix (reference llm_build_qwen3moe /
     build_moe_ffn; CUDA analog: indexed mul_mat_id). Per-token FLOPs and
     weight reads are ∝ k/E, never dense-over-all-experts:
@@ -1122,16 +1237,21 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array) -> jax.Array:
     - quantized experts (list of per-expert QTensor): capacity dispatch
       with the fused dequant×matmul kernel per expert.
 
-    hn [T, d] -> [T, d]."""
+    hn [T, d] -> [T, d]. `router_x` overrides the router input
+    (smallthinker routes on the pre-norm layer input)."""
     t = hn.shape[0]
     e = cfg.n_experts
     k = max(cfg.n_experts_used, 1)
     from ..kernels.qformats import QExpertStack
 
-    router = jnp.einsum("td,ed->te", hn.astype(jnp.float32),
+    rx = hn if router_x is None else router_x
+    router = jnp.einsum("td,ed->te", rx.astype(jnp.float32),
                         lp["gate_inp"].astype(jnp.float32))
     if lp.get("gate_inp_b") is not None:  # gpt-oss router bias
         router = router + lp["gate_inp_b"].astype(jnp.float32)
+    if cfg.moe_router_softcap > 0.0:  # grok router logit softcap
+        c = cfg.moe_router_softcap
+        router = jnp.tanh(router / c) * c
     # gating (build_moe_ffn, llama-graph.cpp:877): softmax (default; also
     # covers gpt-oss's SOFTMAX_WEIGHT — softmax-then-topk-then-renorm ==
     # softmax over the selected logits) or sigmoid (DeepSeek-V3)
@@ -1233,6 +1353,10 @@ def _moe_mix(gate: jax.Array, up: jax.Array, moe_act: str) -> jax.Array:
         g = jnp.minimum(gate, 7.0)
         u = jnp.clip(up, -7.0, 7.0)
         return (g * jax.nn.sigmoid(1.702 * g)) * (u + 1.0)
+    if moe_act == "gelu":  # grok GEGLU experts
+        return jax.nn.gelu(gate, approximate=True) * up
+    if moe_act == "relu":  # smallthinker ReGLU experts
+        return jax.nn.relu(gate) * up
     return jax.nn.silu(gate) * up
 
 

@@ -1,0 +1,389 @@
+"""Arch parity (batch 2) vs the numpy graph oracle:
+
+- arctic  (dense residual_mlp PARALLEL to MoE on separate norms)
+- grok    (sandwich norms, GEGLU MoE + router/attn softcaps + muP scales)
+- smallthinker (router on the layer input, ReGLU experts, NoPE@il%4==0)
+- plm     (MLA without q-lora, NORM rope, relu^2 un-gated FFN)
+- minicpm3 (MLA with q-lora, NeoX rope, muP scales)
+
+Reference graphs: /root/reference/src/llama-model.cpp llm_build_*."""
+
+import numpy as np
+
+from omni_tpu.core import GGUFReader
+from omni_tpu.models import qwen3
+from omni_tpu.runtime import Batch, Context
+
+import np_oracle as O
+
+RNG = np.random.default_rng
+D, NH, NKV, HD, FF, V, L, T = 32, 4, 2, 8, 64, 64, 2, 8
+
+
+def w(rng, *shape, s=0.08):
+    return (rng.standard_normal(shape) * s).astype(np.float32)
+
+
+def engine(tmp_path, st, cfg, arch, toks):
+    from omni_tpu.convert.hf_to_gguf import convert_llm
+
+    path = tmp_path / f"{arch}.gguf"
+    convert_llm(st, cfg, path, arch=arch)
+    reader = GGUFReader(path)
+    ecfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+    ctx = Context(ecfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(tokens=toks))
+    return np.asarray(logits), ecfg
+
+
+def check(ours, ref, atol=0.03):
+    np.testing.assert_allclose(ours, ref, atol=atol)
+
+
+def _moe_weights(rng, st, p, E, EFF, names=("w1", "w3", "w2")):
+    st[p + "block_sparse_moe.gate.weight"] = w(rng, E, D, s=0.8)
+    for e in range(E):
+        ep = p + f"block_sparse_moe.experts.{e}."
+        st[ep + names[0] + ".weight"] = w(rng, EFF, D)   # gate
+        st[ep + names[1] + ".weight"] = w(rng, EFF, D)   # up
+        st[ep + names[2] + ".weight"] = w(rng, D, EFF)   # down
+
+
+def _moe_stacks(st, p, E, names=("w1", "w3", "w2")):
+    ge = np.stack([st[p + f"block_sparse_moe.experts.{e}.{names[0]}.weight"]
+                   for e in range(E)])
+    ue = np.stack([st[p + f"block_sparse_moe.experts.{e}.{names[1]}.weight"]
+                   for e in range(E)])
+    de = np.stack([st[p + f"block_sparse_moe.experts.{e}.{names[2]}.weight"]
+                   for e in range(E)])
+    return ge, ue, de
+
+
+def test_arctic_parity(tmp_path):
+    rng = RNG(0)
+    E, K, EFF = 4, 2, 32
+    st = {"model.embed_tokens.weight": w(rng, V, D),
+          "model.norm.weight": 1 + w(rng, D, s=0.02),
+          "lm_head.weight": w(rng, V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "residual_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "post_attention_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "self_attn.q_proj.weight"] = w(rng, NH * HD, D)
+        st[p + "self_attn.k_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.v_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.o_proj.weight"] = w(rng, D, NH * HD)
+        st[p + "residual_mlp.w1.weight"] = w(rng, FF, D)
+        st[p + "residual_mlp.w3.weight"] = w(rng, FF, D)
+        st[p + "residual_mlp.w2.weight"] = w(rng, D, FF)
+        _moe_weights(rng, st, p, E, EFF)
+    cfg = dict(vocab_size=V, hidden_size=D, intermediate_size=FF,
+               num_hidden_layers=L, num_attention_heads=NH,
+               num_key_value_heads=NKV, rms_norm_eps=1e-6,
+               num_local_experts=E, num_experts_per_tok=K,
+               max_position_embeddings=64, tie_word_embeddings=False)
+    toks = RNG(1).integers(2, V, T).astype(np.int32)
+    pos = np.arange(T)
+
+    h = st["model.embed_tokens.weight"][toks].astype(np.float32)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        layer_in = h
+        hn = O.rms_norm(h, st[p + "input_layernorm.weight"])
+        q = (hn @ st[p + "self_attn.q_proj.weight"].T).reshape(T, NH, HD)
+        k = (hn @ st[p + "self_attn.k_proj.weight"].T).reshape(T, NKV, HD)
+        v = (hn @ st[p + "self_attn.v_proj.weight"].T).reshape(T, NKV, HD)
+        q = O.rope(q, pos, neox=True)  # HF half-split layout
+        k = O.rope(k, pos, neox=True)
+        attn = O.attention(q, k, v)
+        ffn_inp = h + attn.reshape(T, -1) @ st[p + "self_attn.o_proj.weight"].T
+        dense_in = O.rms_norm(ffn_inp, st[p + "residual_layernorm.weight"])
+        dense = O.swiglu_ffn(dense_in, st[p + "residual_mlp.w1.weight"],
+                             st[p + "residual_mlp.w3.weight"],
+                             st[p + "residual_mlp.w2.weight"])
+        moe_in = O.rms_norm(layer_in,
+                            st[p + "post_attention_layernorm.weight"])
+        ge, ue, de = _moe_stacks(st, p, E)
+        moe = O.moe(moe_in, st[p + "block_sparse_moe.gate.weight"],
+                    ge, ue, de, k=K, norm_w=True)
+        h = ffn_inp + dense + moe
+    ref = O.rms_norm(h, st["model.norm.weight"]) @ st["lm_head.weight"].T
+
+    ours, ecfg = engine(tmp_path, st, cfg, "arctic", toks)
+    assert ecfg.moe_parallel_ffn == "arctic" and not ecfg.rope_neox
+    check(ours, ref)
+
+
+def test_grok_parity(tmp_path):
+    rng = RNG(2)
+    E, K, EFF = 4, 2, 32
+    emb_s, logit_s, out_s = 4.0, 0.5, 0.25
+    st = {"model.embed_tokens.weight": w(rng, V, D),
+          "model.norm.weight": 1 + w(rng, D, s=0.02),
+          "lm_head.weight": w(rng, V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        st[p + "pre_attn_norm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "post_attn_norm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "pre_moe_norm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "post_moe_norm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "self_attn.q_proj.weight"] = w(rng, NH * HD, D)
+        st[p + "self_attn.k_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.v_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.o_proj.weight"] = w(rng, D, NH * HD)
+        _moe_weights(rng, st, p, E, EFF)
+    cfg = dict(vocab_size=V, hidden_size=D, intermediate_size=FF,
+               num_hidden_layers=L, num_attention_heads=NH,
+               num_key_value_heads=NKV, rms_norm_eps=1e-6,
+               num_local_experts=E, num_experts_per_tok=K,
+               attn_logit_softcapping=30.0, router_logit_softcapping=30.0,
+               attn_output_multiplier=out_s,
+               embedding_multiplier_scale=emb_s,
+               output_multiplier_scale=logit_s,
+               moe_intermediate_size=EFF,
+               max_position_embeddings=64, tie_word_embeddings=False)
+    toks = RNG(3).integers(2, V, T).astype(np.int32)
+    pos = np.arange(T)
+
+    h = st["model.embed_tokens.weight"][toks].astype(np.float32) * emb_s
+    for i in range(L):
+        p = f"model.layers.{i}."
+        hn = O.rms_norm(h, st[p + "pre_attn_norm.weight"])
+        q = (hn @ st[p + "self_attn.q_proj.weight"].T).reshape(T, NH, HD)
+        k = (hn @ st[p + "self_attn.k_proj.weight"].T).reshape(T, NKV, HD)
+        v = (hn @ st[p + "self_attn.v_proj.weight"].T).reshape(T, NKV, HD)
+        q = O.rope(q, pos, neox=True)
+        k = O.rope(k, pos, neox=True)
+        # scores * attn_output_multiplier then softcap 30
+        import math
+        kx = np.repeat(k, NH // NKV, 1)
+        vx = np.repeat(v, NH // NKV, 1)
+        scores = np.einsum("thd,shd->hts", q, kx) * out_s
+        scores = 30.0 * np.tanh(scores / 30.0)
+        mask = np.arange(T)[None, :] > np.arange(T)[:, None]
+        scores = np.where(mask[None], -np.inf, scores)
+        pch = np.exp(scores - scores.max(-1, keepdims=True))
+        pch = pch / pch.sum(-1, keepdims=True)
+        attn = np.einsum("hts,shd->thd", pch, vx).astype(np.float32)
+        attn_out = attn.reshape(T, -1) @ st[p + "self_attn.o_proj.weight"].T
+        attn_out = O.rms_norm(attn_out, st[p + "post_attn_norm.weight"])
+        ffn_inp = h + attn_out
+        moe_in = O.rms_norm(ffn_inp, st[p + "pre_moe_norm.weight"])
+        # router softcap then softmax top-k (norm_w=true), GEGLU experts
+        router = moe_in @ st[p + "block_sparse_moe.gate.weight"].T
+        router = 30.0 * np.tanh(router / 30.0)
+        m = router.max(-1, keepdims=True)
+        probs = np.exp(router - m)
+        probs = probs / probs.sum(-1, keepdims=True)
+        top = np.argsort(-probs, axis=-1)[:, :K]
+        ws = np.take_along_axis(probs, top, axis=-1)
+        ws = ws / ws.sum(-1, keepdims=True)
+        ge, ue, de = _moe_stacks(st, p, E)
+        moe = np.zeros_like(moe_in)
+        for ti in range(T):
+            for j in range(K):
+                e = top[ti, j]
+                hmix = O.gelu(moe_in[ti] @ ge[e].T) * (moe_in[ti] @ ue[e].T)
+                moe[ti] += ws[ti, j] * (hmix @ de[e].T)
+        moe = O.rms_norm(moe, st[p + "post_moe_norm.weight"])
+        h = ffn_inp + moe
+    ref = (O.rms_norm(h, st["model.norm.weight"])
+           @ st["lm_head.weight"].T) * logit_s
+
+    ours, ecfg = engine(tmp_path, st, cfg, "grok", toks)
+    assert ecfg.moe_act == "gelu" and ecfg.sandwich_norms
+    assert ecfg.emb_scale == emb_s and ecfg.attn_softcap == 30.0
+    check(ours, ref)
+
+
+def test_smallthinker_parity(tmp_path):
+    """Router on the pre-norm layer input, ReGLU experts, 4:1 SWA with
+    NoPE on the dense (il%4==0) layers."""
+    rng = RNG(4)
+    E, K, EFF, n_l = 4, 2, 32, 4
+    st = {"model.embed_tokens.weight": w(rng, V, D),
+          "model.norm.weight": 1 + w(rng, D, s=0.02),
+          "lm_head.weight": w(rng, V, D)}
+    for i in range(n_l):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "post_attention_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "self_attn.q_proj.weight"] = w(rng, NH * HD, D)
+        st[p + "self_attn.k_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.v_proj.weight"] = w(rng, NKV * HD, D)
+        st[p + "self_attn.o_proj.weight"] = w(rng, D, NH * HD)
+        st[p + "block_sparse_moe.primary_router.weight"] = \
+            w(rng, E, D, s=0.8)
+        for e in range(E):
+            ep = p + f"block_sparse_moe.experts.{e}."
+            st[ep + "gate.weight"] = w(rng, EFF, D)
+            st[ep + "up.weight"] = w(rng, EFF, D)
+            st[ep + "down.weight"] = w(rng, D, EFF)
+    sw = 4
+    cfg = dict(vocab_size=V, hidden_size=D,
+               num_hidden_layers=n_l, num_attention_heads=NH,
+               num_key_value_heads=NKV, rms_norm_eps=1e-6,
+               moe_num_primary_experts=E,
+               moe_num_active_primary_experts=K,
+               moe_ffn_hidden_size=EFF,
+               moe_primary_router_apply_softmax=True,
+               sliding_window_layout=[0, 1, 1, 1],
+               sliding_window_size=sw,
+               max_position_embeddings=64, tie_word_embeddings=False)
+    toks = RNG(5).integers(2, V, 12).astype(np.int32)
+    t = len(toks)
+    pos = np.arange(t)
+
+    h = st["model.embed_tokens.weight"][toks].astype(np.float32)
+    for i in range(n_l):
+        p = f"model.layers.{i}."
+        layer_in = h
+        hn = O.rms_norm(h, st[p + "input_layernorm.weight"])
+        q = (hn @ st[p + "self_attn.q_proj.weight"].T).reshape(t, NH, HD)
+        k = (hn @ st[p + "self_attn.k_proj.weight"].T).reshape(t, NKV, HD)
+        v = (hn @ st[p + "self_attn.v_proj.weight"].T).reshape(t, NKV, HD)
+        swa_l = i % 4 != 0  # dense-first pattern: layer 0 full + NoPE
+        if swa_l:
+            q = O.rope(q, pos, neox=True)
+            k = O.rope(k, pos, neox=True)
+        attn = O.attention(q, k, v, swa_window=sw if swa_l else 0)
+        h = h + attn.reshape(t, -1) @ st[p + "self_attn.o_proj.weight"].T
+        hn2 = O.rms_norm(h, st[p + "post_attention_layernorm.weight"])
+        ge = np.stack([st[p + f"block_sparse_moe.experts.{e}.gate.weight"]
+                       for e in range(E)])
+        ue = np.stack([st[p + f"block_sparse_moe.experts.{e}.up.weight"]
+                       for e in range(E)])
+        de = np.stack([st[p + f"block_sparse_moe.experts.{e}.down.weight"]
+                       for e in range(E)])
+        h = h + O.moe(hn2, st[p + "block_sparse_moe.primary_router.weight"],
+                      ge, ue, de, k=K, norm_w=True,
+                      act=lambda x: np.maximum(x, 0.0),
+                      router_x=layer_in)
+    ref = O.rms_norm(h, st["model.norm.weight"]) @ st["lm_head.weight"].T
+
+    ours, ecfg = engine(tmp_path, st, cfg, "smallthinker", toks)
+    assert ecfg.moe_router_input == "layer_input"
+    assert ecfg.moe_act == "relu" and ecfg.swa_dense_first
+    assert not ecfg.is_swa_layer(0) and ecfg.is_swa_layer(1)
+    check(ours, ref)
+
+
+def _mla_oracle(st, cfg_d, toks, neox, q_lora, scales=(1.0, 1.0, 1.0)):
+    """MLA forward per llm_build_plm/minicpm3 (non-absorbed formulation:
+    decompress kv_b into per-head K_nope/V; the engine's absorbed path
+    must match it exactly)."""
+    emb_s, res_s, head_s = scales
+    nh = cfg_d["num_attention_heads"]
+    nope, rope_d = cfg_d["qk_nope_head_dim"], cfg_d["qk_rope_head_dim"]
+    vdim, rank = cfg_d["v_head_dim"], cfg_d["kv_lora_rank"]
+    t = len(toks)
+    pos = np.arange(t)
+    hk = nope + rope_d
+    h = st["model.embed_tokens.weight"][toks].astype(np.float32) * emb_s
+    for i in range(cfg_d["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        hn = O.rms_norm(h, st[p + "input_layernorm.weight"])
+        if q_lora:
+            qa = hn @ st[p + "self_attn.q_a_proj.weight"].T
+            qa = O.rms_norm(qa, st[p + "self_attn.q_a_layernorm.weight"])
+            qm = qa @ st[p + "self_attn.q_b_proj.weight"].T
+        else:
+            qm = hn @ st[p + "self_attn.q_proj.weight"].T
+        qm = qm.reshape(t, nh, hk)
+        q_nope, q_pe = qm[..., :nope], qm[..., nope:]
+        kv_a = hn @ st[p + "self_attn.kv_a_proj_with_mqa.weight"].T
+        kv_c = O.rms_norm(kv_a[:, :rank],
+                          st[p + "self_attn.kv_a_layernorm.weight"])
+        k_pe = kv_a[:, rank:].reshape(t, 1, rope_d)
+        kv = kv_c @ st[p + "self_attn.kv_b_proj.weight"].T
+        kv = kv.reshape(t, nh, nope + vdim)
+        k_nope, v = kv[..., :nope], kv[..., nope:]
+        q_pe = O.rope(q_pe, pos, neox=neox)
+        k_pe = O.rope(k_pe, pos, neox=neox)
+        q = np.concatenate([q_nope, q_pe], -1)
+        k = np.concatenate([k_nope,
+                            np.broadcast_to(k_pe, (t, nh, rope_d))], -1)
+        attn = O.attention(q, k, v, scale=1.0 / np.sqrt(hk))
+        attn_out = attn.reshape(t, -1) @ st[p + "self_attn.o_proj.weight"].T
+        h = h + attn_out * res_s
+        hn2 = O.rms_norm(h, st[p + "post_attention_layernorm.weight"])
+        if p + "mlp.gate_proj.weight" in st:
+            ffn = O.swiglu_ffn(hn2, st[p + "mlp.gate_proj.weight"],
+                               st[p + "mlp.up_proj.weight"],
+                               st[p + "mlp.down_proj.weight"])
+        else:  # plm relu^2 un-gated
+            u = hn2 @ st[p + "mlp.up_proj.weight"].T
+            ffn = np.square(np.maximum(u, 0.0)) @ \
+                st[p + "mlp.down_proj.weight"].T
+        h = h + ffn * res_s
+    return (O.rms_norm(h, st["model.norm.weight"])
+            @ st["lm_head.weight"].T) * head_s
+
+
+def _mla_state(rng, q_lora, gated_ffn, n_l=2, rank=16, nope=8, rope_d=4,
+               vdim=8, q_rank=12):
+    hk = nope + rope_d
+    st = {"model.embed_tokens.weight": w(rng, V, D),
+          "model.norm.weight": 1 + w(rng, D, s=0.02),
+          "lm_head.weight": w(rng, V, D)}
+    for i in range(n_l):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        st[p + "post_attention_layernorm.weight"] = 1 + w(rng, D, s=0.02)
+        if q_lora:
+            st[p + "self_attn.q_a_proj.weight"] = w(rng, q_rank, D)
+            st[p + "self_attn.q_a_layernorm.weight"] = \
+                1 + w(rng, q_rank, s=0.02)
+            st[p + "self_attn.q_b_proj.weight"] = w(rng, NH * hk, q_rank)
+        else:
+            st[p + "self_attn.q_proj.weight"] = w(rng, NH * hk, D)
+        st[p + "self_attn.kv_a_proj_with_mqa.weight"] = \
+            w(rng, rank + rope_d, D)
+        st[p + "self_attn.kv_a_layernorm.weight"] = \
+            1 + w(rng, rank, s=0.02)
+        st[p + "self_attn.kv_b_proj.weight"] = \
+            w(rng, NH * (nope + vdim), rank)
+        st[p + "self_attn.o_proj.weight"] = w(rng, D, NH * vdim)
+        if gated_ffn:
+            st[p + "mlp.gate_proj.weight"] = w(rng, FF, D)
+        st[p + "mlp.up_proj.weight"] = w(rng, FF, D)
+        st[p + "mlp.down_proj.weight"] = w(rng, D, FF)
+    return st
+
+
+def test_plm_parity(tmp_path):
+    rng = RNG(6)
+    st = _mla_state(rng, q_lora=False, gated_ffn=False)
+    cfg = dict(vocab_size=V, hidden_size=D, intermediate_size=FF,
+               num_hidden_layers=L, num_attention_heads=NH,
+               num_key_value_heads=NH, rms_norm_eps=1e-6,
+               kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=4,
+               v_head_dim=8, max_position_embeddings=64,
+               tie_word_embeddings=False)
+    toks = RNG(7).integers(2, V, T).astype(np.int32)
+    ref = _mla_oracle(st, cfg, toks, neox=False, q_lora=False)
+    ours, ecfg = engine(tmp_path, st, cfg, "plm", toks)
+    assert ecfg.kv_lora_rank == 16 and not ecfg.rope_neox
+    assert ecfg.act == "relu2" and ecfg.head_dim == 16 + 4
+    check(ours, ref)
+
+
+def test_minicpm3_parity(tmp_path):
+    rng = RNG(8)
+    st = _mla_state(rng, q_lora=True, gated_ffn=True)
+    cfg = dict(vocab_size=V, hidden_size=D, intermediate_size=FF,
+               num_hidden_layers=L, num_attention_heads=NH,
+               num_key_value_heads=NH, rms_norm_eps=1e-6,
+               kv_lora_rank=16, q_lora_rank=12, qk_nope_head_dim=8,
+               qk_rope_head_dim=4, v_head_dim=8,
+               max_position_embeddings=64, tie_word_embeddings=False)
+    toks = RNG(9).integers(2, V, T).astype(np.int32)
+    scales = (12.0, 1.4 / np.sqrt(L), 256.0 / D)
+    ref = _mla_oracle(st, cfg, toks, neox=True, q_lora=True,
+                      scales=scales)
+    ours, ecfg = engine(tmp_path, st, cfg, "minicpm3", toks)
+    assert ecfg.q_lora_rank == 12 and ecfg.rope_neox
+    assert ecfg.emb_scale == 12.0
+    np.testing.assert_allclose(ours, ref, atol=0.05, rtol=0.01)
