@@ -630,6 +630,16 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "rms_norm_eps": float(config.get("rms_norm_eps", 1e-5)),
                   "tie_word_embeddings":
                       bool(config.get("weight_tying", False))}
+    if arch == "qwen2vl":
+        # Qwen2-VL text stack = qwen2 (biased qkv, NeoX) + M-RoPE
+        # sections (reference Qwen2VLModel set_gguf_parameters:
+        # add_rope_dimension_sections from rope_scaling.mrope_section;
+        # llm_build_qwen2vl ggml_rope_multi). The vision tower converts
+        # separately (convert_qwen2vl_vision -> mmproj GGUF)
+        state = {k.replace("model.language_model.", "model.", 1): v
+                 for k, v in state.items()
+                 if not (k.startswith("model.visual.")
+                         or k.startswith("visual."))}
     if arch == "arctic":
         # Arctic (reference ArcticModel + llm_build_arctic): a dense
         # residual_mlp runs from ffn_norm(ffn_inp) IN PARALLEL with the
@@ -1079,6 +1089,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                      int(config["expert_intermediate_size"]))
         w.add_kv(f"{arch}.expert_weights_norm", False)
         w.add_kv(f"{arch}.expert_gating_func", 1)
+    if arch == "qwen2vl":
+        rs = config.get("rope_scaling") or {}
+        sec = list(rs.get("mrope_section") or ())
+        if len(sec) < 4:
+            sec = sec + [0] * (4 - len(sec))
+        w.add_kv(f"{arch}.rope.dimension_sections", [int(s) for s in sec])
     if arch == "grok":
         w.add_kv(f"{arch}.attn_logit_softcapping",
                  float(config.get("attn_logit_softcapping", 30.0)))
@@ -3108,5 +3124,68 @@ def convert_tts(state: Mapping[str, Any], config: Mapping[str, Any],
                 key = f"{proj}.{lin}.{pt}"
                 if key in state:
                     put(f"{proj}.{lin}.{pt}", state[key])
+    w.write()
+    return written
+
+
+def convert_qwen2vl_vision(state: Mapping[str, Any],
+                           config: Mapping[str, Any], out_path: str,
+                           qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF Qwen2-VL vision tower -> mmproj-style GGUF (reference
+    convert_hf_to_gguf.py Qwen2VLVisionModel: fused qkv split, Conv3D
+    split into two Conv2D planes v.patch_embd.weight{,.1}; clip.cpp
+    build_qwen2vl consumes the same names). `config` is the HF
+    vision_config dict (+ the LLM hidden size as out_hidden)."""
+    state = {k.removeprefix("visual.").removeprefix("model.visual.") : v
+             for k, v in state.items()}
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.vision.block_count", int(config["depth"]))
+    w.add_kv("clip.vision.embedding_length", int(config["embed_dim"]))
+    w.add_kv("clip.vision.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.vision.attention.head_count", int(config["num_heads"]))
+    w.add_kv("clip.vision.in_channels", int(config.get("in_channels", 3)))
+    w.add_kv("clip.vision.patch_size", int(config["patch_size"]))
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(config.get("spatial_merge_size", 2)))
+    w.add_kv("clip.vision.temporal_patch_size",
+             int(config.get("temporal_patch_size", 2)))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(config["embed_dim"]) * int(config.get("mlp_ratio", 4)))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    pe = _np(state["patch_embed.proj.weight"])  # [E, C, T, P, P]
+    put("v.patch_embd.weight", pe[:, :, 0], None)
+    put("v.patch_embd.weight.1", pe[:, :, 1], None)
+    put("v.post_ln.weight", state["merger.ln_q.weight"], None)
+    put("v.post_ln.bias", state["merger.ln_q.bias"], None)
+    put("mm.0.weight", state["merger.mlp.0.weight"], None)
+    put("mm.0.bias", state["merger.mlp.0.bias"], None)
+    put("mm.2.weight", state["merger.mlp.2.weight"], None)
+    put("mm.2.bias", state["merger.mlp.2.bias"], None)
+    d = int(config["embed_dim"])
+    for i in range(int(config["depth"])):
+        p, b = f"blocks.{i}.", f"v.blk.{i}."
+        qkv_w = _np(state[p + "attn.qkv.weight"])
+        qkv_b = _np(state[p + "attn.qkv.bias"])
+        for j, nm in enumerate(("q", "k", "v")):
+            put(b + f"attn_{nm}.weight", qkv_w[j * d:(j + 1) * d], None)
+            put(b + f"attn_{nm}.bias", qkv_b[j * d:(j + 1) * d], None)
+        put(b + "attn_out.weight", state[p + "attn.proj.weight"], None)
+        put(b + "attn_out.bias", state[p + "attn.proj.bias"], None)
+        put(b + "ln1.weight", state[p + "norm1.weight"], None)
+        put(b + "ln1.bias", state[p + "norm1.bias"], None)
+        put(b + "ln2.weight", state[p + "norm2.weight"], None)
+        put(b + "ln2.bias", state[p + "norm2.bias"], None)
+        put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"], None)
+        put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
+        put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"], None)
+        put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
     w.write()
     return written

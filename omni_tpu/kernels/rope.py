@@ -97,3 +97,34 @@ def rope_shift(k: jax.Array, delta: jax.Array, base: float = 10000.0) -> jax.Arr
     (the K-shift used by context-shift / self-extend: reference
     src/llama-kv-cache.cpp build_rope_shift)."""
     return apply_rope(k, delta, base)
+
+
+def apply_mrope(x: jax.Array, pos3: jax.Array, sections: tuple,
+                base: float = 10000.0,
+                freqs: jax.Array | None = None) -> jax.Array:
+    """Multimodal rotary (qwen2vl M-RoPE): x [T, H, D], pos3 [T, 3]
+    (temporal / height / width position streams).
+
+    Frequency pairs are split into chunks of `sections` (pair units);
+    chunk i takes its angle from position stream i % 3 — HF
+    apply_multimodal_rotary_pos_emb's cos/sin re-assembly
+    (transformers modeling_qwen2_vl.py), the counterpart of the
+    reference's ggml_rope_multi sections. With all three streams equal
+    this reduces exactly to NeoX rope."""
+    d = x.shape[-1]
+    if freqs is None:
+        freqs = rope_freqs(d, base)
+    import numpy as np
+
+    stream = np.concatenate([
+        np.full(s, i % 3, np.int32) for i, s in enumerate(sections)])
+    assert stream.shape[0] == d // 2, (sections, d)
+    pos_pairs = pos3[:, jnp.asarray(stream)].astype(jnp.float32)  # [T, D/2]
+    angles = pos_pairs * freqs
+    cos = jnp.cos(angles)[..., None, :]
+    sin = jnp.sin(angles)[..., None, :]
+    x1 = x[..., : d // 2].astype(jnp.float32)
+    x2 = x[..., d // 2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1)
+    return out.astype(x.dtype)

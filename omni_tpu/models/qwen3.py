@@ -166,6 +166,11 @@ class Qwen3Config:
     # SWA pattern offset: set_swa_pattern(n, dense_first=true) makes
     # layer il windowed iff il % n != 0 (smallthinker)
     swa_dense_first: bool = False
+    # qwen2vl M-RoPE sections in PAIR units (t/h/w chunk widths;
+    # {arch}.rope.dimension_sections, reference ggml_rope_multi). The
+    # forward ropes with the pos3 [T, 3] streams when provided; plain
+    # pos reduces to standard NeoX rope (all streams equal)
+    mrope_sections: tuple = ()
 
     def is_swa_layer(self, il: int) -> bool:
         if not (self.swa_every > 0 and self.swa_window > 0):
@@ -386,6 +391,11 @@ class Qwen3Config:
                if arch in ("command-r", "cohere2") else {}),
             clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
             causal=bool(g("attention.causal", True)),
+            mrope_sections=tuple(
+                int(s) for s in list(
+                    g("rope.dimension_sections")
+                    if g("rope.dimension_sections") is not None else [])
+                if int(s) > 0),
             qk_norm_post_rope=hunyuan,
             moe_act="swiglu_oai" if arch == "gpt-oss" else "silu",
             n_layers=int(g("block_count")),
@@ -779,6 +789,7 @@ def forward(
     slots: jax.Array,  # [T] cell indices from cache.find_slots
     write_mask: jax.Array | None = None,  # [T] bool; False = padding row
     kv_limit: int | None = None,  # static: attend over cells [0, kv_limit)
+    pos3: jax.Array | None = None,  # [T, 3] M-RoPE position streams
 ) -> tuple[jax.Array, jax.Array, KVCache]:
     """One decode/prefill step. Returns (logits [T, vocab] f32,
     hidden [T, d_model] — the tap the omni TTS projector consumes
@@ -987,6 +998,13 @@ def forward(
                     [apply_rope(k[..., :r], pos, base_l, freqs=fl,
                                 neox=cfg.rope_neox, scale=sl),
                      k[..., r:]], -1)
+            elif cfg.mrope_sections and pos3 is not None:
+                from ..kernels.rope import apply_mrope
+
+                q = apply_mrope(q, pos3, cfg.mrope_sections, base_l,
+                                freqs=rfreqs)
+                k = apply_mrope(k, pos3, cfg.mrope_sections, base_l,
+                                freqs=rfreqs)
             else:
                 fl, sl = ((rfreqs, rscale)
                           if (not swa_l or swa_scaled) else (None, 1.0))

@@ -124,3 +124,68 @@ def eval_chunks(ctx: Context, mctx: MtmdContext, chunks: list[MtmdChunk],
             ctx.decode(Batch(embeds=chunk.embeds, pos=positions, seq_id=seqs))
         pos += n
     return pos
+
+
+@dataclasses.dataclass
+class Qwen2VLImageEncoder:
+    """Image encoder + M-RoPE position provider for qwen2vl-family LLMs
+    (the reference's PROJECTOR_TYPE_QWEN2VL path in clip.cpp +
+    mtmd_helper position handling).
+
+    media payload: (pixels [N, C*T*P*P], grid_thw (t, h, w))."""
+
+    params: dict
+    cfg: Any  # models.qwen2vl_vision.Qwen2VLVisionConfig
+
+    def __call__(self, media):
+        from .models import qwen2vl_vision as vis
+
+        pixels, grid_thw = media
+        return np.asarray(
+            vis.forward(self.params, self.cfg, np.asarray(pixels),
+                        [tuple(grid_thw)]), np.float32)
+
+    def positions(self, media, start: int):
+        from .models import qwen2vl_vision as vis
+
+        _, grid_thw = media
+        return vis.mrope_positions(0, grid_thw, start,
+                                   merge=self.cfg.spatial_merge)
+
+
+def eval_chunks_mrope(ctx: Context, mctx: MtmdContext,
+                      chunks: list[MtmdChunk], seq_id: int = 0
+                      ) -> tuple[int, int]:
+    """eval_chunks for M-RoPE (qwen2vl) models: the scalar cache
+    position is the SEQUENCE INDEX (HF masks causally by index) while
+    pos3 carries the (t, h, w) streams — text advances the stream
+    counter by 1/token, an image occupies t=const with h/w varying and
+    the next text position jumps to max(stream)+1
+    (HF get_rope_index; reference llama_batch 4-stream mrope pos).
+
+    Returns (n_past_index, next_mrope_pos)."""
+    idx = ctx.n_past.get(seq_id, 0)
+    mpos = getattr(ctx, "mrope_next", {}).get(seq_id, idx)
+    if not hasattr(ctx, "mrope_next"):
+        ctx.mrope_next = {}
+    for chunk in chunks:
+        mctx.encode(chunk)
+        n = chunk.n_positions
+        if n == 0:
+            continue
+        positions = np.arange(idx, idx + n, dtype=np.int32)
+        seqs = np.full(n, seq_id, np.int32)
+        if chunk.type == ChunkType.TEXT:
+            pos3 = np.repeat(
+                np.arange(mpos, mpos + n, dtype=np.int32)[:, None], 3, 1)
+            ctx.decode(Batch(tokens=chunk.tokens, pos=positions,
+                             seq_id=seqs, pos3=pos3))
+            mpos += n
+        else:
+            enc = mctx.image_encoder
+            pos3, mpos = enc.positions(chunk.media, mpos)
+            ctx.decode(Batch(embeds=chunk.embeds, pos=positions,
+                             seq_id=seqs, pos3=pos3))
+        idx += n
+    ctx.mrope_next[seq_id] = mpos
+    return idx, mpos

@@ -44,6 +44,10 @@ class Batch:
     embeds: np.ndarray | None = None  # [T, d] float
     pos: np.ndarray | None = None  # [T] int32; default = arange
     seq_id: np.ndarray | None = None  # [T] int32; default = 0
+    # qwen2vl M-RoPE [T, 3] (temporal/height/width streams); the cache
+    # and masks use the scalar `pos` (max stream value per token, the
+    # reference's mrope convention); None = all streams equal pos
+    pos3: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.tokens) if self.tokens is not None else len(self.embeds)
@@ -155,14 +159,26 @@ class Context:
         if (t, kvb) in self._steps:
             return self._steps[(t, kvb)]
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache: KVCache, x, pos, seq, write_mask):
-            slots = cache.find_slots(x.shape[0])
-            kw = {"kv_limit": kvb} if kvb is not None else {}
-            logits, hidden, cache = self._forward(
-                params, self.cfg, x, pos, seq, cache, slots, write_mask, **kw
-            )
-            return logits, hidden, cache
+        mrope = bool(getattr(self.cfg, "mrope_sections", ()))
+        if mrope:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def step(params, cache: KVCache, x, pos, seq, write_mask,
+                     pos3):
+                slots = cache.find_slots(x.shape[0])
+                kw = {"kv_limit": kvb} if kvb is not None else {}
+                logits, hidden, cache = self._forward(
+                    params, self.cfg, x, pos, seq, cache, slots,
+                    write_mask, pos3=pos3, **kw)
+                return logits, hidden, cache
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def step(params, cache: KVCache, x, pos, seq, write_mask):
+                slots = cache.find_slots(x.shape[0])
+                kw = {"kv_limit": kvb} if kvb is not None else {}
+                logits, hidden, cache = self._forward(
+                    params, self.cfg, x, pos, seq, cache, slots,
+                    write_mask, **kw)
+                return logits, hidden, cache
 
         self._steps[(t, kvb)] = step
         return step
@@ -215,8 +231,14 @@ class Context:
         # max(kv_high, used) + tb
         kvb = (self.kv_bucket(max(self.kv_high, self.cells_used) + tb)
                if self.ragged_steps else None)
+        extra = ()
+        if getattr(self.cfg, "mrope_sections", ()):
+            p3 = (np.asarray(batch.pos3, np.int32)
+                  if batch.pos3 is not None
+                  else np.repeat(np.asarray(pos, np.int32)[:, None], 3, 1))
+            extra = (jnp.asarray(np.pad(p3, ((0, tb - t), (0, 0)))),)
         logits, hidden, self.cache = self._step_fn(tb, kvb)(
-            self.params, self.cache, x, pos_p, seq_p, wmask
+            self.params, self.cache, x, pos_p, seq_p, wmask, *extra
         )
         if block:
             logits.block_until_ready()
