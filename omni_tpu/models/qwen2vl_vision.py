@@ -194,3 +194,43 @@ def mrope_positions(n_text_before: int, grid_thw, start: int,
     pos3 = np.stack([tt, hp, wp], axis=1).astype(np.int32) + start
     nxt = int(pos3.max()) + 1
     return pos3, nxt
+
+
+OPENAI_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess(img, patch: int = 14, merge: int = 2,
+               temporal: int = 2) -> tuple[np.ndarray, tuple]:
+    """PIL image / [H, W, 3] array -> (flat patches [N, C*T*P*P],
+    grid (t, h, w)) in the HF Qwen2VLImageProcessor layout (resize to a
+    patch*merge multiple, CLIP normalization, temporal duplication,
+    spatial-merge-block patch ordering)."""
+    a = np.asarray(img, np.float32)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    if a.max() > 1.5:
+        a = a / 255.0
+    f = patch * merge
+    h = max(f, round(a.shape[0] / f) * f)
+    w = max(f, round(a.shape[1] / f) * f)
+    if (h, w) != a.shape[:2]:
+        try:
+            from PIL import Image
+
+            im = Image.fromarray((a * 255).astype(np.uint8))
+            a = np.asarray(im.resize((w, h), Image.BICUBIC),
+                           np.float32) / 255.0
+        except ImportError:  # nearest-neighbor fallback
+            yi = (np.arange(h) * a.shape[0] / h).astype(int)
+            xi = (np.arange(w) * a.shape[1] / w).astype(int)
+            a = a[yi][:, xi]
+    a = (a - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    frames = np.repeat(a.transpose(2, 0, 1)[None], temporal, axis=0)
+    c = frames.shape[1]
+    gt, gh, gw = 1, h // patch, w // patch
+    pat = frames.reshape(gt, temporal, c, gh // merge, merge, patch,
+                         gw // merge, merge, patch)
+    pat = pat.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = pat.reshape(gt * gh * gw, c * temporal * patch * patch)
+    return flat.astype(np.float32), (gt, gh, gw)

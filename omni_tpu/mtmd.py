@@ -163,11 +163,12 @@ def eval_chunks_mrope(ctx: Context, mctx: MtmdContext,
     the next text position jumps to max(stream)+1
     (HF get_rope_index; reference llama_batch 4-stream mrope pos).
 
-    Returns (n_past_index, next_mrope_pos)."""
+    Returns (n_past_index, next_mrope_pos, last chunk's logits)."""
     idx = ctx.n_past.get(seq_id, 0)
     mpos = getattr(ctx, "mrope_next", {}).get(seq_id, idx)
     if not hasattr(ctx, "mrope_next"):
         ctx.mrope_next = {}
+    logits = None
     for chunk in chunks:
         mctx.encode(chunk)
         n = chunk.n_positions
@@ -178,14 +179,16 @@ def eval_chunks_mrope(ctx: Context, mctx: MtmdContext,
         if chunk.type == ChunkType.TEXT:
             pos3 = np.repeat(
                 np.arange(mpos, mpos + n, dtype=np.int32)[:, None], 3, 1)
-            ctx.decode(Batch(tokens=chunk.tokens, pos=positions,
-                             seq_id=seqs, pos3=pos3))
+            logits, _ = ctx.decode(Batch(tokens=chunk.tokens,
+                                         pos=positions, seq_id=seqs,
+                                         pos3=pos3))
             mpos += n
         else:
             enc = mctx.image_encoder
             pos3, mpos = enc.positions(chunk.media, mpos)
-            ctx.decode(Batch(embeds=chunk.embeds, pos=positions,
-                             seq_id=seqs, pos3=pos3))
+            logits, _ = ctx.decode(Batch(embeds=chunk.embeds,
+                                         pos=positions, seq_id=seqs,
+                                         pos3=pos3))
         idx += n
     ctx.mrope_next[seq_id] = mpos
-    return idx, mpos
+    return idx, mpos, logits

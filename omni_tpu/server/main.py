@@ -46,8 +46,13 @@ class ServerState:
                  draft_ctx: Context | None = None,
                  slot_save_path: str | None = None,
                  chat_template: str | None = None,
-                 encoder: tuple | None = None):
+                 encoder: tuple | None = None,
+                 mtmd_enc=None):
         self.ctx = ctx
+        # generic-VLM image encoder (mtmd.Qwen2VLImageEncoder): enables
+        # image_url parts on /v1/chat/completions (reference
+        # tools/server multimodal via libmtmd)
+        self.mtmd_enc = mtmd_enc
         self.tok = tokenizer
         self.model_name = model_name
         self._vocab_trie = None
@@ -629,8 +634,100 @@ def make_handler(state: ServerState):
             except Exception:  # noqa: BLE001
                 return None
 
+        def _decode_image_part(self, part):
+            """data: URL / raw base64 -> pixels+grid via the qwen2vl
+            preprocessor."""
+            import base64
+            import io
+
+            url = part.get("image_url", {}).get("url", "")
+            b64 = url.split(",", 1)[1] if url.startswith("data:") else url
+            raw = base64.b64decode(b64)
+            from ..models import qwen2vl_vision as vis
+
+            try:
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+            except ImportError:
+                raise ValueError("image decoding needs PIL")
+            vcfg = state.mtmd_enc.cfg
+            return vis.preprocess(img, patch=vcfg.patch_size,
+                                  merge=vcfg.spatial_merge,
+                                  temporal=vcfg.temporal_patch)
+
+        def _handle_chat_vision(self, body, messages):
+            """Generic-VLM chat (image -> projector -> LLM decode with
+            M-RoPE positions; reference tools/server + libmtmd path).
+            Single-stream, non-streaming."""
+            from ..mtmd import (ChunkType, MtmdChunk, MtmdContext,
+                                eval_chunks_mrope)
+
+            marker = "<__image__>"
+            images = []
+            flat_msgs = []
+            for m in messages:
+                c = m.get("content")
+                if isinstance(c, list):
+                    txt = []
+                    for p in c:
+                        if p.get("type") == "image_url":
+                            images.append(self._decode_image_part(p))
+                            txt.append(marker)
+                        else:
+                            txt.append(p.get("text", ""))
+                    m = {**m, "content": "".join(txt)}
+                flat_msgs.append(m)
+            prompt = apply_chat_template(flat_msgs)
+            mctx = MtmdContext(tokenizer=state.tok,
+                               image_encoder=state.mtmd_enc,
+                               image_marker=marker)
+            chunks = mctx.tokenize(prompt, images=images)
+            seq = 0
+            state.ctx.seq_rm(seq)
+            state.ctx.n_past.pop(seq, None)
+            if hasattr(state.ctx, "mrope_next"):
+                state.ctx.mrope_next.pop(seq, None)
+            idx, mpos, logits = eval_chunks_mrope(
+                state.ctx, mctx, chunks, seq_id=seq)
+            max_new = int(body.get("max_tokens", 64))
+            out = []
+            tok = state.ctx.sample_token(np.asarray(logits)[-1])
+            from ..runtime import Batch
+
+            for _ in range(max_new):
+                if state.tok.vocab.is_eog(tok):
+                    break
+                out.append(tok)
+                lg, _ = state.ctx.decode(Batch(
+                    tokens=np.array([tok], np.int32),
+                    pos=np.array([idx], np.int32),
+                    seq_id=np.array([seq], np.int32),
+                    pos3=np.full((1, 3), mpos, np.int32)))
+                idx += 1
+                mpos += 1
+                tok = state.ctx.sample_token(np.asarray(lg)[0])
+            state.ctx.mrope_next[seq] = mpos
+            content = state.tok.decode(out, skip_special=True)
+            self._json(200, {
+                "id": f"chatcmpl-{int(time.time() * 1000)}",
+                "object": "chat.completion",
+                "model": state.model_name,
+                "choices": [{"index": 0, "finish_reason": "stop",
+                             "message": {"role": "assistant",
+                                         "content": content}}],
+                "usage": {"prompt_tokens": int(idx - len(out)),
+                          "completion_tokens": len(out),
+                          "total_tokens": int(idx)},
+            })
+
         def _handle_chat(self, body):
             messages = list(body.get("messages", []))
+            if state.mtmd_enc is not None and any(
+                    isinstance(m.get("content"), list) and
+                    any(p.get("type") == "image_url" for p in m["content"])
+                    for m in messages):
+                return self._handle_chat_vision(body, messages)
             tools = body.get("tools") or []
             tool_choice = body.get("tool_choice", "auto" if tools else "none")
             force_tool = tools and tool_choice != "none" and (
@@ -1059,6 +1156,9 @@ def main(argv=None):
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for slot save/restore files (persistence "
                          "is disabled unless set)")
+    ap.add_argument("--mmproj", default=None,
+                    help="multimodal projector GGUF (qwen2vl_merger): "
+                         "enables image_url parts on /v1/chat/completions")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -1085,10 +1185,20 @@ def main(argv=None):
         dcfg = qwen3.Qwen3Config.from_gguf(dreader.kv)
         draft_ctx = Context(dcfg, qwen3.load_params(dreader), qwen3.forward,
                             qwen3.embed, n_ctx=args.ctx_size)
+    mtmd_enc = None
+    if args.mmproj:
+        from ..models import qwen2vl_vision as vis
+        from ..mtmd import Qwen2VLImageEncoder
+
+        vreader = GGUFReader(args.mmproj)
+        mtmd_enc = Qwen2VLImageEncoder(
+            vis.load_params(vreader),
+            vis.Qwen2VLVisionConfig.from_gguf(vreader.kv))
     state = ServerState(ctx, tok, n_slots=args.parallel,
                         lora_paths=args.lora, draft_ctx=draft_ctx,
                         slot_save_path=args.slot_save_path, encoder=encoder,
-                        chat_template=reader.kv.get("tokenizer.chat_template"))
+                        chat_template=reader.kv.get("tokenizer.chat_template"),
+                        mtmd_enc=mtmd_enc)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -363,3 +363,107 @@ def test_alias_routes(server):
     assert r2["choices"][0]["message"]["role"] == "assistant"
     info = _post(server + "/api/show", {})
     assert "model_info" in info
+
+
+@pytest.fixture(scope="module")
+def vlm_server(tmp_path_factory):
+    """Tiny qwen2vl-arch GGUF + mmproj behind the real server (the
+    reference's tools/server multimodal path via libmtmd)."""
+    from omni_tpu.convert.hf_to_gguf import convert_qwen2vl_vision
+    from omni_tpu.models import qwen2vl_vision as vis
+    from omni_tpu.mtmd import Qwen2VLImageEncoder
+
+    path = tmp_path_factory.mktemp("vlm") / "llm.gguf"
+    write_tiny_qwen3(path, n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     byte_tokenizer=True, arch="qwen2vl",
+                     extra_kv={"rope.dimension_sections": [2, 3, 3, 0]})
+    reader = GGUFReader(path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    assert cfg.mrope_sections == (2, 3, 3)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                  qwen3.embed, n_ctx=512)
+
+    rng = np.random.default_rng(0)
+    d = 32  # head_dim 8 (2-D rotary needs head_dim % 4 == 0)
+
+    def w(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    vsd = {"patch_embed.proj.weight": w(d, 3, 2, 4, 4),
+           "merger.ln_q.weight": np.ones(d, np.float32),
+           "merger.ln_q.bias": np.zeros(d, np.float32),
+           "merger.mlp.0.weight": w(4 * d, 4 * d),
+           "merger.mlp.0.bias": w(4 * d, s=0.02),
+           "merger.mlp.2.weight": w(64, 4 * d),
+           "merger.mlp.2.bias": w(64, s=0.02)}
+    for i in range(2):
+        p = f"blocks.{i}."
+        vsd[p + "norm1.weight"] = np.ones(d, np.float32)
+        vsd[p + "norm1.bias"] = np.zeros(d, np.float32)
+        vsd[p + "norm2.weight"] = np.ones(d, np.float32)
+        vsd[p + "norm2.bias"] = np.zeros(d, np.float32)
+        vsd[p + "attn.qkv.weight"] = w(3 * d, d)
+        vsd[p + "attn.qkv.bias"] = w(3 * d, s=0.02)
+        vsd[p + "attn.proj.weight"] = w(d, d)
+        vsd[p + "attn.proj.bias"] = w(d, s=0.02)
+        vsd[p + "mlp.fc1.weight"] = w(2 * d, d)
+        vsd[p + "mlp.fc1.bias"] = w(2 * d, s=0.02)
+        vsd[p + "mlp.fc2.weight"] = w(d, 2 * d)
+        vsd[p + "mlp.fc2.bias"] = w(d, s=0.02)
+    mm_path = tmp_path_factory.mktemp("vlm") / "mmproj.gguf"
+    convert_qwen2vl_vision(vsd, dict(
+        depth=2, embed_dim=d, out_hidden=64, num_heads=4, patch_size=4,
+        spatial_merge_size=2, temporal_patch_size=2, mlp_ratio=2), mm_path)
+    vreader = GGUFReader(mm_path)
+    enc = Qwen2VLImageEncoder(vis.load_params(vreader),
+                              vis.Qwen2VLVisionConfig.from_gguf(vreader.kv))
+
+    tok = build_tokenizer(reader.kv)
+    state = ServerState(ctx, tok, n_slots=1, mtmd_enc=enc)
+    httpd = serve(state, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_vision_chat_completion(vlm_server):
+    """image_url content part -> vision tower -> merger -> M-RoPE LLM
+    decode through /v1/chat/completions (reference server+libmtmd)."""
+    import base64
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(
+        (rng.random((16, 16, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    r = _post(vlm_server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "describe "},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+            {"type": "text", "text": " please"},
+        ]}],
+        "max_tokens": 8,
+    })
+    assert r["choices"][0]["message"]["role"] == "assistant"
+    assert isinstance(r["choices"][0]["message"]["content"], str)
+    # 16x16 image -> 4x4 patch grid -> 4 merged image tokens in the prompt
+    assert r["usage"]["prompt_tokens"] > 4
+    # a second request reuses the stream cleanly (seq state was reset)
+    r2 = _post(vlm_server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]}],
+        "max_tokens": 4,
+    })
+    assert r2["choices"][0]["finish_reason"] == "stop"
