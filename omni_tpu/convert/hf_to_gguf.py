@@ -3189,3 +3189,70 @@ def convert_qwen2vl_vision(state: Mapping[str, Any],
         put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
     w.write()
     return written
+
+
+def convert_llava_vision(state: Mapping[str, Any],
+                         config: Mapping[str, Any], out_path: str,
+                         qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF LLaVA vision tower + multi_modal_projector -> mmproj GGUF
+    (reference clip.cpp PROJECTOR_TYPE_MLP naming: v.class_embd,
+    v.position_embd, v.pre_ln, v.blk.N.*, mm.0/mm.2). `config` = the HF
+    vision_config dict + out_hidden (LLM width) + feature_layer."""
+    state = {k.removeprefix("vision_tower.").removeprefix("model.")
+             .removeprefix("vision_tower.")
+             : v for k, v in state.items()}
+    state = _strip(state, "vision_model.")
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "mlp")
+    w.add_kv("clip.vision.block_count", int(config["num_hidden_layers"]))
+    w.add_kv("clip.vision.embedding_length", int(config["hidden_size"]))
+    w.add_kv("clip.vision.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.vision.attention.head_count",
+             int(config["num_attention_heads"]))
+    w.add_kv("clip.vision.patch_size", int(config["patch_size"]))
+    w.add_kv("clip.vision.image_size", int(config.get("image_size", 224)))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(config.get("layer_norm_eps", 1e-5)))
+    w.add_kv("clip.vision.feature_layer",
+             int(config.get("feature_layer", -2)))
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.class_embd", state["embeddings.class_embedding"], None)
+    put("v.patch_embd.weight",
+        state["embeddings.patch_embedding.weight"], None)
+    put("v.position_embd.weight",
+        state["embeddings.position_embedding.weight"], None)
+    put("v.pre_ln.weight", state["pre_layrnorm.weight"], None)
+    put("v.pre_ln.bias", state["pre_layrnorm.bias"], None)
+    # projector (LlavaMultiModalProjector linear_1/linear_2)
+    put("mm.0.weight", state["multi_modal_projector.linear_1.weight"], None)
+    put("mm.0.bias", state["multi_modal_projector.linear_1.bias"], None)
+    put("mm.2.weight", state["multi_modal_projector.linear_2.weight"], None)
+    put("mm.2.bias", state["multi_modal_projector.linear_2.bias"], None)
+    for i in range(int(config["num_hidden_layers"])):
+        p, b = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(b + "ln1.weight", state[p + "layer_norm1.weight"], None)
+        put(b + "ln1.bias", state[p + "layer_norm1.bias"], None)
+        put(b + "ln2.weight", state[p + "layer_norm2.weight"], None)
+        put(b + "ln2.bias", state[p + "layer_norm2.bias"], None)
+        for nm in ("q", "k", "v"):
+            put(b + f"attn_{nm}.weight",
+                state[p + f"self_attn.{nm}_proj.weight"], None)
+            put(b + f"attn_{nm}.bias",
+                state[p + f"self_attn.{nm}_proj.bias"], None)
+        put(b + "attn_out.weight",
+            state[p + "self_attn.out_proj.weight"], None)
+        put(b + "attn_out.bias", state[p + "self_attn.out_proj.bias"], None)
+        put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"], None)
+        put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
+        put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"], None)
+        put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
+    w.write()
+    return written

@@ -92,3 +92,75 @@ def test_eval_chunks_positions_and_equivalence(setup):
                                seq_id=np.array([0], np.int32)))
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_llava_projector_e2e_vs_hf(tmp_path):
+    """CLIP ViT + llava MLP projector + LLM vs the full HF
+    LlavaForConditionalGeneration on a tiny config (reference clip.cpp
+    PROJECTOR_TYPE_MLP): prefill logits on (text, image, text) match."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    from transformers import (CLIPVisionConfig, LlamaConfig, LlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    from omni_tpu.convert.hf_to_gguf import convert_llava_vision, convert_llm
+    from omni_tpu.core import GGUFReader
+    from omni_tpu.models import clip_vit, qwen3
+    from omni_tpu.runtime import Batch, Context
+
+    torch.manual_seed(0)
+    V = 64
+    vcfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=3, num_attention_heads=4,
+                            image_size=16, patch_size=4)
+    tcfg = LlamaConfig(vocab_size=V, hidden_size=48, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, head_dim=12,
+                       max_position_embeddings=64,
+                       attn_implementation="eager",
+                       tie_word_embeddings=True)
+    lcfg = LlavaConfig(vision_config=vcfg, text_config=tcfg,
+                       image_token_index=V - 1,
+                       vision_feature_layer=-2,
+                       vision_feature_select_strategy="default")
+    model = LlavaForConditionalGeneration(lcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    llm_sd = {k.removeprefix("model.language_model.").removeprefix(
+        "language_model."): v for k, v in sd.items()
+        if "language_model" in k}
+    llm_sd = {("model." + k if not k.startswith("lm_head") else k): v
+              for k, v in llm_sd.items()}
+    llm_path = tmp_path / "llava_llm.gguf"
+    convert_llm(llm_sd, tcfg.to_dict(), llm_path, arch="llama")
+    mm_path = tmp_path / "llava_mmproj.gguf"
+    convert_llava_vision(sd, {**vcfg.to_dict(), "out_hidden": 48,
+                              "feature_layer": -2}, mm_path)
+
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    # 16x16 / patch 4 -> 16 image tokens
+    pre = np.array([3, 11], np.int32)
+    post = np.array([7, 29], np.int32)
+    input_ids = np.concatenate([pre, np.full(16, V - 1, np.int32), post])
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(input_ids[None].astype(np.int64)),
+            pixel_values=torch.tensor(pix),
+        ).logits[0].numpy()
+
+    reader = GGUFReader(llm_path)
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    params = qwen3.load_params(reader)
+    vreader = GGUFReader(mm_path)
+    ccfg = clip_vit.ClipVitConfig.from_gguf(vreader.kv)
+    vparams = clip_vit.load_params(vreader)
+    img_emb = np.asarray(clip_vit.forward(vparams, ccfg, pix[0]))
+    assert img_emb.shape == (16, 48)
+
+    embeds = np.asarray(qwen3.embed(params, input_ids), np.float32)
+    embeds[2:18] = img_emb
+    ctx = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=32)
+    logits, _ = ctx.decode(Batch(embeds=embeds))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=0.03)
