@@ -29,7 +29,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "baichuan", "xverse", "internlm2", "exaone", "orion", "qwen",
           "plamo", "refact", "jais", "codeshell", "gptj", "chatglm",
           "deepseek", "bailingmoe", "llada", "dream", "llada_moe",
-          "arctic", "grok", "smallthinker", "minicpm3", "plm")
+          "arctic", "grok", "smallthinker", "minicpm3", "plm",
+          "rwkv7", "arwkv7")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -120,6 +121,9 @@ _HF_ARCH_MAP = {
     "SmallthinkerForCausalLM": "smallthinker",
     "MiniCPM3ForCausalLM": "minicpm3",
     "PLMForCausalLM": "plm",
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RWKV7ForCausalLM": "rwkv7",
+    "RwkvHybridForCausalLM": "arwkv7",
 }
 
 

@@ -353,6 +353,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch in ("rwkv7", "arwkv7"):
+        return _convert_rwkv7(state, config, out_path, qtype,
+                              tokenizer_kv=tokenizer_kv, arch=arch)
     if arch == "rwkv6":
         return _convert_rwkv6(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
@@ -3254,5 +3257,132 @@ def convert_llava_vision(state: Mapping[str, Any],
         put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
         put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"], None)
         put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_rwkv7(state: Mapping[str, Any], config: Mapping[str, Any],
+                   out_path: str, qtype: GGMLType,
+                   tokenizer_kv: Mapping[str, Any] | None = None,
+                   arch: str = "rwkv7") -> list[str]:
+    """HF RWKV7 (pth-style model.layers.N.attention.* layout) /
+    ARWKV7 (qwen-hybrid: self_attn time mix + SwiGLU mlp) -> GGUF archs
+    "rwkv7"/"arwkv7" with the reference exporter's layouts
+    (convert_hf_to_gguf.py Rwkv7Model/ARwkv7Model): the six per-branch
+    token-shift vectors fuse into time_mix_lerp_fused [n, C]; the
+    w/a/v/g low-rank towers transpose to [out, in]; w0/a0/v0 squeeze to
+    [C]."""
+    state = _strip(state, "model.")
+    # unify arwkv7's qwen-ish naming into the rwkv7 attention.* layout
+    state = {k.replace(".self_attn.", ".attention.")
+             .replace(".attn.", ".attention.")
+             .replace("_lora.lora.0.weight", ".lora1")
+             .replace("_lora.lora.2.weight", ".lora2")
+             .replace("_lora.lora.2.bias", ".lora0"): v
+             for k, v in state.items()}
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    head_size = int(config.get("head_size", config.get("head_dim", 64)))
+    d_ff = int(config.get("intermediate_size") or 4 * d_model)
+    has_gate = bool(config.get("wkv_has_gate", True))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.wkv.head_size", head_size)
+    w.add_kv(f"{arch}.context_length", 1048576)
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.token_shift_count", 2 if arch == "rwkv7" else 1)
+    if arch == "rwkv7":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(config.get("layer_norm_epsilon", 1e-5)))
+    else:
+        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+                 float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.attention.head_count", 0)
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.weight"])
+    if arch == "rwkv7":
+        put("token_embd_norm.weight", state["layers.0.pre_norm.weight"],
+            None)
+        put("token_embd_norm.bias", state["layers.0.pre_norm.bias"], None)
+        put("output_norm.weight", state["ln_out.weight"], None)
+        put("output_norm.bias", state["ln_out.bias"], None)
+    else:
+        put("output_norm.weight", state["norm.weight"], None)
+    if "head.weight" in state:
+        put("output.weight", state["head.weight"])
+    elif "lm_head.weight" in state:
+        put("output.weight", state["lm_head.weight"])
+
+    branches = ["r", "w", "k", "v", "a"] + (["g"] if has_gate else [])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        a = pfx + "attention."
+        if arch == "rwkv7":
+            put(b + "attn_norm.weight", state[pfx + "ln1.weight"], None)
+            put(b + "attn_norm.bias", state[pfx + "ln1.bias"], None)
+            put(b + "attn_norm_2.weight", state[pfx + "ln2.weight"], None)
+            put(b + "attn_norm_2.bias", state[pfx + "ln2.bias"], None)
+        else:
+            put(b + "attn_norm.weight",
+                state[pfx + "input_layernorm.weight"], None)
+            put(b + "ffn_norm.weight",
+                state[pfx + "post_attention_layernorm.weight"], None)
+        if a + "x_x" in state:  # pre-fused [n, C] (fla layout)
+            fused = _np(state[a + "x_x"]).reshape(len(branches), d_model)
+        else:
+            fused = np.stack([
+                _np(state[a + f"x_{nm}"]).reshape(d_model)
+                for nm in branches])
+        put(b + "time_mix_lerp_fused.weight", fused, None)
+        for tower in ("w", "a", "v", "g"):
+            if tower == "v" and a + "v0" not in state and \
+                    a + "v.lora0" not in state:
+                continue  # layer 0 has no value-residual tower
+            if tower == "g":
+                if not has_gate:
+                    continue
+                # gate tower has no bias term (g1/g2 only)
+                w1 = state.get(a + "g1", state.get(a + "g.lora1"))
+                w2 = state.get(a + "g2", state.get(a + "g.lora2"))
+                put(b + "time_mix_g1.weight", _np(w1).T, None)
+                put(b + "time_mix_g2.weight", _np(w2).T, None)
+                continue
+            w0 = state.get(a + f"{tower}0", state.get(a + f"{tower}.lora0"))
+            w1 = state.get(a + f"{tower}1", state.get(a + f"{tower}.lora1"))
+            w2 = state.get(a + f"{tower}2", state.get(a + f"{tower}.lora2"))
+            put(b + f"time_mix_{tower}0.weight",
+                _np(w0).reshape(d_model), None)
+            put(b + f"time_mix_{tower}1.weight", _np(w1).T, None)
+            put(b + f"time_mix_{tower}2.weight", _np(w2).T, None)
+        for nm, gg in (("k_k", "time_mix_k_k"), ("k_a", "time_mix_k_a"),
+                       ("r_k", "time_mix_r_k")):
+            put(b + gg + ".weight", _np(state[a + nm]).reshape(-1), None)
+        put(b + "time_mix_receptance.weight", state[a + "receptance.weight"])
+        put(b + "time_mix_key.weight", state[a + "key.weight"])
+        put(b + "time_mix_value.weight", state[a + "value.weight"])
+        put(b + "time_mix_output.weight", state[a + "output.weight"])
+        if a + "ln_x.weight" in state:
+            put(b + "time_mix_ln.weight", state[a + "ln_x.weight"], None)
+            put(b + "time_mix_ln.bias", state[a + "ln_x.bias"], None)
+        f = pfx + "feed_forward."
+        if arch == "rwkv7":
+            put(b + "channel_mix_lerp_k.weight",
+                _np(state[f + "x_k"]).reshape(d_model), None)
+            put(b + "channel_mix_key.weight", state[f + "key.weight"])
+            put(b + "channel_mix_value.weight", state[f + "value.weight"])
+        else:
+            put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
+            put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
+            put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
     w.write()
     return written

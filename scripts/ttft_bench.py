@@ -297,7 +297,7 @@ def main():
     log(f"warm round total: {time.perf_counter() - t0:.1f} s")
 
     ttfts = []
-    for i in (2, 3, 4):
+    for i in range(2, 12):  # 10 timed rounds: report a REAL p50
         ttft, turn = one_round(i)
         ttfts.append(ttft)
         log(f"round {i}: TTFT {ttft * 1e3:.0f} ms, full turn {turn:.2f} s | "
@@ -305,14 +305,18 @@ def main():
             f"tts_gen in {t_mark.get('tts_gen_start', -1) * 1e3:.0f} ms, "
             f"1st TTS code {t_mark.get('tts_code', -1) * 1e3:.0f} ms, "
             f"T2W start {t_mark.get('t2w_start', -1) * 1e3:.0f} ms")
-    best = min(ttfts) * 1e3
+    import numpy as _np
+
+    p50 = float(_np.median(ttfts)) * 1e3
+    log(f"TTFT p50 {p50:.0f} ms, min {min(ttfts) * 1e3:.0f}, "
+        f"max {max(ttfts) * 1e3:.0f} over {len(ttfts)} rounds")
 
     import json
 
     print(json.dumps({
-        "metric": "ttft_ms_served_pipeline",
-        "value": round(best, 1), "unit": "ms",
-        "vs_baseline": round(550.0 / best, 3)}))
+        "metric": "ttft_ms_served_pipeline_p50",
+        "value": round(p50, 1), "unit": "ms",
+        "vs_baseline": round(550.0 / p50, 3)}))
 
 
 if __name__ == "__main__":
