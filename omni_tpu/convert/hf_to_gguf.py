@@ -353,6 +353,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "nemotron_h":
+        return _convert_nemotron_h(state, config, out_path, qtype,
+                                   tokenizer_kv=tokenizer_kv)
     if arch in ("rwkv7", "arwkv7"):
         return _convert_rwkv7(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv, arch=arch)
@@ -3384,5 +3387,93 @@ def _convert_rwkv7(state: Mapping[str, Any], config: Mapping[str, Any],
             put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
             put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
             put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_nemotron_h(state: Mapping[str, Any],
+                        config: Mapping[str, Any],
+                        out_path: str, qtype: GGMLType,
+                        tokenizer_kv: Mapping[str, Any] | None = None
+                        ) -> list[str]:
+    """HF NemotronHForCausalLM (backbone.layers.N.mixer.*) -> GGUF arch
+    "nemotron_h" (reference NemotronHModel + llm_build_nemotron_h):
+    layer types come from hybrid_override_pattern ("M"=mamba2,
+    "*"=attention, "-"=relu^2 FFN) and are encoded as per-layer
+    head_count_kv / feed_forward_length vectors (0 = not that type)."""
+    state = _strip(state, "backbone.")
+    arch = "nemotron_h"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_heads))
+    head_dim = int(config.get("head_dim",
+                              config.get("attention_head_dim",
+                                         d_model // n_heads)))
+    pattern = config["hybrid_override_pattern"]
+    assert len(pattern) == n_layers
+    kvh = [n_kv if c == "*" else 0 for c in pattern]
+    n_ff = int(config.get("intermediate_size")
+               or config.get("n_inner") or 4 * d_model)
+    ffs = [n_ff if c == "-" else 0 for c in pattern]
+    n_ssm_head = int(config.get("mamba_num_heads",
+                                config.get("num_heads", 4)))
+    d_inner = n_ssm_head * int(config.get("mamba_head_dim", 16))
+    n_group = int(config.get("n_groups", 1))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", ffs)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvh)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("ssm_state_size", 8)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_kv(f"{arch}.ssm.group_count", n_group)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("layer_norm_epsilon",
+                              config.get("rms_norm_eps", 1e-5))))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embeddings.weight"])
+    put("output_norm.weight", state["norm_f.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", True)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        put(b + "attn_norm.weight", state[pfx + "norm.weight"], None)
+        mp = pfx + "mixer."
+        if pattern[i] == "M":
+            put(b + "ssm_in.weight", state[mp + "in_proj.weight"])
+            put(b + "ssm_conv1d.weight",
+                _np(state[mp + "conv1d.weight"])[:, 0, :], None)
+            put(b + "ssm_conv1d.bias", state[mp + "conv1d.bias"], None)
+            put(b + "ssm_dt.bias", state[mp + "dt_bias"], None)
+            put(b + "ssm_a", state[mp + "A_log"], None)
+            put(b + "ssm_d", state[mp + "D"], None)
+            put(b + "ssm_norm.weight",
+                _np(state[mp + "norm.weight"]).reshape(n_group, -1), None)
+            put(b + "ssm_out.weight", state[mp + "out_proj.weight"])
+        elif pattern[i] == "*":
+            put(b + "attn_q.weight", state[mp + "q_proj.weight"])
+            put(b + "attn_k.weight", state[mp + "k_proj.weight"])
+            put(b + "attn_v.weight", state[mp + "v_proj.weight"])
+            put(b + "attn_output.weight", state[mp + "o_proj.weight"])
+        else:
+            put(b + "ffn_up.weight", state[mp + "up_proj.weight"])
+            put(b + "ffn_down.weight", state[mp + "down_proj.weight"])
     w.write()
     return written

@@ -205,7 +205,13 @@ def main():
     pipe = OmniPipeline(
         llm=llm, tokenizer=_BenchTokenizer(), tts_ctx=tts_ctx,
         tts_extras=tts_extras, token2wav=t2w, audio_encoder=audio_encoder,
-        config=SessionConfig(duplex=False, use_tts=True, max_new_tokens=24))
+        config=SessionConfig(duplex=False, use_tts=True, max_new_tokens=24,
+                             # bound the conversation window so steady-
+                             # state context stays inside one ragged-KV
+                             # bucket (round-window eviction; without it
+                             # rounds 9+ cross the 1024-cell bucket and
+                             # TTFT degrades 540 -> 900 ms)
+                             max_preserved_context=768))
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal(16000).astype(np.float32) * 0.05
@@ -295,6 +301,14 @@ def main():
     t0 = time.perf_counter()
     one_round(1)
     log(f"warm round total: {time.perf_counter() - t0:.1f} s")
+    # compile the decode scan at EVERY ragged-KV bucket the session can
+    # reach: context grows across the timed rounds, and a mid-run bucket
+    # crossing otherwise recompiles inside a timed round (a 30 s spike
+    # that poisons the p50)
+    if hasattr(pipe, "warm_decode"):
+        t0 = time.perf_counter()
+        pipe.warm_decode()
+        log(f"kv-bucket warm: {time.perf_counter() - t0:.1f} s")
 
     ttfts = []
     for i in range(2, 12):  # 10 timed rounds: report a REAL p50
