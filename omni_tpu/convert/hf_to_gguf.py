@@ -159,11 +159,23 @@ _LLM_LAYER_MAP = {
     "self_attn.o_proj.bias": "attn_output.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # chameleon per-head biased q/k LayerNorms
+    "self_attn.q_norm.bias": "attn_q_norm.bias",
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "input_layernorm.weight": "attn_norm.weight",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+# Chameleon swin_norm: both block norms land in the POST slots
+# (llm_build_chameleon hparams.swin_norm branches)
+_CHAMELEON_SWIN_MAP = {
+    **{k: v for k, v in _LLM_LAYER_MAP.items()
+       if "layernorm" not in k},
+    "post_attention_norm_tmp.weight": "post_attention_norm.weight",
+    "post_ffw_norm_tmp.weight": "post_ffw_norm.weight",
 }
 
 # PhiMoE: biased TRUE LayerNorms around attention/MoE (HF Phimoe;
@@ -182,6 +194,9 @@ _APERTUS_LAYER_MAP = {
     "self_attn.o_proj.weight": "attn_output.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # chameleon per-head biased q/k LayerNorms
+    "self_attn.q_norm.bias": "attn_q_norm.bias",
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "attention_layernorm.weight": "attn_norm.weight",
     "feedforward_layernorm.weight": "ffn_norm.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
@@ -285,6 +300,9 @@ _GEMMA_LAYER_MAP = {
     "self_attn.o_proj.weight": "attn_output.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # chameleon per-head biased q/k LayerNorms
+    "self_attn.q_norm.bias": "attn_q_norm.bias",
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "input_layernorm.weight": "attn_norm.weight",
     "post_attention_layernorm.weight": "post_attention_norm.weight",
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",
@@ -305,6 +323,9 @@ _OLMO2_LAYER_MAP = {
     "self_attn.o_proj.weight": "attn_output.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # chameleon per-head biased q/k LayerNorms
+    "self_attn.q_norm.bias": "attn_q_norm.bias",
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "post_attention_layernorm.weight": "post_attention_norm.weight",
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
@@ -636,6 +657,39 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                   "rms_norm_eps": float(config.get("rms_norm_eps", 1e-5)),
                   "tie_word_embeddings":
                       bool(config.get("weight_tying", False))}
+    if arch == "chameleon":
+        # Chameleon (reference ChameleonModel + llm_build_chameleon):
+        # NORM-rope llama graph + per-head biased LN q/k norms whose
+        # weights take head 0, re-interleave the half-split layout, and
+        # broadcast to every head (ChameleonModel._reverse_hf_permute);
+        # swin_norm moves both block norms AFTER their sublayers
+        n_h_ = int(config["num_attention_heads"])
+        n_k_ = int(config.get("num_key_value_heads", n_h_))
+        hd_ = int(config["hidden_size"]) // n_h_
+        out_state = {}
+        for k, v in state.items():
+            if k.startswith("model.vqmodel"):
+                continue  # image tokenizer: not served yet
+            if k.endswith(("q_norm.weight", "q_norm.bias",
+                           "k_norm.weight", "k_norm.bias")):
+                nh = n_h_ if ".q_norm." in k else n_k_
+                a = _np(v).reshape(-1, hd_)[0]
+                a = a.reshape(2, hd_ // 2).T.reshape(-1)
+                out_state[k] = np.tile(a, nh)
+            else:
+                out_state[k] = v
+        state = out_state
+        if config.get("swin_norm"):
+            # post-norm topology: input_layernorm normalizes the ATTN
+            # OUTPUT, post_attention_layernorm the FFN output
+            ren = {".input_layernorm.": ".post_attention_norm_tmp.",
+                   ".post_attention_layernorm.": ".post_ffw_norm_tmp."}
+            out_state = {}
+            for k, v in state.items():
+                for a, bt in ren.items():
+                    k = k.replace(a, bt)
+                out_state[k] = v
+            state = out_state
     if arch == "qwen2vl":
         # Qwen2-VL text stack = qwen2 (biased qkv, NeoX) + M-RoPE
         # sections (reference Qwen2VLModel set_gguf_parameters:
@@ -1095,6 +1149,8 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                      int(config["expert_intermediate_size"]))
         w.add_kv(f"{arch}.expert_weights_norm", False)
         w.add_kv(f"{arch}.expert_gating_func", 1)
+    if arch == "chameleon":
+        w.add_kv(f"{arch}.swin_norm", bool(config.get("swin_norm", False)))
     if arch == "qwen2vl":
         rs = config.get("rope_scaling") or {}
         sec = list(rs.get("mrope_section") or ())
@@ -1264,6 +1320,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                  _PHI2_LAYER_MAP if arch == "phi2" else
                  _PHIMOE_LAYER_MAP if arch in ("phimoe",
                                                "orion") else
+                 _CHAMELEON_SWIN_MAP if (arch == "chameleon"
+                                         and config.get("swin_norm"))
+                 else
                  _STABLELM_LAYER_MAP if arch == "stablelm" else
                  _GLM4_LAYER_MAP if arch in ("glm4", "chatglm") else
                  _NEMOTRON_LAYER_MAP if arch in ("nemotron",
@@ -1275,7 +1334,7 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                       "ernie4_5", "ernie4_5-moe", "olmo",
                       "baichuan", "xverse", "internlm2",
                       "deepseek", "bailingmoe", "llada",
-                      "arctic")  # NORM rope
+                      "arctic", "chameleon")  # NORM rope
     # (chatglm is NORM rope too but HF stores the interleaved layout
     # natively — no permute, like cohere)
     if arch == "phi3":  # fused qkv_proj / gate_up_proj -> split projections

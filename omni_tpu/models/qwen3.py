@@ -140,6 +140,9 @@ class Qwen3Config:
     # HunYuan: the WEIGHTED per-head q/k RMS norms apply AFTER rope
     # (llm_build_hunyuan_moe, llama-model.cpp:18119)
     qk_norm_post_rope: bool = False
+    # chameleon: per-head BIASED LayerNorm on q/k (HF ChameleonLayerNorm;
+    # weights stored [n_heads*head_dim] in the rope-permuted layout)
+    qk_norm_type: str = "rms"
     # Apertus xIELU (ggml_xielu): per-layer (alpha_n, alpha_p, beta, eps)
     # scalars; act == "xielu" selects it on the un-gated FFN
     xielu: tuple = ()
@@ -284,6 +287,14 @@ class Qwen3Config:
             )
         if arch == "arctic":
             grok_extra = dict(moe_parallel_ffn="arctic", moe_norm_w=True)
+        if arch == "chameleon":
+            # llm_build_chameleon: llama graph + per-head biased LN q/k
+            # norms; swin_norm normalizes sublayer OUTPUTS (the olmo2
+            # post-norm topology) instead of inputs
+            swin = bool(g("swin_norm", False))
+            grok_extra = dict(qk_norm_type="layer",
+                              **({"pre_norm": False,
+                                  "sandwich_norms": True} if swin else {}))
         if arch == "smallthinker":
             sw = int(g("attention.sliding_window", 0) or 0)
             grok_extra = dict(
@@ -591,6 +602,11 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "wo": get(p + "attn_output.weight"),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
+            # chameleon biased per-head q/k LayerNorms
+            "q_norm_b": get(p + "attn_q_norm.bias", required=False,
+                            keep_q=False),
+            "k_norm_b": get(p + "attn_k_norm.bias", required=False,
+                            keep_q=False),
             # attention projection biases (qwen2/qwen2.5, gpt-oss)
             "bq": get(p + "attn_q.bias", required=False, keep_q=False),
             "bk": get(p + "attn_k.bias", required=False, keep_q=False),
@@ -937,6 +953,7 @@ def forward(
                 qkv = qkv + lp["bqkv"].astype(qkv.dtype)
             q, k = qkv[:, :qd], qkv[:, qd:qd + kvd]
             if (lp["q_norm"] is not None
+                    and cfg.qk_norm_type == "rms"
                     and lp["q_norm"].shape[-1] != cfg.head_dim):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)  # OLMo-2 width
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
@@ -955,7 +972,10 @@ def forward(
                 v = v * lp["wv_scale"].astype(v.dtype)
             # OLMo-2 normalizes the FULL q/k projections (statistics over
             # n_heads*head_dim, weight that wide) before the head split
+            # (chameleon's per-head LN weights are also full-width but
+            # route through qk_norm_type == "layer" instead)
             if (lp["q_norm"] is not None
+                    and cfg.qk_norm_type == "rms"
                     and lp["q_norm"].shape[-1] != cfg.head_dim):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
@@ -967,7 +987,17 @@ def forward(
             q = jnp.clip(q, -c, c)
             k = jnp.clip(k, -c, c)
             v = jnp.clip(v, -c, c)
-        if not mla and not cfg.qk_norm_post_rope:
+        if not mla and cfg.qk_norm_type == "layer":
+            # chameleon per-head biased LayerNorm (pre-rope)
+            if lp["q_norm"] is not None:
+                qw = lp["q_norm"].reshape(cfg.n_heads, cfg.head_dim)
+                qb = lp["q_norm_b"].reshape(cfg.n_heads, cfg.head_dim)
+                q = layer_norm(q, qw[None], qb[None], cfg.rms_eps)
+            if lp["k_norm"] is not None:
+                kw_ = lp["k_norm"].reshape(cfg.n_kv_heads, cfg.head_dim)
+                kb = lp["k_norm_b"].reshape(cfg.n_kv_heads, cfg.head_dim)
+                k = layer_norm(k, kw_[None], kb[None], cfg.rms_eps)
+        elif not mla and not cfg.qk_norm_post_rope:
             if (lp["q_norm"] is not None
                     and lp["q_norm"].shape[-1] == cfg.head_dim):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)

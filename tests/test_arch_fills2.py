@@ -387,3 +387,44 @@ def test_minicpm3_parity(tmp_path):
     assert ecfg.q_lora_rank == 12 and ecfg.rope_neox
     assert ecfg.emb_scale == 12.0
     np.testing.assert_allclose(ours, ref, atol=0.05, rtol=0.01)
+
+
+def _chameleon_parity(tmp_path, swin):
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import ChameleonConfig, ChameleonForConditionalGeneration
+
+    torch.manual_seed(0)
+    hcfg = ChameleonConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=FF,
+        num_hidden_layers=2, num_attention_heads=NH,
+        num_key_value_heads=NH,  # HF chameleon q/k norms assume MHA-wide k
+        max_position_embeddings=64, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=False,
+        swin_norm=swin, model_parallel_size=1,
+        vocabulary_map={"<image>": V - 1},
+        vq_config=dict(embed_dim=32, num_embeddings=8, latent_channels=32,
+                       base_channels=32, channel_multiplier=[1],
+                       in_channels=3, out_channels=3, resolution=32,
+                       num_res_blocks=1, attn_resolutions=[]))
+    model = ChameleonForConditionalGeneration(hcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    toks = RNG(21 + swin).integers(2, V - 2, T).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.tensor(toks[None].astype(np.int64))
+                    ).logits[0].numpy()
+    ours, ecfg = engine(tmp_path, sd, hcfg.to_dict(), "chameleon", toks)
+    assert ecfg.qk_norm_type == "layer" and not ecfg.rope_neox
+    if swin:
+        assert not ecfg.pre_norm and ecfg.sandwich_norms
+    # the reference suppresses image-token logits (ids 4..8196) for
+    # text-only output; our tiny vocab has none — compare everything
+    np.testing.assert_allclose(ours, ref, atol=0.03)
+
+
+def test_chameleon_parity(tmp_path):
+    _chameleon_parity(tmp_path, swin=False)
+
+
+def test_chameleon_swin_norm_parity(tmp_path):
+    _chameleon_parity(tmp_path, swin=True)
