@@ -30,7 +30,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "plamo", "refact", "jais", "codeshell", "gptj", "chatglm",
           "deepseek", "bailingmoe", "llada", "dream", "llada_moe",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
-          "rwkv7", "arwkv7", "nemotron_h")
+          "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -125,6 +125,8 @@ _HF_ARCH_MAP = {
     "RWKV7ForCausalLM": "rwkv7",
     "RwkvHybridForCausalLM": "arwkv7",
     "NemotronHForCausalLM": "nemotron_h",
+    "DeciLMForCausalLM": "deci",
+    "OpenELMForCausalLM": "openelm",
 }
 
 

@@ -374,6 +374,12 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch == "deci":
+        return _convert_deci(state, config, out_path, qtype,
+                             tokenizer_kv=tokenizer_kv)
+    if arch == "openelm":
+        return _convert_openelm(state, config, out_path, qtype,
+                                tokenizer_kv=tokenizer_kv)
     if arch == "nemotron_h":
         return _convert_nemotron_h(state, config, out_path, qtype,
                                    tokenizer_kv=tokenizer_kv)
@@ -3534,5 +3540,181 @@ def _convert_nemotron_h(state: Mapping[str, Any],
         else:
             put(b + "ffn_up.weight", state[mp + "up_proj.weight"])
             put(b + "ffn_down.weight", state[mp + "down_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_deci(state: Mapping[str, Any], config: Mapping[str, Any],
+                  out_path: str, qtype: GGMLType,
+                  tokenizer_kv: Mapping[str, Any] | None = None
+                  ) -> list[str]:
+    """HF DeciLM / Llama-3_1-Nemotron -> GGUF arch "deci" (reference
+    DeciModel + llm_build_deci): per-layer GQA widths from block_configs
+    (or num_key_value_heads_per_layer), attention-free layers
+    (n_heads_in_group None, replace_with_linear False), linear-attention
+    layers (wo only), FFN-free layers (ffn_mult None). NORM-rope llama
+    graph with the q/k permute applied per layer."""
+    state = _strip(state, "model.")
+    arch = "deci"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads_u = int(config["num_attention_heads"])
+    head_dim = d_model // n_heads_u
+
+    if "block_configs" in config:
+        heads, kvs, ffs = [], [], []
+        for bc in config["block_configs"]:
+            g_ = bc["attention"].get("n_heads_in_group")
+            if g_ is None:
+                kvs.append(0)
+                heads.append(n_heads_u
+                             if bc["attention"].get("replace_with_linear")
+                             else 0)
+            else:
+                kvs.append(n_heads_u // int(g_))
+                heads.append(n_heads_u)
+            fm = bc["ffn"].get("ffn_mult")
+            if fm is None:
+                ffs.append(0)
+            else:
+                # DeciModel._ffn_mult_to_intermediate_size
+                ff = int(2 * fm * d_model / 3)
+                ffs.append(256 * ((ff + 255) // 256))
+    else:
+        heads = [n_heads_u] * n_layers
+        kvs = [int(x) for x in
+               config.get("num_key_value_heads_per_layer",
+                          [config.get("num_key_value_heads",
+                                      n_heads_u)] * n_layers)]
+        ffs = [int(config["intermediate_size"])] * n_layers
+
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", ffs)
+    w.add_kv(f"{arch}.attention.head_count", heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvs)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    rope_extra = _emit_rope_scaling(w, arch, config, rot_dim=head_dim)
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    for nm, arr in rope_extra.items():
+        put(nm, arr, None)
+    put("output_norm.weight", state["norm.weight"], None)
+    if ("lm_head.weight" in state
+            and not config.get("tie_word_embeddings", False)):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        if heads[i] > 0 and kvs[i] > 0:
+            put(b + "attn_norm.weight",
+                state[pfx + "input_layernorm.weight"], None)
+            put(b + "attn_q.weight", _permute_rope(
+                _np(state[pfx + "self_attn.q_proj.weight"]), heads[i]))
+            put(b + "attn_k.weight", _permute_rope(
+                _np(state[pfx + "self_attn.k_proj.weight"]), kvs[i]))
+            put(b + "attn_v.weight", state[pfx + "self_attn.v_proj.weight"])
+            put(b + "attn_output.weight",
+                state[pfx + "self_attn.o_proj.weight"])
+        elif heads[i] > 0:  # linear attention: wo on the norm output
+            put(b + "attn_norm.weight",
+                state[pfx + "input_layernorm.weight"], None)
+            put(b + "attn_output.weight",
+                state[pfx + "self_attn.linear_attn.weight"])
+        if ffs[i] > 0:
+            put(b + "ffn_norm.weight",
+                state[pfx + "post_attention_layernorm.weight"], None)
+            put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
+            put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
+            put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_openelm(state: Mapping[str, Any], config: Mapping[str, Any],
+                     out_path: str, qtype: GGMLType,
+                     tokenizer_kv: Mapping[str, Any] | None = None
+                     ) -> list[str]:
+    """HF OpenELM -> GGUF arch "openelm" (reference OpenELMModel +
+    llm_build_openelm): per-layer q/kv head counts and FFN widths,
+    per-head q/k RMS norms, NeoX rope; the fused qkv_proj de-fuses into
+    q/k/v with each layer's own widths; the fused ffn proj_1 splits
+    into gate|up at that layer's width."""
+    state = _strip(state, "transformer.")
+    arch = "openelm"
+    d_model = int(config["model_dim"])
+    n_layers = int(config["num_transformer_layers"])
+    head_dim = int(config["head_dim"])
+    heads = [int(x) for x in config["num_query_heads"]]
+    kvs = [int(x) for x in config["num_kv_heads"]]
+    div = int(config.get("ffn_dim_divisor", 256))
+
+    def mk_div(v):
+        # OpenELMModel._make_divisible
+        new_v = max(div, int(v + div / 2) // div * div)
+        if new_v < 0.9 * v:
+            new_v += div
+        return new_v
+
+    ffs = [mk_div(m * d_model) for m in config["ffn_multipliers"]]
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", ffs)
+    w.add_kv(f"{arch}.attention.head_count", heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvs)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_freq_constant", 10000.0)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_context_length", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["token_embeddings.weight"])
+    put("output_norm.weight", state["norm.weight"], None)
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        nh, nk, ff = heads[i], kvs[i], ffs[i]
+        put(b + "attn_norm.weight",
+            state[pfx + "attn_norm.weight"], None)
+        qkv = _np(state[pfx + "attn.qkv_proj.weight"])
+        put(b + "attn_q.weight", qkv[: nh * head_dim])
+        put(b + "attn_k.weight",
+            qkv[nh * head_dim: (nh + nk) * head_dim])
+        put(b + "attn_v.weight", qkv[(nh + nk) * head_dim:])
+        put(b + "attn_q_norm.weight",
+            state[pfx + "attn.q_norm.weight"], None)
+        put(b + "attn_k_norm.weight",
+            state[pfx + "attn.k_norm.weight"], None)
+        put(b + "attn_output.weight", state[pfx + "attn.out_proj.weight"])
+        put(b + "ffn_norm.weight", state[pfx + "ffn_norm.weight"], None)
+        gu = _np(state[pfx + "ffn.proj_1.weight"])
+        put(b + "ffn_gate.weight", gu[:ff])
+        put(b + "ffn_up.weight", gu[ff:])
+        put(b + "ffn_down.weight", state[pfx + "ffn.proj_2.weight"])
     w.write()
     return written

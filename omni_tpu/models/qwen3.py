@@ -169,6 +169,12 @@ class Qwen3Config:
     # SWA pattern offset: set_swa_pattern(n, dense_first=true) makes
     # layer il windowed iff il % n != 0 (smallthinker)
     swa_dense_first: bool = False
+    # deci/openelm per-layer geometry: (n_head, n_kv) per layer from
+    # the attention.head_count{,_kv} VECTORS; () = uniform. n_head=0 is
+    # an attention-free layer, n_kv=0 with n_head>0 the deci "linear
+    # attention" (wo only); FFN-free layers simply lack ffn tensors
+    # (llm_build_deci / llm_build_openelm)
+    layer_heads: tuple = ()
     # qwen2vl M-RoPE sections in PAIR units (t/h/w chunk widths;
     # {arch}.rope.dimension_sections, reference ggml_rope_multi). The
     # forward ropes with the pos3 [T, 3] streams when provided; plain
@@ -186,7 +192,22 @@ class Qwen3Config:
     def from_gguf(kv: dict[str, Any], arch: str | None = None) -> "Qwen3Config":
         arch = arch or kv["general.architecture"]
         g = lambda key, default=None: kv.get(f"{arch}.{key}", default)
-        n_heads = int(g("attention.head_count"))
+        heads_raw = g("attention.head_count")
+        kvh_raw = g("attention.head_count_kv", heads_raw)
+        layer_heads = ()
+        if hasattr(heads_raw, "__len__") or hasattr(kvh_raw, "__len__"):
+            # per-layer geometry (deci/openelm): vectors in either kv
+            nl_ = int(g("block_count"))
+            hs = (list(int(x) for x in heads_raw)
+                  if hasattr(heads_raw, "__len__")
+                  else [int(heads_raw)] * nl_)
+            ks = (list(int(x) for x in kvh_raw)
+                  if hasattr(kvh_raw, "__len__")
+                  else [int(kvh_raw)] * nl_)
+            layer_heads = tuple(zip(hs, ks))
+            n_heads = max(hs)
+        else:
+            n_heads = int(heads_raw)
         d_model = int(g("embedding_length"))
         head_dim = int(g("attention.key_length", d_model // n_heads))
         mla_extra = {}
@@ -359,7 +380,7 @@ class Qwen3Config:
                                    "baichuan", "xverse", "internlm2",
                                    "chatglm", "deepseek", "bailingmoe",
                                    "gptj", "chameleon", "llada",
-                                   "arctic", "plm"),
+                                   "arctic", "plm", "deci"),
             # smollm3 NoPE every 4th layer; cohere2 ropes ONLY its SWA
             # layers — the dense layers (il % 4 == 3) are NoPE
             # (llm_build_cohere2_iswa, llama-model.cpp:12261)
@@ -412,9 +433,15 @@ class Qwen3Config:
             n_layers=int(g("block_count")),
             d_model=d_model,
             n_heads=n_heads,
-            n_kv_heads=int(g("attention.head_count_kv", n_heads)),
+            n_kv_heads=(max([k for _, k in layer_heads] + [1])
+                        if layer_heads
+                        else int(g("attention.head_count_kv", n_heads))),
+            layer_heads=layer_heads,
             head_dim=head_dim,
-            d_ff=int(g("feed_forward_length")),
+            # deci/openelm write feed_forward_length as a vector
+            d_ff=(max(int(x) for x in g("feed_forward_length"))
+                  if hasattr(g("feed_forward_length"), "__len__")
+                  else int(g("feed_forward_length"))),
             n_vocab=len(kv["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in kv
             else int(g("vocab_size")),
             rope_base=float(g("rope.freq_base", 10000.0)),
@@ -585,8 +612,10 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
     i = 0
     while (f"blk.{i}.attn_norm.weight" in reader.tensors
            or f"blk.{i}.post_attention_norm.weight" in reader.tensors
-           # OLMo layers carry no norm weights at all
-           or f"blk.{i}.attn_q.weight" in reader.tensors):
+           # OLMo layers carry no norm weights at all; deci attention-
+           # free layers may carry only ffn tensors
+           or f"blk.{i}.attn_q.weight" in reader.tensors
+           or f"blk.{i}.ffn_up.weight" in reader.tensors):
         p = f"blk.{i}."
         mla = f"{p}attn_kv_a_mqa.weight" in reader.tensors
         # GPT-2 family ships QKV pre-fused on disk (blk.N.attn_qkv)
@@ -595,11 +624,13 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             "attn_norm": get(p + "attn_norm.weight", required=False),
             "attn_norm_b": get(p + "attn_norm.bias", required=False,
                                keep_q=False),
-            # MLA (deepseek2) replaces wk/wv with the latent projections
-            "wq": get(p + "attn_q.weight", required=not (mla or fqkv)),
-            "wk": get(p + "attn_k.weight", required=not (mla or fqkv)),
-            "wv": get(p + "attn_v.weight", required=not (mla or fqkv)),
-            "wo": get(p + "attn_output.weight"),
+            # MLA (deepseek2) replaces wk/wv with the latent
+            # projections; deci attention-free/linear layers have no
+            # q/k/v (and no wo at all when attention-free)
+            "wq": get(p + "attn_q.weight", required=False),
+            "wk": get(p + "attn_k.weight", required=False),
+            "wv": get(p + "attn_v.weight", required=False),
+            "wo": get(p + "attn_output.weight", required=False),
             "q_norm": get(p + "attn_q_norm.weight", required=False),
             "k_norm": get(p + "attn_k_norm.weight", required=False),
             # chameleon biased per-head q/k LayerNorms
@@ -692,11 +723,12 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
             lp["w_up"] = get(p + "ffn_up.weight", required=False)
             lp["w_down"] = get(p + "ffn_down.weight", required=False)
         else:
-            # gate is absent for un-gated FFN archs (GPT-2 family)
+            # gate is absent for un-gated FFN archs (GPT-2 family);
+            # deci FFN-free layers have no ffn tensors at all
             lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
-            lp["w_up"] = get(p + "ffn_up.weight")
-            lp["w_down"] = get(p + "ffn_down.weight")
-            if (lp["w_gate"] is None
+            lp["w_up"] = get(p + "ffn_up.weight", required=False)
+            lp["w_down"] = get(p + "ffn_down.weight", required=False)
+            if (lp["w_gate"] is None and lp["w_up"] is not None
                     and lp["w_up"].shape[0] == 2 * lp["w_down"].shape[1]):
                 # glm4-style disk-fused gate|up in ffn_up (LLM_FFN_SWIGLU
                 # with no separate gate, llm_build_glm4)
@@ -914,7 +946,22 @@ def forward(
                     lp.get("attn_norm_b"))
               if cfg.pre_norm else h)  # OLMo-2: sublayer input unnormalized
         mla = cfg.kv_lora_rank > 0
-        if mla:
+        # deci per-layer variants (llm_build_deci): a layer with no
+        # attention tensors at all skips the sublayer; one with ONLY wo
+        # is the Nemotron-51B "linear attention" (wo on the norm output)
+        no_qkv = (not mla and "wqkv" not in lp and lp.get("wq") is None
+                  and lp.get("wkv_a") is None)
+        if no_qkv:
+            if deferred:
+                zkv = jnp.zeros((t, cache.n_kv_heads, cache.k.shape[-1]),
+                                jnp.bfloat16)
+                new_ks.append(zkv)
+                new_vs.append(jnp.zeros(
+                    (t, cache.n_kv_heads, cache.v.shape[-1]),
+                    jnp.bfloat16))
+            attn_out = (matmul(hn, lp["wo"])
+                        if lp.get("wo") is not None else None)
+        elif mla:
             # --- MLA (deepseek2, llm_build_deepseek2 absorbed path):
             # q: (optionally low-rank) projection -> [nope | rope] heads;
             # kv: ONE latent head [rope | rank]; q_nope absorbs wk_b so
@@ -979,131 +1026,146 @@ def forward(
                     and lp["q_norm"].shape[-1] != cfg.head_dim):
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-            q = q.reshape(t, cfg.n_heads, cfg.head_dim)
-            k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-            v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        if cfg.clamp_kqv > 0.0:  # OLMo f_clamp_kqv (llm_build_olmo)
-            c = cfg.clamp_kqv
-            q = jnp.clip(q, -c, c)
-            k = jnp.clip(k, -c, c)
-            v = jnp.clip(v, -c, c)
-        if not mla and cfg.qk_norm_type == "layer":
-            # chameleon per-head biased LayerNorm (pre-rope)
-            if lp["q_norm"] is not None:
-                qw = lp["q_norm"].reshape(cfg.n_heads, cfg.head_dim)
-                qb = lp["q_norm_b"].reshape(cfg.n_heads, cfg.head_dim)
-                q = layer_norm(q, qw[None], qb[None], cfg.rms_eps)
-            if lp["k_norm"] is not None:
-                kw_ = lp["k_norm"].reshape(cfg.n_kv_heads, cfg.head_dim)
-                kb = lp["k_norm_b"].reshape(cfg.n_kv_heads, cfg.head_dim)
-                k = layer_norm(k, kw_[None], kb[None], cfg.rms_eps)
-        elif not mla and not cfg.qk_norm_post_rope:
-            if (lp["q_norm"] is not None
-                    and lp["q_norm"].shape[-1] == cfg.head_dim):
-                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-            if (lp["k_norm"] is not None
-                    and lp["k_norm"].shape[-1] == cfg.head_dim):
-                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        swa_l = has_swa and cfg.is_swa_layer(li)
-        base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
-        rope_l = cfg.use_rope and (
-            cfg.no_rope_step == 0
-            or ((li % cfg.no_rope_step != 0) if cfg.no_rope_mod_zero
-                else ((li + 1) % cfg.no_rope_step != 0)))
-        if not mla and rope_l:  # MLA ropes only its q_pe/k_pe
-            # sections (above); GPT-2 has learned absolute positions;
-            # SmolLM3 NoPE layers skip rotation per-layer
-            if 0 < cfg.rope_dim < cfg.head_dim:
-                # partial rotary (phi2/neox rot_pct): only the LEADING
-                # rope_dim columns rotate — same layout the cache
-                # re-rotation assumes (llm_build_phi2 n_rot)
-                r = cfg.rope_dim
-                fl, sl = ((rfreqs, rscale)
-                          if (not swa_l or swa_scaled) else (None, 1.0))
-                q = jnp.concatenate(
-                    [apply_rope(q[..., :r], pos, base_l, freqs=fl,
-                                neox=cfg.rope_neox, scale=sl),
-                     q[..., r:]], -1)
-                k = jnp.concatenate(
-                    [apply_rope(k[..., :r], pos, base_l, freqs=fl,
-                                neox=cfg.rope_neox, scale=sl),
-                     k[..., r:]], -1)
-            elif cfg.mrope_sections and pos3 is not None:
-                from ..kernels.rope import apply_mrope
+            # head counts from the projection widths (deci/openelm
+            # per-layer geometry; uniform archs resolve identically)
+            q = q.reshape(t, -1, cfg.head_dim)
+            k = k.reshape(t, -1, cfg.head_dim)
+            v = v.reshape(t, -1, cfg.head_dim)
+        if not no_qkv:
+            if cfg.clamp_kqv > 0.0:  # OLMo f_clamp_kqv (llm_build_olmo)
+                c = cfg.clamp_kqv
+                q = jnp.clip(q, -c, c)
+                k = jnp.clip(k, -c, c)
+                v = jnp.clip(v, -c, c)
+            if not mla and cfg.qk_norm_type == "layer":
+                # chameleon per-head biased LayerNorm (pre-rope)
+                if lp["q_norm"] is not None:
+                    qw = lp["q_norm"].reshape(cfg.n_heads, cfg.head_dim)
+                    qb = lp["q_norm_b"].reshape(cfg.n_heads, cfg.head_dim)
+                    q = layer_norm(q, qw[None], qb[None], cfg.rms_eps)
+                if lp["k_norm"] is not None:
+                    kw_ = lp["k_norm"].reshape(cfg.n_kv_heads, cfg.head_dim)
+                    kb = lp["k_norm_b"].reshape(cfg.n_kv_heads, cfg.head_dim)
+                    k = layer_norm(k, kw_[None], kb[None], cfg.rms_eps)
+            elif not mla and not cfg.qk_norm_post_rope:
+                if (lp["q_norm"] is not None
+                        and lp["q_norm"].shape[-1] == cfg.head_dim):
+                    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                if (lp["k_norm"] is not None
+                        and lp["k_norm"].shape[-1] == cfg.head_dim):
+                    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            swa_l = has_swa and cfg.is_swa_layer(li)
+            base_l = cfg.rope_base_swa if swa_l else cfg.rope_base
+            rope_l = cfg.use_rope and (
+                cfg.no_rope_step == 0
+                or ((li % cfg.no_rope_step != 0) if cfg.no_rope_mod_zero
+                    else ((li + 1) % cfg.no_rope_step != 0)))
+            if not mla and rope_l:  # MLA ropes only its q_pe/k_pe
+                # sections (above); GPT-2 has learned absolute positions;
+                # SmolLM3 NoPE layers skip rotation per-layer
+                if 0 < cfg.rope_dim < cfg.head_dim:
+                    # partial rotary (phi2/neox rot_pct): only the LEADING
+                    # rope_dim columns rotate — same layout the cache
+                    # re-rotation assumes (llm_build_phi2 n_rot)
+                    r = cfg.rope_dim
+                    fl, sl = ((rfreqs, rscale)
+                              if (not swa_l or swa_scaled) else (None, 1.0))
+                    q = jnp.concatenate(
+                        [apply_rope(q[..., :r], pos, base_l, freqs=fl,
+                                    neox=cfg.rope_neox, scale=sl),
+                         q[..., r:]], -1)
+                    k = jnp.concatenate(
+                        [apply_rope(k[..., :r], pos, base_l, freqs=fl,
+                                    neox=cfg.rope_neox, scale=sl),
+                         k[..., r:]], -1)
+                elif cfg.mrope_sections and pos3 is not None:
+                    from ..kernels.rope import apply_mrope
 
-                q = apply_mrope(q, pos3, cfg.mrope_sections, base_l,
-                                freqs=rfreqs)
-                k = apply_mrope(k, pos3, cfg.mrope_sections, base_l,
-                                freqs=rfreqs)
+                    q = apply_mrope(q, pos3, cfg.mrope_sections, base_l,
+                                    freqs=rfreqs)
+                    k = apply_mrope(k, pos3, cfg.mrope_sections, base_l,
+                                    freqs=rfreqs)
+                else:
+                    fl, sl = ((rfreqs, rscale)
+                              if (not swa_l or swa_scaled) else (None, 1.0))
+                    q = apply_rope(q, pos, base_l, freqs=fl,
+                                   neox=cfg.rope_neox, scale=sl)
+                    k = apply_rope(k, pos, base_l, freqs=fl,
+                                   neox=cfg.rope_neox, scale=sl)
+                if cfg.qk_norm_l2:
+                    # llama4 L2 norm on roped q/k (weightless RMS, post-rope)
+                    q = rms_norm(q, None, cfg.rms_eps)
+                    k = rms_norm(k, None, cfg.rms_eps)
+            if cfg.qk_norm_post_rope and not mla:
+                # HunYuan: weighted per-head q/k norms AFTER rope
+                if lp["q_norm"] is not None:
+                    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                if lp["k_norm"] is not None:
+                    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            elif not mla and cfg.attn_temp_scale > 0.0:
+                # llama4 NoPE-layer temperature tuning: q scaled by
+                # 1 + s·log(1 + floor(pos/floor_scale))
+                tt = (1.0 + cfg.attn_temp_scale
+                      * jnp.log1p(jnp.floor(pos.astype(jnp.float32)
+                                            / cfg.attn_temp_floor)))
+                q = q * tt[:, None, None].astype(q.dtype)
+            mask_l = mask_swa if swa_l else mask
+            nkv_l = k.shape[1]
+            if deferred:
+                kc, vc = cache.read_layer(li, limit=kv_limit)
+                if nkv_l < cache.n_kv_heads:  # deci per-layer GQA width
+                    kc, vc = kc[:nkv_l], vc[:nkv_l]
+                attn = mixed_attention(q, kc, vc, k, v, mask_l,
+                                       mask_cur_swa if swa_l else mask_cur,
+                                       scale=cfg.attn_scale,
+                                       logit_softcap=cfg.attn_softcap,
+                                       sinks=lp.get("sinks"),
+                                       alibi=alibi_mix)
+                if nkv_l < cache.n_kv_heads:
+                    padw = ((0, 0), (0, cache.n_kv_heads - nkv_l), (0, 0))
+                    k = jnp.pad(k, padw)
+                    v = jnp.pad(v, padw)
+                new_ks.append(k)
+                new_vs.append(v)
             else:
-                fl, sl = ((rfreqs, rscale)
-                          if (not swa_l or swa_scaled) else (None, 1.0))
-                q = apply_rope(q, pos, base_l, freqs=fl,
-                               neox=cfg.rope_neox, scale=sl)
-                k = apply_rope(k, pos, base_l, freqs=fl,
-                               neox=cfg.rope_neox, scale=sl)
-            if cfg.qk_norm_l2:
-                # llama4 L2 norm on roped q/k (weightless RMS, post-rope)
-                q = rms_norm(q, None, cfg.rms_eps)
-                k = rms_norm(k, None, cfg.rms_eps)
-        if cfg.qk_norm_post_rope and not mla:
-            # HunYuan: weighted per-head q/k norms AFTER rope
-            if lp["q_norm"] is not None:
-                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-            if lp["k_norm"] is not None:
-                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        elif not mla and cfg.attn_temp_scale > 0.0:
-            # llama4 NoPE-layer temperature tuning: q scaled by
-            # 1 + s·log(1 + floor(pos/floor_scale))
-            tt = (1.0 + cfg.attn_temp_scale
-                  * jnp.log1p(jnp.floor(pos.astype(jnp.float32)
-                                        / cfg.attn_temp_floor)))
-            q = q * tt[:, None, None].astype(q.dtype)
-        mask_l = mask_swa if swa_l else mask
-        if deferred:
-            kc, vc = cache.read_layer(li, limit=kv_limit)
-            attn = mixed_attention(q, kc, vc, k, v, mask_l,
-                                   mask_cur_swa if swa_l else mask_cur,
-                                   scale=cfg.attn_scale,
-                                   logit_softcap=cfg.attn_softcap,
-                                   sinks=lp.get("sinks"),
-                                   alibi=alibi_mix)
-            new_ks.append(k)
-            new_vs.append(v)
-        else:
-            # padding rows write into their (unowned) slots: metadata stays
-            # free, so garbage K/V is never attended to
-            cache = cache.write(li, slots, k, v)
-            attn = pool_attention(q, cache, li, mask_l, kv_limit=kv_limit,
-                                  scale=cfg.attn_scale,
-                                  logit_softcap=cfg.attn_softcap,
-                                  sinks=lp.get("sinks"),
-                                  alibi=alibi_pool)
-        if mla:
-            # decompress latent attention output per head through wv_b
-            # [H, v_dim, rank] (build_attn's v_mla argument)
-            attn = jnp.einsum(
-                "thr,hvr->thv", attn.astype(jnp.bfloat16),
-                lp["wv_b"].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        attn_flat = attn.reshape(t, -1)
-        if lp.get("attn_sub_norm") is not None:
-            # bitnet: RMS norm on the attention output BEFORE wo
-            # (llm_build_bitnet attn_sub_norm)
-            attn_flat = rms_norm(attn_flat, lp["attn_sub_norm"],
-                                 cfg.rms_eps)
-        attn_out = matmul(attn_flat, lp["wo"])
-        if lp.get("wo_scale") is not None:  # bitnet i2_s scale
-            attn_out = attn_out * lp["wo_scale"].astype(attn_out.dtype)
-        if lp.get("bo") is not None:  # gpt-oss output-projection bias
-            attn_out = attn_out + lp["bo"].astype(attn_out.dtype)
-        if cfg.sandwich_norms:  # Gemma post-attention norm
-            attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
-        if cfg.residual_scale != 1.0:  # granite/minicpm
-            attn_out = attn_out * jnp.bfloat16(cfg.residual_scale)
+                # padding rows write into their (unowned) slots: metadata stays
+                # free, so garbage K/V is never attended to
+                cache = cache.write(li, slots, k, v)
+                attn = pool_attention(q, cache, li, mask_l, kv_limit=kv_limit,
+                                      scale=cfg.attn_scale,
+                                      logit_softcap=cfg.attn_softcap,
+                                      sinks=lp.get("sinks"),
+                                      alibi=alibi_pool)
+        if not no_qkv:
+            if mla:
+                # decompress latent attention output per head through
+                # wv_b [H, v_dim, rank] (build_attn's v_mla argument)
+                attn = jnp.einsum(
+                    "thr,hvr->thv", attn.astype(jnp.bfloat16),
+                    lp["wv_b"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)
+            attn_flat = attn.reshape(t, -1)
+            if lp.get("attn_sub_norm") is not None:
+                # bitnet: RMS norm on the attention output BEFORE wo
+                # (llm_build_bitnet attn_sub_norm)
+                attn_flat = rms_norm(attn_flat, lp["attn_sub_norm"],
+                                     cfg.rms_eps)
+            attn_out = matmul(attn_flat, lp["wo"])
+            if lp.get("wo_scale") is not None:  # bitnet i2_s scale
+                attn_out = attn_out * lp["wo_scale"].astype(attn_out.dtype)
+            if lp.get("bo") is not None:  # gpt-oss output bias
+                attn_out = attn_out + lp["bo"].astype(attn_out.dtype)
+        if attn_out is not None:
+            if cfg.sandwich_norms:  # Gemma post-attention norm
+                attn_out = rms_norm(attn_out, lp["attn_post_norm"],
+                                    cfg.rms_eps)
+            if cfg.residual_scale != 1.0:  # granite/minicpm
+                attn_out = attn_out * jnp.bfloat16(cfg.residual_scale)
         if not cfg.parallel_residual:
-            h = h_in + attn_out
-            h_in = h
+            if attn_out is not None:
+                h = h_in + attn_out
+                h_in = h
             hn = (bnorm(h, lp["ffn_norm"], cfg.rms_eps,
                         lp.get("ffn_norm_b"))
                   if cfg.pre_norm else h)
@@ -1121,7 +1183,12 @@ def forward(
             act = lambda z: jnp.square(jax.nn.relu(z))  # noqa: E731
         else:
             act = lambda z: jax.nn.gelu(z, approximate=True)  # noqa: E731
-        if lp.get("gate_inp") is not None:
+        no_ffn = (lp.get("gate_inp") is None and "w_gateup" not in lp
+                  and lp.get("w_up") is None)
+        if no_ffn:
+            # deci FFN-free layer (Nemotron-Ultra): attention only
+            ffn_out = None
+        elif lp.get("gate_inp") is not None:
             router_x = (layer_in if cfg.moe_router_input == "layer_input"
                         else None)
             if cfg.moe_parallel_ffn == "arctic":
@@ -1231,12 +1298,14 @@ def forward(
                 ffn_out = ffn_out + lp["b_down"].astype(ffn_out.dtype)
             if lp.get("down_scale") is not None:
                 ffn_out = ffn_out * lp["down_scale"].astype(ffn_out.dtype)
-        if cfg.sandwich_norms:  # Gemma post-ffw norm
-            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
-        if cfg.residual_scale != 1.0:  # granite/minicpm
-            ffn_out = ffn_out * jnp.bfloat16(cfg.residual_scale)
-        h = h_in + ffn_out
-        if cfg.parallel_residual:
+        if ffn_out is not None:
+            if cfg.sandwich_norms:  # Gemma post-ffw norm
+                ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"],
+                                   cfg.rms_eps)
+            if cfg.residual_scale != 1.0:  # granite/minicpm
+                ffn_out = ffn_out * jnp.bfloat16(cfg.residual_scale)
+            h = h_in + ffn_out
+        if cfg.parallel_residual and attn_out is not None:
             h = h + attn_out
         if lp.get("cvec") is not None:  # control-vector steering
             h = h + lp["cvec"].astype(h.dtype)
