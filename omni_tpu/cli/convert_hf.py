@@ -30,7 +30,9 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "plamo", "refact", "jais", "codeshell", "gptj", "chatglm",
           "deepseek", "bailingmoe", "llada", "dream", "llada_moe",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
-          "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm")
+          "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
+          "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
+          "neo-bert")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -159,6 +161,18 @@ def load_hf_dir(model_dir: str) -> tuple[dict, dict]:
 
 def detect_arch(config: dict) -> str:
     for a in config.get("architectures") or []:
+        # embedding-BERT families fork on config, not class (reference
+        # NomicBertModel.__init__ / XLMRobertaModel.__init__)
+        if a == "NomicBertModel":
+            return ("nomic-bert-moe"
+                    if config.get("moe_every_n_layers") else "nomic-bert")
+        if a in ("JinaBertModel", "JinaBertForMaskedLM"):
+            return "jina-bert-v2"
+        if a.startswith("XLMRoberta"):
+            return ("jina-bert-v3"
+                    if config.get("lora_adaptations") else "bert")
+        if a.startswith("NeoBERT"):
+            return "neo-bert"
         if a in _HF_ARCH_MAP:
             return _HF_ARCH_MAP[a]
     mt = config.get("model_type", "")

@@ -374,6 +374,10 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "bert":
         return _convert_bert(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
+    if arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+                "jina-bert-v3", "neo-bert"):
+        return _convert_bert_variant(state, config, out_path, qtype,
+                                     arch, tokenizer_kv=tokenizer_kv)
     if arch == "deci":
         return _convert_deci(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
@@ -2940,8 +2944,20 @@ def _convert_bert(state: Mapping[str, Any], config: Mapping[str, Any],
     with biased projections, learned positions + token types, optional
     rank-classifier cls heads.  Pooling defaults to CLS (2); a
     single-logit classifier flips it to RANK (4)."""
-    state = _strip(state, "bert.")
+    state = _strip(state, "bert.", "roberta.")
     arch = "bert"
+    if config.get("model_type") == "xlm-roberta":
+        # XLMRoberta position ids start at pad_token_id+1: chop the
+        # offset rows so GGUF positions index from 0 (reference
+        # XLMRobertaModel._position_offset)
+        off = int(config.get("pad_token_id", 1)) + 1
+        k = "embeddings.position_embeddings.weight"
+        if k in state:
+            state = dict(state)
+            state[k] = _np(state[k])[off:]
+            config = dict(config)
+            config["max_position_embeddings"] = (
+                int(config["max_position_embeddings"]) - off)
     w = GGUFWriter(out_path)
     n_layers = int(config["num_hidden_layers"])
     pooling = int(config.get("pooling_type", 2))  # LLAMA_POOLING_TYPE_CLS
@@ -2993,6 +3009,207 @@ def _convert_bert(state: Mapping[str, Any], config: Mapping[str, Any],
     if has_cls:
         put("cls.output.weight", state["classifier.weight"], None)
         put("cls.output.bias", state["classifier.bias"], None)
+    w.write()
+    return written
+
+
+def _convert_bert_variant(state: Mapping[str, Any],
+                          config: Mapping[str, Any], out_path: str,
+                          qtype: GGMLType, arch: str,
+                          tokenizer_kv: Mapping[str, Any] | None = None,
+                          ) -> list[str]:
+    """Embedding-BERT family -> GGUF (reference convert_hf_to_gguf.py
+    NomicBertModel / JinaBertV2Model / NeoBert / XLMRobertaModel):
+
+    - nomic-bert      rope-NEOX, fused Wqkv (no bias), SwiGLU fc11/fc12
+    - nomic-bert-moe  + biased projections, GELU fc1/fc2 dense layers and
+                      up/down-only routed experts on layers il%2==1
+    - jina-bert-v2    learned-position-free ALiBi(8), fused GEGLU
+                      gated_layers, biased down (mlp.wo)
+    - jina-bert-v3    XLMRoberta naming + rope-NEOX (lora-parametrized
+                      weights unwrapped), biased GELU FFN
+    - neo-bert        pre-norm RMS, fused qkv, rope-NORM, SwiGLU w12/w3
+    """
+    state = dict(state)
+    if arch == "neo-bert":
+        # NeoBERT checkpoints prefix "model." and carry an LM "decoder."
+        state = {k[6:] if k.startswith("model.") else k: v
+                 for k, v in state.items() if not k.startswith("decoder.")}
+    if arch == "jina-bert-v3":
+        # bge-reranker style prefix + jina-v3 lora parametrizations:
+        # "….parametrizations.weight.original" is the base weight
+        clean = {}
+        for k, v in state.items():
+            if k.startswith("roberta."):
+                k = k[8:]
+            if ".parametrizations." in k:
+                if k.endswith(".original"):
+                    k = k.replace(".parametrizations.", ".")[:-9]
+                else:
+                    continue  # task-lora stacks: separate adapters
+            clean[k] = v
+        state = clean
+
+    g = lambda *keys_dflt: next(
+        (config[k] for k in keys_dflt[:-1] if k in config), keys_dflt[-1])
+    n_layers = int(g("num_hidden_layers", "n_layer", 0))
+    d_model = int(g("hidden_size", "n_embd", 0))
+    n_heads = int(g("num_attention_heads", "n_head", 0))
+    d_ff = int(g("intermediate_size", "n_inner", 0))
+    if arch == "neo-bert":
+        # reference writes 2/3 of intermediate as n_ff (NeoBert)
+        d_ff = int(2 * d_ff / 3)
+    n_ctx = int(g("max_position_embeddings", "n_positions",
+                  "max_length", 512))
+    if arch in ("nomic-bert", "nomic-bert-moe"):
+        # nomic v1/v1.5 are trained for 2048, v2-moe for 512
+        # (reference NomicBertModel.__init__ n_positions clamp)
+        mtp = int(config.get("max_trained_positions", 2048))
+        n_ctx = 2048 if (n_ctx == 8192 and mtp == 2048) else \
+            512 if n_ctx == 2048 else n_ctx
+    moe_every = int(config.get("moe_every_n_layers", 0) or 0)
+    pooling = int(config.get("pooling_type",
+                             2 if arch == "neo-bert" else 1))
+
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", d_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.token_type_count",
+             int(config.get("type_vocab_size", 0) or 0))
+    w.add_kv(f"{arch}.pooling_type", pooling)
+    act = str(config.get("hidden_act",
+                         config.get("activation_function", "gelu")))
+    if act in ("gelu", "gelu_new", "gelu_pytorch_tanh"):
+        w.add_kv(f"{arch}.activation", act)
+    if arch == "neo-bert":
+        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+                 float(config.get("norm_eps", 1e-6)))
+        w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    else:
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(g("layer_norm_eps", "layer_norm_epsilon", 1e-12)))
+    if arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v3"):
+        w.add_kv(f"{arch}.rope.freq_base",
+                 float(config.get("rotary_emb_base", 10000.0)))
+    if moe_every:
+        w.add_kv(f"{arch}.moe_every_n_layers", moe_every)
+        w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count", int(config["moe_top_k"]))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        if arr is None:
+            return
+        _add(w, name, arr, q)
+        written.append(name)
+
+    def opt(key):
+        return _np(state[key]) if key in state else None
+
+    if arch == "neo-bert":
+        put("token_embd.weight", state["encoder.weight"])
+        put("output_norm.weight", state["layer_norm.weight"], None)
+        for i in range(n_layers):
+            p, o = f"transformer_encoder.{i}.", f"blk.{i}."
+            put(o + "attn_norm.weight", state[p + "attention_norm.weight"],
+                None)
+            put(o + "attn_qkv.weight", state[p + "qkv.weight"])
+            put(o + "attn_output.weight", state[p + "wo.weight"])
+            put(o + "ffn_norm.weight", state[p + "ffn_norm.weight"], None)
+            put(o + "ffn_up.weight", state[p + "ffn.w12.weight"])
+            put(o + "ffn_down.weight", state[p + "ffn.w3.weight"])
+        w.write()
+        return written
+
+    put("token_embd.weight", state["embeddings.word_embeddings.weight"])
+    put("token_types.weight",
+        opt("embeddings.token_type_embeddings.weight"), None)
+    if arch in ("nomic-bert", "nomic-bert-moe"):
+        put("token_embd_norm.weight", state["emb_ln.weight"], None)
+        put("token_embd_norm.bias", state["emb_ln.bias"], None)
+        for i in range(n_layers):
+            p, o = f"encoder.layers.{i}.", f"blk.{i}."
+            put(o + "attn_qkv.weight", state[p + "attn.Wqkv.weight"])
+            put(o + "attn_qkv.bias", opt(p + "attn.Wqkv.bias"), None)
+            put(o + "attn_output.weight", state[p + "attn.out_proj.weight"])
+            put(o + "attn_output.bias", opt(p + "attn.out_proj.bias"), None)
+            put(o + "attn_output_norm.weight", state[p + "norm1.weight"],
+                None)
+            put(o + "attn_output_norm.bias", state[p + "norm1.bias"], None)
+            put(o + "layer_output_norm.weight", state[p + "norm2.weight"],
+                None)
+            put(o + "layer_output_norm.bias", state[p + "norm2.bias"], None)
+            if moe_every and i % moe_every == 1:
+                e, f = int(config["num_experts"]), d_ff
+                put(o + "ffn_gate_inp.weight",
+                    state[p + "mlp.router.layer.weight"], None)
+                w1 = _np(state[p + "mlp.experts.mlp.w1"])
+                w2 = _np(state[p + "mlp.experts.mlp.w2"])
+                put(o + "ffn_up_exps.weight",
+                    w1.reshape(e, f, d_model))
+                put(o + "ffn_down_exps.weight",
+                    w2.reshape(e, f, d_model).transpose(0, 2, 1))
+            elif moe_every:  # dense GELU layers of the MoE model
+                put(o + "ffn_up.weight", state[p + "mlp.fc1.weight"])
+                put(o + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
+                put(o + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+                put(o + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
+            else:  # SwiGLU: fc11 -> up, fc12 -> gate
+                put(o + "ffn_up.weight", state[p + "mlp.fc11.weight"])
+                put(o + "ffn_gate.weight", state[p + "mlp.fc12.weight"])
+                put(o + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        w.write()
+        return written
+
+    put("token_embd_norm.weight", state["embeddings.LayerNorm.weight"],
+        None)
+    put("token_embd_norm.bias", state["embeddings.LayerNorm.bias"], None)
+    if arch == "jina-bert-v3":
+        for i in range(n_layers):
+            for hf, gg in _BERT_LAYER_MAP.items():
+                for part in ("weight", "bias"):
+                    key = f"encoder.layer.{i}.{hf}.{part}"
+                    q = (qtype if part == "weight" and "Norm" not in hf
+                         else None)
+                    put(f"blk.{i}.{gg}.{part}", state[key], q)
+        w.write()
+        return written
+
+    # jina-bert-v2
+    for i in range(n_layers):
+        p, o = f"encoder.layer.{i}.", f"blk.{i}."
+        for hf, gg in (("attention.self.query", "attn_q"),
+                       ("attention.self.key", "attn_k"),
+                       ("attention.self.value", "attn_v"),
+                       ("attention.output.dense", "attn_output")):
+            put(o + gg + ".weight", state[p + hf + ".weight"])
+            put(o + gg + ".bias", opt(p + hf + ".bias"), None)
+        for hf, gg in (("attention.self.layer_norm_q", "attn_q_norm"),
+                       ("attention.self.layer_norm_k", "attn_k_norm"),
+                       ("attention.output.LayerNorm", "attn_output_norm"),
+                       ("layer_norm_1", "attn_norm_2"),
+                       ("mlp.layernorm", "layer_output_norm"),
+                       ("layer_norm_2", "layer_output_norm")):
+            put(o + gg + ".weight", opt(p + hf + ".weight"), None)
+            put(o + gg + ".bias", opt(p + hf + ".bias"), None)
+        # fused GEGLU [2F, d] (gated_layers / up_gated_layer) or split
+        put(o + "ffn_up.weight",
+            opt(p + "mlp.gated_layers.weight")
+            if p + "mlp.gated_layers.weight" in state
+            else opt(p + "mlp.up_gated_layer.weight"))
+        put(o + "ffn_gate.weight", opt(p + "mlp.gated_layers_w.weight"))
+        dk = (p + "mlp.wo" if p + "mlp.wo.weight" in state
+              else p + "mlp.down_layer")
+        put(o + "ffn_down.weight", state[dk + ".weight"])
+        put(o + "ffn_down.bias", state[dk + ".bias"], None)
     w.write()
     return written
 

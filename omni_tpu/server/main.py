@@ -1167,8 +1167,11 @@ def main(argv=None):
     tok = build_tokenizer(reader.kv)
     encoder = None
     ctx = None
-    if reader.kv.get("general.architecture") == "bert":
-        # encoder-only embedding/rerank model (reference llm_build_bert)
+    if reader.kv.get("general.architecture") in (
+            "bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+            "jina-bert-v3", "neo-bert"):
+        # encoder-only embedding/rerank model (reference llm_build_bert
+        # + llm_build_neo_bert)
         from ..models import bert
 
         encoder = (bert.BertConfig.from_gguf(reader.kv),
