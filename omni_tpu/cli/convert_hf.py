@@ -32,7 +32,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
-          "neo-bert")
+          "neo-bert", "rwkv6qwen2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -61,6 +61,7 @@ _HF_ARCH_MAP = {
     "MambaForCausalLM": "mamba",
     "Mamba2ForCausalLM": "mamba2",
     "Rwkv6ForCausalLM": "rwkv6",
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
     "JambaForCausalLM": "jamba",
     "GPT2LMHeadModel": "gpt2",
     "BloomForCausalLM": "bloom",

@@ -393,6 +393,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "rwkv6":
         return _convert_rwkv6(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
+    if arch == "rwkv6qwen2":
+        return _convert_rwkv6qwen2(state, config, out_path, qtype,
+                                   tokenizer_kv=tokenizer_kv)
     if arch == "jamba":
         return _convert_jamba(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
@@ -2920,6 +2923,104 @@ def _convert_rwkv6(state: Mapping[str, Any], config: Mapping[str, Any],
             _np(state[ffn + "value.weight"]) / div)
         put(b + "channel_mix_receptance.weight",
             state[ffn + "receptance.weight"])
+    w.write()
+    return written
+
+
+def _convert_rwkv6qwen2(state: Mapping[str, Any], config: Mapping[str, Any],
+                        out_path: str, qtype: GGMLType,
+                        tokenizer_kv: Mapping[str, Any] | None = None,
+                        ) -> list[str]:
+    """HF RWKV6Qwen2ForCausalLM (QRWKV: qwen2 topology with GLA time mix)
+    -> GGUF arch "rwkv6qwen2" (reference convert_hf_to_gguf.py
+    RWKV6Qwen2Model): rwkv6 tensor transforms, with time_maa_w1/w2's five
+    blocks permuted from the checkpoint's r,k,v,w,g order to the GGUF
+    w,k,v,r,g convention; RMS norms and SwiGLU FFN keep qwen2 names;
+    token_shift_count=1, GQA head_count_kv, no time_faaaa / ln_x."""
+    state = _strip(state, "model.")
+    arch = "rwkv6qwen2"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config["num_attention_heads"])
+    head_size = d_model // n_heads
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.wkv.head_size", head_size)
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.context_length", 1 << 20)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.token_shift_count", 1)
+    w.add_kv(f"{arch}.attention.head_count", 0)
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(config.get("num_key_value_heads", n_heads)))
+    w.add_kv(f"{arch}.time_mix_extra_dim",
+             int(config.get("lora_rank_tokenshift",
+                            64 if d_model >= 4096 else 32)))
+    w.add_kv(f"{arch}.time_decay_extra_dim",
+             int(config.get("lora_rank_decay",
+                            128 if d_model >= 4096 else 64)))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    def rkvwg_to_wkvrg(a, blocks_last: bool):
+        """Permute the five stacked lora blocks r,k,v,w,g -> w,k,v,r,g
+        (reference RWKV6Qwen2Model.modify_tensors)."""
+        if blocks_last:  # w1 [C, 5W] -> transpose later; blocks on axis -1
+            b = _np(a).reshape(_np(a).shape[0], 5, -1)
+            return b[:, [3, 1, 2, 0, 4]].reshape(_np(a).shape)
+        b = _np(a)  # w2 [5, W, C]
+        return b[[3, 1, 2, 0, 4]]
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["norm.weight"], None)
+    if "lm_head.weight" in state:
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.{i}.", f"blk.{i}."
+        att = pfx + "self_attn."
+        put(b + "attn_norm.weight", state[pfx + "input_layernorm.weight"],
+            None)
+        put(b + "ffn_norm.weight",
+            state[pfx + "post_attention_layernorm.weight"], None)
+        put(b + "time_mix_lerp_x.weight",
+            _np(state[att + "time_maa_x"]).reshape(-1), None)
+        put(b + "time_mix_lerp_fused.weight",
+            np.stack([_np(state[att + f"time_maa_{s}"]).reshape(1, -1)
+                      for s in "wkvrg"]), None)
+        put(b + "time_mix_w1.weight",
+            rkvwg_to_wkvrg(state[att + "time_maa_w1"], True).T, None)
+        put(b + "time_mix_w2.weight",
+            rkvwg_to_wkvrg(state[att + "time_maa_w2"],
+                           False).transpose(0, 2, 1), None)
+        put(b + "time_mix_decay.weight",
+            _np(state[att + "time_decay"]).reshape(-1), None)
+        put(b + "time_mix_decay_w1.weight",
+            _np(state[att + "time_decay_w1"]).T, None)
+        put(b + "time_mix_decay_w2.weight",
+            _np(state[att + "time_decay_w2"]).T, None)
+        put(b + "time_mix_key.weight", state[att + "k_proj.weight"])
+        put(b + "time_mix_value.weight", state[att + "v_proj.weight"])
+        put(b + "time_mix_receptance.weight", state[att + "q_proj.weight"])
+        for hf, gg in (("k_proj", "time_mix_key"),
+                       ("v_proj", "time_mix_value"),
+                       ("q_proj", "time_mix_receptance")):
+            if att + hf + ".bias" in state:
+                put(b + gg + ".bias", state[att + hf + ".bias"], None)
+        put(b + "time_mix_gate.weight", state[att + "gate.weight"])
+        put(b + "time_mix_output.weight", state[att + "o_proj.weight"])
+        put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
+        put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
+        put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
     w.write()
     return written
 

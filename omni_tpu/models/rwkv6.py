@@ -1,4 +1,9 @@
-"""RWKV6 ("Finch") — linear-attention recurrent arch, GGUF arch "rwkv6".
+"""RWKV6 ("Finch") — linear-attention recurrent arch, GGUF archs "rwkv6"
+and "rwkv6qwen2" (QRWKV: qwen2 topology — RMS norms, SwiGLU FFN, GQA,
+single token-shift — with gated-linear-attention time mixing,
+llm_build_rwkv6qwen2 src/llama-model.cpp:15574 + ggml_gated_linear_attn
+ops.cpp:9393: k pre-scaled by (1-w), output reads the updated state with
+r scaled by head_size^-0.5, sigmoid gate, no bonus/group-norm).
 
 Counterpart of the reference's llm_build_rwkv6 (src/llama-model.cpp:15473,
 time/channel mix at :15265-15471) and the WKV6 recurrence op
@@ -44,6 +49,8 @@ class RWKV6Config:
     rescale_every: int = 0  # halve the residual stream every n layers
     ln_eps: float = 1e-5
     n_vocab: int = 256
+    arch: str = "rwkv6"   # "rwkv6" | "rwkv6qwen2" (QRWKV: GLA time mix)
+    n_kv_heads: int = 0   # rwkv6qwen2 GQA: k/v project to n_kv_heads*D
 
     @property
     def n_heads(self) -> int:
@@ -60,8 +67,11 @@ class RWKV6Config:
             head_size=int(g("wkv.head_size", 64)),
             d_ff=int(g("feed_forward_length", int(d * 3.5) // 32 * 32)),
             rescale_every=int(g("rescale_every_n_layers", 0)),
-            ln_eps=float(g("attention.layer_norm_epsilon", 1e-5)),
+            ln_eps=float(g("attention.layer_norm_epsilon",
+                           g("attention.layer_norm_rms_epsilon", 1e-5))),
             n_vocab=int(g("vocab_size", 256)),
+            arch=arch,
+            n_kv_heads=int(g("attention.head_count_kv", 0) or 0),
         )
 
 
@@ -76,6 +86,11 @@ def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
 
 
 def _time_mix(lp: dict, cfg: RWKV6Config, x: jax.Array, shift: jax.Array,
@@ -96,38 +111,71 @@ def _time_mix(lp: dict, cfg: RWKV6Config, x: jax.Array, shift: jax.Array,
     xw, xk, xv, xr, xg = [
         x + (branches[i] + lp["lerp_fused"][i]) * sx for i in range(5)]
 
+    qrwkv = cfg.arch == "rwkv6qwen2"  # llama-model.cpp:15320 is_qrwkv
     r = xr @ lp["receptance"].T  # [T, C]
     k = xk @ lp["key"].T
     v = xv @ lp["value"].T
-    g = jax.nn.silu(xg @ lp["gate"].T)
+    if lp.get("receptance_b") is not None:  # qwen2-style qkv biases
+        r = r + lp["receptance_b"]
+        k = k + lp["key_b"]
+        v = v + lp["value_b"]
+    gate = xg @ lp["gate"].T
+    g = jax.nn.sigmoid(gate) if qrwkv else jax.nn.silu(gate)
 
     # data-dependent decay: w = exp(-exp(decay_w2 @ tanh(decay_w1 @ xw) + b))
     w = jnp.tanh(xw @ lp["decay_w1"].T) @ lp["decay_w2"].T + lp["decay"]
     w = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
 
+    if qrwkv and cfg.n_kv_heads and cfg.n_kv_heads != h:
+        # GQA: repeat k/v heads up to n_head (llama-model.cpp:15398-15406)
+        rep = h // cfg.n_kv_heads
+        k = jnp.repeat(k.reshape(t, cfg.n_kv_heads, 1, d), rep,
+                       axis=2).reshape(t, c)
+        v = jnp.repeat(v.reshape(t, cfg.n_kv_heads, 1, d), rep,
+                       axis=2).reshape(t, c)
+
     rh = r.reshape(t, h, d).astype(jnp.float32)
     kh = k.reshape(t, h, d).astype(jnp.float32)
     vh = v.reshape(t, h, d).astype(jnp.float32)
     wh = w.reshape(t, h, d)
-    first = lp["first"].astype(jnp.float32)  # [H, D]
 
-    def step(state, inp):
-        # state [H, D, D]; r/k/v/w [H, D]
-        r_t, k_t, v_t, w_t = inp
-        kv = k_t[:, :, None] * v_t[:, None, :]  # [H, D(i), D(j)]
-        out = jnp.einsum("hi,hij->hj", r_t, first[:, :, None] * kv + state)
-        return state * w_t[:, :, None] + kv, out
+    if qrwkv:
+        # gated linear attention (ggml_gated_linear_attn, ops.cpp:9393):
+        # k pre-scaled by (1-w); output reads the UPDATED state, scaled
+        # r by head_size^-0.5; no bonus term, no group norm / ln_x
+        kh = kh * (1.0 - wh)
+        scale = float(d) ** -0.5
 
-    state1, out = jax.lax.scan(step, wkv0.reshape(h, d, d),
-                               (rh, kh, vh, wh))
-    out = out.reshape(t, h, d)
+        def step(state, inp):
+            r_t, k_t, v_t, w_t = inp
+            kv = k_t[:, :, None] * v_t[:, None, :]  # [H, D(i), D(j)]
+            state = state * w_t[:, :, None] + kv
+            return state, jnp.einsum("hi,hij->hj", r_t * scale, state)
 
-    # per-head group norm (ggml_norm eps 64e-5, no scale) then full-width
-    # affine ln_x — llama-model.cpp:15452-15459
-    mu = jnp.mean(out, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(out - mu), axis=-1, keepdims=True)
-    out = (out - mu) * jax.lax.rsqrt(var + GROUPNORM_EPS)
-    out = out.reshape(t, c) * lp["ln_w"] + lp["ln_b"]
+        state1, out = jax.lax.scan(step, wkv0.reshape(h, d, d),
+                                   (rh, kh, vh, wh))
+        out = out.reshape(t, c)
+    else:
+        first = lp["first"].astype(jnp.float32)  # [H, D]
+
+        def step(state, inp):
+            # state [H, D, D]; r/k/v/w [H, D]
+            r_t, k_t, v_t, w_t = inp
+            kv = k_t[:, :, None] * v_t[:, None, :]  # [H, D(i), D(j)]
+            out = jnp.einsum("hi,hij->hj", r_t,
+                             first[:, :, None] * kv + state)
+            return state * w_t[:, :, None] + kv, out
+
+        state1, out = jax.lax.scan(step, wkv0.reshape(h, d, d),
+                                   (rh, kh, vh, wh))
+        out = out.reshape(t, h, d)
+
+        # per-head group norm (ggml_norm eps 64e-5, no scale) then
+        # full-width affine ln_x — llama-model.cpp:15452-15459
+        mu = jnp.mean(out, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(out - mu), axis=-1, keepdims=True)
+        out = (out - mu) * jax.lax.rsqrt(var + GROUPNORM_EPS)
+        out = out.reshape(t, c) * lp["ln_w"] + lp["ln_b"]
 
     out = out.astype(x.dtype) * g
     return out @ lp["output"].T, state1.reshape(c, d)
@@ -150,12 +198,29 @@ def forward(params: dict, cfg: RWKV6Config, tokens: jax.Array,
             cache: RecurrentCache, seq_id) -> tuple[jax.Array, RecurrentCache]:
     """[T] tokens for one sequence -> (logits [T, V], updated cache).
     T=1 is decode, T>1 chunked prefill — identical math either way."""
+    qrwkv = cfg.arch == "rwkv6qwen2"
     x = params["token_embd"][tokens].astype(jnp.float32)  # [T, C]
-    x = _layer_norm(x, params["tok_norm"], params["tok_norm_b"], cfg.ln_eps)
+    if not qrwkv:
+        x = _layer_norm(x, params["tok_norm"], params["tok_norm_b"],
+                        cfg.ln_eps)
 
     new_shifts, new_wkvs = [], []
     for li, lp in enumerate(params["layers"]):
         shifts, wkv0 = cache.read(li, seq_id)  # [2, C], [C, D]
+
+        if qrwkv:
+            # llm_build_rwkv6qwen2 (llama-model.cpp:15574): RMS norms, a
+            # single token-shift row, qwen2 SwiGLU FFN, no rescale
+            att_norm = _rms_norm(x, lp["ln1_w"], cfg.ln_eps)
+            att, wkv1 = _time_mix(lp, cfg, att_norm, shifts[0], wkv0)
+            x = x + att
+            ffn_norm = _rms_norm(x, lp["ln2_w"], cfg.ln_eps)
+            ff = (jax.nn.silu(ffn_norm @ lp["w_gate"].T)
+                  * (ffn_norm @ lp["w_up"].T)) @ lp["w_down"].T
+            x = x + ff
+            new_shifts.append(jnp.stack([att_norm[-1], att_norm[-1]]))
+            new_wkvs.append(wkv1)
+            continue
 
         att_norm = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         att, wkv1 = _time_mix(lp, cfg, att_norm, shifts[0], wkv0)
@@ -176,8 +241,11 @@ def forward(params: dict, cfg: RWKV6Config, tokens: jax.Array,
         cache = cache.write(li, seq_id, new_shifts[li], new_wkvs[li])
     cache = cache.advance(seq_id, tokens.shape[0])
 
-    hidden = _layer_norm(x, params["output_norm"], params["output_norm_b"],
-                         cfg.ln_eps)
+    if qrwkv:
+        hidden = _rms_norm(x, params["output_norm"], cfg.ln_eps)
+    else:
+        hidden = _layer_norm(x, params["output_norm"],
+                             params["output_norm_b"], cfg.ln_eps)
     head = params.get("output", params["token_embd"])
     logits = hidden @ head.T.astype(hidden.dtype)
     return logits, cache
@@ -200,12 +268,13 @@ def load_params(reader) -> dict:
                                           False, dtype=jnp.float32),
                            jnp.float32)
 
+    qrwkv = reader.kv.get("general.architecture") == "rwkv6qwen2"
     params = {
         "token_embd": get("token_embd.weight"),
-        "tok_norm": get("token_embd_norm.weight"),
-        "tok_norm_b": get("token_embd_norm.bias"),
+        "tok_norm": get("token_embd_norm.weight", required=not qrwkv),
+        "tok_norm_b": get("token_embd_norm.bias", required=not qrwkv),
         "output_norm": get("output_norm.weight"),
-        "output_norm_b": get("output_norm.bias"),
+        "output_norm_b": get("output_norm.bias", required=not qrwkv),
         "layers": [],
     }
     out = get("output.weight", required=False)
@@ -214,6 +283,33 @@ def load_params(reader) -> dict:
     i = 0
     while f"blk.{i}.time_mix_key.weight" in reader.tensors:
         p = f"blk.{i}."
+        if qrwkv:
+            params["layers"].append({
+                "ln1_w": get(p + "attn_norm.weight"),
+                "ln2_w": get(p + "ffn_norm.weight"),
+                "lerp_x": get(p + "time_mix_lerp_x.weight"),
+                "lerp_fused": get(p + "time_mix_lerp_fused.weight")
+                .reshape(5, -1),
+                "w1": get(p + "time_mix_w1.weight"),
+                "w2": get(p + "time_mix_w2.weight"),
+                "decay": get(p + "time_mix_decay.weight"),
+                "decay_w1": get(p + "time_mix_decay_w1.weight"),
+                "decay_w2": get(p + "time_mix_decay_w2.weight"),
+                "key": get(p + "time_mix_key.weight"),
+                "key_b": get(p + "time_mix_key.bias", required=False),
+                "value": get(p + "time_mix_value.weight"),
+                "value_b": get(p + "time_mix_value.bias", required=False),
+                "receptance": get(p + "time_mix_receptance.weight"),
+                "receptance_b": get(p + "time_mix_receptance.bias",
+                                    required=False),
+                "gate": get(p + "time_mix_gate.weight"),
+                "output": get(p + "time_mix_output.weight"),
+                "w_gate": get(p + "ffn_gate.weight"),
+                "w_up": get(p + "ffn_up.weight"),
+                "w_down": get(p + "ffn_down.weight"),
+            })
+            i += 1
+            continue
         params["layers"].append({
             "ln1_w": get(p + "attn_norm.weight"),
             "ln1_b": get(p + "attn_norm.bias"),
