@@ -32,7 +32,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
-          "neo-bert", "rwkv6qwen2")
+          "neo-bert", "rwkv6qwen2", "gemma-embedding")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -174,6 +174,10 @@ def detect_arch(config: dict) -> str:
                     if config.get("lora_adaptations") else "bert")
         if a.startswith("NeoBERT"):
             return "neo-bert"
+        if a == "Gemma3TextModel":
+            # EmbeddingGemma registers the bare text model class
+            # (reference convert_hf_to_gguf.py EmbeddingGemma)
+            return "gemma-embedding"
         if a in _HF_ARCH_MAP:
             return _HF_ARCH_MAP[a]
     mt = config.get("model_type", "")

@@ -396,6 +396,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "rwkv6qwen2":
         return _convert_rwkv6qwen2(state, config, out_path, qtype,
                                    tokenizer_kv=tokenizer_kv)
+    if arch == "gemma-embedding":
+        return _convert_gemma_embedding(state, config, out_path, qtype,
+                                        tokenizer_kv=tokenizer_kv)
     if arch == "jamba":
         return _convert_jamba(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv)
@@ -2923,6 +2926,91 @@ def _convert_rwkv6(state: Mapping[str, Any], config: Mapping[str, Any],
             _np(state[ffn + "value.weight"]) / div)
         put(b + "channel_mix_receptance.weight",
             state[ffn + "receptance.weight"])
+    w.write()
+    return written
+
+
+def _convert_gemma_embedding(state: Mapping[str, Any],
+                             config: Mapping[str, Any], out_path: str,
+                             qtype: GGMLType,
+                             tokenizer_kv: Mapping[str, Any] | None = None,
+                             ) -> list[str]:
+    """HF Gemma3TextModel (EmbeddingGemma) -> GGUF arch "gemma-embedding"
+    (reference convert_hf_to_gguf.py EmbeddingGemma(Gemma3Model)): gemma3
+    sandwich-norm tensor names with the +1 RMS-norm shift, plus
+    pooling_type and the optional sentence-transformers dense_2/dense_3
+    projections (state keys "2_Dense.linear.weight" / "3_Dense.linear
+    .weight", generate_extra_tensors)."""
+    state = _strip(state, "model.")
+    arch = "gemma-embedding"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config.get("num_attention_heads", 8))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(config.get("num_key_value_heads", 4)))
+    w.add_kv(f"{arch}.attention.key_length",
+             int(config.get("head_dim", 256)))
+    w.add_kv(f"{arch}.attention.value_length",
+             int(config.get("head_dim", 256)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 131072)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 1_000_000.0)))
+    w.add_kv(f"{arch}.attention.sliding_window",
+             int(config["sliding_window"]))
+    w.add_kv(f"{arch}.pooling_type", int(config.get("pooling_type", 1)))
+    dense = {}
+    for idx in (2, 3):
+        k = f"{idx}_Dense.linear.weight"
+        if k in state:
+            dense[f"dense_{idx}"] = _np(state[k])
+            w.add_kv(f"{arch}.dense_{idx}_feat_in", dense[f"dense_{idx}"].shape[1])
+            w.add_kv(f"{arch}.dense_{idx}_feat_out", dense[f"dense_{idx}"].shape[0])
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        if name.endswith("norm.weight"):  # Gemma +1 RMS shift
+            arr = _np(arr).astype(np.float32) + 1.0
+            q = None
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["norm.weight"])
+    for nm, arr in dense.items():
+        _add(w, nm + ".weight", arr, qtype)
+        written.append(nm + ".weight")
+    gmap = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "self_attn.q_norm.weight": "attn_q_norm.weight",
+        "self_attn.k_norm.weight": "attn_k_norm.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    for i in range(n_layers):
+        for hf, gg in gmap.items():
+            put(f"blk.{i}.{gg}", state[f"layers.{i}.{hf}"])
     w.write()
     return written
 

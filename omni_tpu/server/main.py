@@ -56,10 +56,18 @@ class ServerState:
         self.tok = tokenizer
         self.model_name = model_name
         self._vocab_trie = None
-        # encoder = (bert.BertConfig, params): a BERT-family embedding /
-        # rerank model (reference llm_build_bert); embeddings and rerank
-        # route through it, generation endpoints 400
+        # encoder = (cfg, params): an encoder-only embedding / rerank
+        # model — BERT-family (reference llm_build_bert) or EmbeddingGemma
+        # (llm_build_gemma_embedding); embeddings and rerank route through
+        # it, generation endpoints 400
         self.encoder = encoder
+        self.encoder_mod = None
+        if encoder is not None:
+            if type(encoder[0]).__name__ == "GemmaEmbedConfig":
+                from ..models import gemma_embed as _enc_mod
+            else:
+                from ..models import bert as _enc_mod
+            self.encoder_mod = _enc_mod
         if ctx is None and encoder is None:
             raise ValueError("ServerState needs a decoder ctx or an encoder")
         # seqs 30 (speculative) and 31 (embedding/rerank scratch) are
@@ -135,11 +143,13 @@ class ServerState:
             from ..models import bert
 
             ecfg, eparams = self.encoder
-            if ecfg.pooling == bert.POOL_RANK:
+            if (self.encoder_mod is bert
+                    and ecfg.pooling == bert.POOL_RANK):
                 # rank classifiers still serve /embeddings as CLS vectors
                 ecfg = dataclasses.replace(ecfg, pooling=bert.POOL_CLS)
             with self.sched_lock:
-                return np.asarray(bert.encode(eparams, ecfg, prompt_tokens))
+                return np.asarray(
+                    self.encoder_mod.encode(eparams, ecfg, prompt_tokens))
         seq = 31  # reserved scratch sequence, freed right after
         with self.sched_lock:
             _, hidden = self.ctx.decode(Batch(
@@ -175,6 +185,9 @@ class ServerState:
             # cross-encoder: [CLS]query[SEP]doc[SEP] with segment ids
             from ..models import bert
 
+            if self.encoder_mod is not bert:
+                raise ValueError("rerank needs a rank-pooled BERT-family "
+                                 "encoder (embedding-only model loaded)")
             ecfg, eparams = self.encoder
             tt = np.zeros(len(ids), np.int32)
             tt[n_q:] = 1
@@ -1176,6 +1189,12 @@ def main(argv=None):
 
         encoder = (bert.BertConfig.from_gguf(reader.kv),
                    bert.load_params(reader))
+    elif reader.kv.get("general.architecture") == "gemma-embedding":
+        # bidirectional Gemma3 embedder (llm_build_gemma_embedding)
+        from ..models import gemma_embed
+
+        encoder = (gemma_embed.GemmaEmbedConfig.from_gguf(reader.kv),
+                   gemma_embed.load_params(reader))
     else:
         cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
         params = qwen3.load_params(reader)
