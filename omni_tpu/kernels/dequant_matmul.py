@@ -13,11 +13,17 @@ double-buffers the HBM tile streams automatically.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# group-parallel decode kernel (below): the production default for M=1.
+# Served 8B Q4_K decode 12.92 -> 9.84 ms/token (full bench A/B on chip,
+# round 4); OMNI_GP_DECODE=0 restores the plain fused kernel.
+_GP_DECODE = os.environ.get("OMNI_GP_DECODE", "1") == "1"
 
 from ..core.dtypes import GGMLType
 from .qformats import QTensor, dequant_t, dequant_tile, tile_granule
@@ -154,6 +160,205 @@ def qmatmul_pallas(
     )(x, *[planes[nm] for nm in names])
 
 
+# --------------------------------------------------------------------------
+# group-parallel decode kernel (M=1)
+# --------------------------------------------------------------------------
+# The plain fused kernel pays two full [K,N] VPU passes applying the group
+# scale/min laws before the dot (measured ~25% of kernel time: 493 -> 358
+# GB/s, docs/PERF.md). For decode (M=1) the scale math can ride the MXU
+# instead: feed the RAW unpacked quants (exact in bf16) to the MXU against a
+# BLOCK-DIAGONAL activation x_b[g, j] = x[j] * [j//gw == g], yielding
+# per-group partial dots P[g, n] = sum_j x[g*gw+j] * q[g*gw+j, n]; then
+#   out[n] = sum_g dl[g, n] * P[g, n] - ml[g, n] * xs[g]
+# is a [K/gw, N]-sized VPU pass — 32x (gw) smaller than before. xs (group
+# sums of x) comes free as a full-lane reduction of x_b. The k-tile is
+# processed in sub-slices of depth KS so the block-diagonal zero padding
+# (and with it the extra MXU MACs, M = KS/gw per dot) stays far below the
+# weight-DMA time. Role model: mmvq.cu keeps quants packed until the dot
+# (/root/reference/ggml/src/ggml-cuda/mmvq.cu); this is the TPU-shaped
+# equivalent — MXU group-dots instead of DP4A lanes.
+
+from .qformats import _expand_rows, _unpack_sb_halves  # noqa: E402
+
+_GP_QTYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
+              GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+              GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4)
+
+
+def _gp_slice(t: GGMLType, refs, s: int, ks: int, tn: int):
+    """Per-sub-slice (q_bf16 [ks, tn], dl [ks/gw, tn], ml|None, gw)."""
+    i32, f32 = jnp.int32, jnp.float32
+
+    def rows(nm, dv):  # static sublane slice of a plane for sub-slice s
+        r = ks // dv
+        return refs[nm][s * r:(s + 1) * r, :]
+
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        q = _unpack_sb_halves(rows("q", 2))
+        if t == GGMLType.Q5_K:
+            qh = _expand_rows(rows("qh", 8).astype(i32), 8)
+            sh = jax.lax.broadcasted_iota(i32, qh.shape, 0) % 8
+            q = q + ((qh >> sh) & 1) * 16
+        dl = _expand_rows(rows("d", 256), 8) * rows("sc", 32).astype(i32).astype(f32)
+        ml = _expand_rows(rows("dm", 256), 8) * rows("mn", 32).astype(i32).astype(f32)
+        return q.astype(f32).astype(jnp.bfloat16), dl, ml, 32
+    if t == GGMLType.Q6_K:
+        q = rows("q", 1).astype(i32).astype(f32)
+        dl = _expand_rows(rows("d", 256), 16) * rows("sc", 16).astype(i32).astype(f32)
+        return q.astype(jnp.bfloat16), dl, None, 16
+    if t in (GGMLType.Q8_0, GGMLType.IQ4_NL, GGMLType.MXFP4):
+        q = rows("q", 1).astype(i32).astype(f32)
+        return q.astype(jnp.bfloat16), rows("d", 32), None, 32
+    if t == GGMLType.IQ4_XS:
+        q = rows("q", 1).astype(i32).astype(f32)
+        dl = _expand_rows(rows("d", 256), 8) * rows("sc", 32).astype(i32).astype(f32)
+        return q.astype(jnp.bfloat16), dl, None, 32
+    if t in (GGMLType.Q4_0, GGMLType.Q4_1):
+        q = _unpack_sb_halves(rows("q", 2))
+        d = rows("d", 32)
+        if t == GGMLType.Q4_0:  # (q - 8) * d: fold the offset into the min
+            return (q.astype(f32).astype(jnp.bfloat16), d, 8.0 * d, 32)
+        return q.astype(f32).astype(jnp.bfloat16), d, -rows("dm", 32), 32
+    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        q = _unpack_sb_halves(rows("q", 2))
+        qh = _expand_rows(rows("qh", 8).astype(i32), 8)
+        sh = jax.lax.broadcasted_iota(i32, qh.shape, 0) % 8
+        q = q + ((qh >> sh) & 1) * 16
+        d = rows("d", 32)
+        if t == GGMLType.Q5_0:
+            return (q.astype(f32).astype(jnp.bfloat16), d, 16.0 * d, 32)
+        return q.astype(f32).astype(jnp.bfloat16), d, -rows("dm", 32), 32
+    raise NotImplementedError(t.name)
+
+
+def _make_gp_kernel(t: GGMLType, names: tuple[str, ...], nk: int,
+                    out_dtype, tk: int, tn: int, ks: int):
+    n_sl = tk // ks
+
+    def kernel(x_ref, *rest):
+        refs = {nm: rest[i] for i, nm in enumerate(names)}
+        o_ref = rest[len(names)]
+        acc_ref = rest[len(names) + 1]
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        x = x_ref[...]  # [gs, tk] bf16, all rows identical (pre-broadcast
+        # OUTSIDE the kernel: Mosaic's in-kernel sublane broadcast of a
+        # lane-sliced vector crashes its backend)
+        acc = jnp.zeros((1, tn), jnp.float32)
+        for s in range(n_sl):
+            q, dl, ml, gw = _gp_slice(t, refs, s, ks, tn)
+            gs = ks // gw
+            xsl = x[:gs, s * ks:(s + 1) * ks]  # static slice
+            grp = jax.lax.broadcasted_iota(jnp.int32, (gs, ks), 1) // gw
+            row = jax.lax.broadcasted_iota(jnp.int32, (gs, ks), 0)
+            xb = jnp.where(grp == row, xsl, jnp.bfloat16(0))
+            p = jax.lax.dot_general(  # [gs, tn] per-group partial dots
+                xb, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            c = dl * p
+            if ml is not None:
+                xs = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+                c = c - ml * xs
+            acc = acc + jnp.sum(c, axis=0, keepdims=True)
+        acc_ref[...] += acc
+
+        @pl.when(kk == nk - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+# smallest K tile whose plane blocks all satisfy Mosaic's 8-sublane rule:
+# superblock formats carry [K/256, N] d/dm planes -> tk >= 8*256
+def _gp_min_tk(t: GGMLType) -> int:
+    return 2048 if 256 in _PLANE_DIV[t].values() else 256
+
+
+def gp_supported(m: int, qt: QTensor) -> bool:
+    """Can qmatmul_gp_pallas serve this (x, qt)? Decode-only (M=1)."""
+    return (m == 1 and qt.ggml_type in _GP_QTYPES
+            and qt.shape[1] % _gp_min_tk(qt.ggml_type) == 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "block_ks", "out_dtype",
+                              "interpret", "vmem_limit")
+)
+def qmatmul_gp_pallas(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    block_n: int | None = None,
+    block_k: int | None = None,
+    block_ks: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+) -> jax.Array:
+    """Decode (M=1) fused matmul with group-parallel MXU scale folding."""
+    m, k = x.shape
+    n, k2 = qt.shape
+    assert m == 1 and k == k2, (x.shape, qt.shape)
+    if block_n is None or block_k is None:
+        auto_n, auto_k = _auto_tiles(m, n, k)
+        block_n = block_n or auto_n
+        block_k = block_k or auto_k
+    granule = max(tile_granule(qt.ggml_type), _gp_min_tk(qt.ggml_type))
+    tn = min(block_n, n)
+    tk = max(granule, min(block_k, k))
+    while k % tk != 0:
+        tk -= granule
+    ks = min(block_ks, tk)
+    assert tk % ks == 0, (tk, ks)
+    grid = (1, pl.cdiv(n, tn), pl.cdiv(k, tk))
+
+    # pre-broadcast x to [gs, K] rows-identical (in-kernel sublane
+    # broadcast of lane-sliced vectors crashes the Mosaic backend)
+    gw = 16 if qt.ggml_type == GGMLType.Q6_K else 32
+    gs = ks // gw
+    xb = jnp.broadcast_to(x.astype(jnp.bfloat16), (gs, k))
+
+    planes = qt.planes()
+    names = tuple(planes)
+    divs = _PLANE_DIV[qt.ggml_type]
+    in_specs = [
+        pl.BlockSpec((gs, tk), lambda i, j, kk: (0, kk),
+                     memory_space=pltpu.VMEM)
+    ]
+    for nm in names:
+        dv = divs[nm]
+        in_specs.append(
+            pl.BlockSpec(
+                (tk // dv, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            )
+        )
+    # block-diagonal dots: M = ks/gw rows per depth-ks dot -> k*(ks/gw)*n MACs
+    flops = 2 * k * (ks // 32) * n
+    bytes_accessed = x.size * x.dtype.itemsize + qt.nbytes + n * 4
+    return pl.pallas_call(
+        _make_gp_kernel(qt.ggml_type, names, grid[2], out_dtype, tk, tn, ks),
+        out_shape=jax.ShapeDtypeStruct((1, n), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(xb, *[planes[nm] for nm in names])
+
+
 def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference/fallback path: full dequant via XLA then plain matmul."""
     w_t = dequant_t(qt, jnp.bfloat16)  # [K, N]
@@ -178,6 +383,8 @@ def matmul(x: jax.Array, w, out_dtype=jnp.bfloat16) -> jax.Array:
         return (y + w.scale * delta).astype(out_dtype)
     if isinstance(w, QTensor):
         if jax.default_backend() == "tpu":
+            if _GP_DECODE and gp_supported(x.shape[0], w):
+                return qmatmul_gp_pallas(x, w, out_dtype=out_dtype)
             return qmatmul_pallas(x, w, out_dtype=out_dtype)
         return qmatmul_xla(x, w, out_dtype=out_dtype)
     return jax.lax.dot_general(

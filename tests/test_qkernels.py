@@ -48,6 +48,25 @@ def test_qmatmul_xla_matches_dense(qtype, rng):
 
 
 @pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
+def test_qmatmul_gp_interpret_matches_xla(qtype, rng):
+    """The group-parallel decode kernel (M=1 production default on TPU:
+    raw quants to the MXU against a block-diagonal activation, scale law
+    applied on the [K/gw, N] plane) must agree with the XLA fallback,
+    including ragged N edges and multi-k-tile K."""
+    from omni_tpu.kernels.dequant_matmul import gp_supported, qmatmul_gp_pallas
+
+    qt, _ = _make_qtensor(rng, qtype, n=24, k=4096 + 2048)  # ragged N,
+    # K = 3 sub-slices x 2048: exercises tile edge + slice unroll
+    assert gp_supported(1, qt)
+    x = jnp.asarray(rng.standard_normal((1, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_gp_pallas(x, qt, block_n=16, out_dtype=jnp.float32,
+                            interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=2e-1)
+
+
+@pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
 @pytest.mark.parametrize("m", [1, 4, 48], ids=lambda m: f"m{m}")
 def test_qmatmul_pallas_interpret_matches_xla(qtype, m, rng):
     """The fused Pallas kernel (interpret mode on CPU) must agree with the
