@@ -32,7 +32,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
-          "neo-bert", "rwkv6qwen2", "gemma-embedding")
+          "neo-bert", "rwkv6qwen2", "gemma-embedding", "lfm2moe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -88,6 +88,7 @@ _HF_ARCH_MAP = {
     "DbrxForCausalLM": "dbrx",
     "ApertusForCausalLM": "apertus",
     "Lfm2ForCausalLM": "lfm2",
+    "Lfm2MoeForCausalLM": "lfm2moe",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",

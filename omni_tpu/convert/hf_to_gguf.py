@@ -362,9 +362,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "dbrx":
         return _convert_dbrx(state, config, out_path, qtype,
                              tokenizer_kv=tokenizer_kv)
-    if arch == "lfm2":
+    if arch in ("lfm2", "lfm2moe"):
         return _convert_lfm2(state, config, out_path, qtype,
-                             tokenizer_kv=tokenizer_kv)
+                             tokenizer_kv=tokenizer_kv, arch=arch)
     if arch == "granitehybrid":
         return _convert_granite_hybrid(state, config, out_path, qtype,
                                        tokenizer_kv=tokenizer_kv)
@@ -1823,13 +1823,16 @@ def _convert_falcon_h1(state: Mapping[str, Any], config: Mapping[str, Any],
 
 def _convert_lfm2(state: Mapping[str, Any], config: Mapping[str, Any],
                   out_path: str, qtype: GGMLType,
-                  tokenizer_kv: Mapping[str, Any] | None = None) -> list[str]:
-    """HF Lfm2ForCausalLM -> GGUF arch "lfm2" (reference Lfm2Model +
-    llm_build_lfm2): per-layer head_count_kv VECTOR (0 = shortconv
-    layer), shortconv.{conv,in_proj,out_proj} tensors, embedding_norm as
-    the final token_embd_norm, w1/w3/w2 = gate/up/down."""
+                  tokenizer_kv: Mapping[str, Any] | None = None,
+                  arch: str = "lfm2") -> list[str]:
+    """HF Lfm2ForCausalLM / Lfm2MoeForCausalLM -> GGUF arch "lfm2" /
+    "lfm2moe" (reference Lfm2Model / LFM2MoeModel + llm_build_lfm2):
+    per-layer head_count_kv VECTOR (0 = shortconv layer),
+    shortconv.{conv,in_proj,out_proj} tensors, embedding_norm as the
+    final token_embd_norm, w1/w3/w2 = gate/up/down; lfm2moe stacks
+    per-expert w1/w2/w3 into [E, ...] ffn_*_exps with a sigmoid router
+    (feed_forward.gate) and expert_bias after num_dense_layers."""
     state = _strip(state, "model.")
-    arch = "lfm2"
     d_model = int(config["hidden_size"])
     n_layers = int(config["num_hidden_layers"])
     n_heads = int(config["num_attention_heads"])
@@ -1854,6 +1857,15 @@ def _convert_lfm2(state: Mapping[str, Any], config: Mapping[str, Any],
     w.add_kv(f"{arch}.context_length",
              int(config.get("max_position_embeddings", 4096)))
     w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    n_dense = int(config.get("num_dense_layers", 0))
+    if arch == "lfm2moe":
+        w.add_kv(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(config["num_experts_per_tok"]))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(config["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.leading_dense_block_count", n_dense)
+        w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid
     for k, v in (tokenizer_kv or {}).items():
         w.add_kv(k, v)
 
@@ -1873,9 +1885,23 @@ def _convert_lfm2(state: Mapping[str, Any], config: Mapping[str, Any],
         put(b + "attn_norm.weight", state[pfx + "operator_norm.weight"],
             None)
         put(b + "ffn_norm.weight", state[pfx + "ffn_norm.weight"], None)
-        put(b + "ffn_gate.weight", state[pfx + "feed_forward.w1.weight"])
-        put(b + "ffn_up.weight", state[pfx + "feed_forward.w3.weight"])
-        put(b + "ffn_down.weight", state[pfx + "feed_forward.w2.weight"])
+        if arch == "lfm2moe" and i >= n_dense:
+            put(b + "ffn_gate_inp.weight",
+                state[pfx + "feed_forward.gate.weight"], None)
+            put(b + "exp_probs_b.bias",
+                state[pfx + "feed_forward.expert_bias"], None)
+            ne = int(config["num_experts"])
+            for wn, gg in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                           ("w2", "ffn_down_exps")):
+                put(b + f"{gg}.weight", np.stack(
+                    [_np(state[f"{pfx}feed_forward.experts.{x}.{wn}.weight"])
+                     for x in range(ne)]))
+        else:
+            put(b + "ffn_gate.weight",
+                state[pfx + "feed_forward.w1.weight"])
+            put(b + "ffn_up.weight", state[pfx + "feed_forward.w3.weight"])
+            put(b + "ffn_down.weight",
+                state[pfx + "feed_forward.w2.weight"])
         if kvh[i] == 0:
             put(b + "shortconv.in_proj.weight",
                 state[pfx + "conv.in_proj.weight"])

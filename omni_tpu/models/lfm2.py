@@ -43,6 +43,8 @@ class Lfm2Config:
     n_vocab: int = 256
     n_experts: int = 0
     n_experts_used: int = 0
+    n_dense_lead: int = 0  # lfm2moe: first N layers keep the dense FFN
+    d_ff_exp: int = 0
 
     @staticmethod
     def from_gguf(kv: dict[str, Any]) -> "Lfm2Config":
@@ -65,6 +67,8 @@ class Lfm2Config:
             n_vocab=int(g("vocab_size", 256)),
             n_experts=int(g("expert_count", 0)),
             n_experts_used=int(g("expert_used_count", 0)),
+            n_dense_lead=int(g("leading_dense_block_count", 0)),
+            d_ff_exp=int(g("expert_feed_forward_length", 0)),
         )
 
 
@@ -149,9 +153,26 @@ def forward(params: dict, cfg: Lfm2Config, tokens: jax.Array,
             attn_li += 1
         h = h + mix
         hn2 = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        g = hn2 @ lp["w_gate"].T
-        u = hn2 @ lp["w_up"].T
-        h = h + (jax.nn.silu(g) * u) @ lp["w_down"].T
+        if lp.get("gate_inp") is not None:
+            # lfm2moe routed FFN (build_moe_ffn SIGMOID gating, selection
+            # biased by exp_probs_b, top-k weights renormalized —
+            # llm_build_lfm2::build_moe_feed_forward)
+            probs = jax.nn.sigmoid(hn2 @ lp["gate_inp"].T)  # [T, E]
+            sel = probs + lp["exp_probs_b"]
+            _, top_i = jax.lax.top_k(sel, cfg.n_experts_used)
+            top_w = jnp.take_along_axis(probs, top_i, axis=-1)
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+            wg = lp["gate_exps"][top_i]  # [T, K, F, D]
+            wu = lp["up_exps"][top_i]
+            wd = lp["down_exps"][top_i]  # [T, K, D, F]
+            g = jnp.einsum("td,tkfd->tkf", hn2, wg)
+            u = jnp.einsum("td,tkfd->tkf", hn2, wu)
+            y = jnp.einsum("tkf,tkdf->tkd", jax.nn.silu(g) * u, wd)
+            h = h + jnp.einsum("tkd,tk->td", y, top_w)
+        else:
+            g = hn2 @ lp["w_gate"].T
+            u = hn2 @ lp["w_up"].T
+            h = h + (jax.nn.silu(g) * u) @ lp["w_down"].T
 
     ssm_dummy = rec.ssm[0, seq_id]
     for ci, conv1 in new_states:
@@ -193,13 +214,21 @@ def load_params(reader, cfg: Lfm2Config) -> dict:
         params["output"] = out
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
+        moe = f"{p}ffn_gate_inp.weight" in reader.tensors
         lp = {
             "attn_norm": get(p + "attn_norm.weight"),
             "ffn_norm": get(p + "ffn_norm.weight"),
-            "w_gate": get(p + "ffn_gate.weight"),
-            "w_up": get(p + "ffn_up.weight"),
-            "w_down": get(p + "ffn_down.weight"),
         }
+        if moe:  # lfm2moe layers past the dense lead
+            lp["gate_inp"] = get(p + "ffn_gate_inp.weight")
+            lp["exp_probs_b"] = get(p + "exp_probs_b.bias")
+            lp["gate_exps"] = get(p + "ffn_gate_exps.weight")
+            lp["up_exps"] = get(p + "ffn_up_exps.weight")
+            lp["down_exps"] = get(p + "ffn_down_exps.weight")
+        else:
+            lp["w_gate"] = get(p + "ffn_gate.weight")
+            lp["w_up"] = get(p + "ffn_up.weight")
+            lp["w_down"] = get(p + "ffn_down.weight")
         if cfg.kv_heads[i] == 0:
             lp["conv_in"] = get(p + "shortconv.in_proj.weight")
             lp["conv_out"] = get(p + "shortconv.out_proj.weight")
