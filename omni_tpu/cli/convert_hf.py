@@ -32,7 +32,8 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "arctic", "grok", "smallthinker", "minicpm3", "plm",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
-          "neo-bert", "rwkv6qwen2", "gemma-embedding", "lfm2moe")
+          "neo-bert", "rwkv6qwen2", "gemma-embedding", "lfm2moe",
+          "grovemoe")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -89,6 +90,7 @@ _HF_ARCH_MAP = {
     "ApertusForCausalLM": "apertus",
     "Lfm2ForCausalLM": "lfm2",
     "Lfm2MoeForCausalLM": "lfm2moe",
+    "GroveMoeForCausalLM": "grovemoe",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",

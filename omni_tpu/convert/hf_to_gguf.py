@@ -1165,6 +1165,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                      int(config["expert_intermediate_size"]))
         w.add_kv(f"{arch}.expert_weights_norm", False)
         w.add_kv(f"{arch}.expert_gating_func", 1)
+    if arch == "grovemoe":
+        # reference GroveMoeModel: chunk ff hardcoded to head_dim or 128,
+        # experts_per_group=2, group scale=0.05 (modeling_grove_moe.py)
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(config["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_chunk_feed_forward_length",
+                 int(config.get("head_dim") or 128))
+        w.add_kv(f"{arch}.experts_per_group",
+                 int(config.get("experts_per_group", 2)))
+        w.add_kv(f"{arch}.expert_group_scale",
+                 float(config.get("expert_group_scale", 0.05)))
     if arch == "chameleon":
         w.add_kv(f"{arch}.swin_norm", bool(config.get("swin_norm", False)))
     if arch == "qwen2vl":
@@ -1427,6 +1438,17 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
                     _np(state[f"layers.{i}.mlp.experts.{e}.{hfp}.weight"])
                     for e in range(n_exp)])
                 put(f"blk.{i}.{gg}.weight", stack, qtype)
+            if arch == "grovemoe":
+                # adjugate chunk-expert stacks (reference GroveMoeModel
+                # merges mlp.chunk_experts.{x}.{gate,up,down}_proj)
+                n_ch = n_exp // int(config.get("experts_per_group", 2))
+                for hfp, gg in (("gate_proj", "ffn_gate_chexps"),
+                                ("up_proj", "ffn_up_chexps"),
+                                ("down_proj", "ffn_down_chexps")):
+                    stack = np.stack([
+                        _np(state[f"layers.{i}.mlp.chunk_experts.{e}"
+                                  f".{hfp}.weight"]) for e in range(n_ch)])
+                    put(f"blk.{i}.{gg}.weight", stack, qtype)
             if arch == "arctic":
                 put(f"blk.{i}.ffn_norm_exps.weight",
                     state[f"layers.{i}.moe_norm_exps.weight"], None)

@@ -77,6 +77,13 @@ class Qwen3Config:
     moe_jitter_eps: float = 0.0   # phimoe router_jitter_noise (mask width)
     moe_scale_w: float = 1.0      # routed_scaling_factor
     n_expert_shared: int = 0      # shared experts added to routed mix
+    # GroveMoE (llm_build_grovemoe): moe_gating="grove" selects via
+    # sigmoid(logits) but weights via softmax(logits); a second
+    # "adjugate" chunk-expert MoE consumes the main MoE's OUTPUT with
+    # chunk ids = selected expert ids // n_group_experts, its output
+    # added scaled by moe_grove_scale
+    n_group_experts: int = 0
+    moe_grove_scale: float = 0.0
     # --- MLA attention (deepseek2): KV cache holds ONE latent head of
     # [rope_dim roped | kv_lora_rank compressed] per position; Q absorbs
     # wk_b, attention output decompresses through wv_b ---
@@ -291,6 +298,14 @@ class Qwen3Config:
                                       8192)),
                 n_expert_shared=1 if g("expert_count") else 0,
             )
+        grove_extra = {}
+        if arch == "grovemoe":
+            # llm_build_grovemoe (llama-model.cpp:19108) + build_moe_ffn's
+            # GROVEMOE special cases (llama-graph.cpp:948,958)
+            grove_extra = dict(
+                moe_gating="grove",
+                n_group_experts=int(g("experts_per_group", 2)),
+                moe_grove_scale=float(g("expert_group_scale", 0.05)))
         grok_extra = {}
         if arch == "grok":
             # llm_build_grok + llama-graph.cpp:1375: scores scaled by
@@ -518,6 +533,7 @@ class Qwen3Config:
         )
         kw.update(moe_extra)  # deepseek-style gating KVs (glm4moe/dots1/…)
         kw.update(grok_extra)  # grok/arctic/smallthinker MoE wiring
+        kw.update(grove_extra)  # grovemoe adjugate-expert wiring
         if mla:
             kw["n_kv_heads"] = 1  # absorbed MLA = one latent MQA head
         kw.update(exaone4_extra)
@@ -718,6 +734,14 @@ def load_params(reader: GGUFReader, keep_quantized: bool = True,
                                              keep_quantized)
                 lp[key + "_b"] = get(p + nm + ".bias", required=False,
                                      keep_q=False)
+            # grovemoe adjugate chunk experts (tiny F': dense bf16 stacks)
+            if f"{p}ffn_gate_chexps.weight" in reader.tensors:
+                lp["gate_chexps"] = get(p + "ffn_gate_chexps.weight",
+                                        keep_q=False)
+                lp["up_chexps"] = get(p + "ffn_up_chexps.weight",
+                                      keep_q=False)
+                lp["down_chexps"] = get(p + "ffn_down_chexps.weight",
+                                        keep_q=False)
             # arctic residual_mlp / grok-2 parallel dense branch
             lp["w_gate"] = get(p + "ffn_gate.weight", required=False)
             lp["w_up"] = get(p + "ffn_up.weight", required=False)
@@ -1205,6 +1229,12 @@ def forward(
                 ffn_out = moe_out + dense.astype(moe_out.dtype)
             else:
                 ffn_out = moe_ffn(lp, cfg, hn, router_x=router_x)
+                if lp.get("gate_chexps") is not None:
+                    # GroveMoE adjugate pass: chunk experts consume the
+                    # MAIN MoE's output, scaled by expert_group_scale
+                    # (llm_build_grovemoe second build_moe_ffn)
+                    ffn_out = ffn_out + cfg.moe_grove_scale * \
+                        _grove_adjugate(lp, cfg, ffn_out, hn)
                 if (cfg.moe_parallel_ffn == "grok"
                         and lp.get("w_gate") is not None):
                     # llm_build_grok: (dense + moe) * sqrt(2)/2
@@ -1338,6 +1368,36 @@ def forward(
 MOE_CAPACITY_FACTOR = 2.0  # GShard-style slack over the perfect k/E split
 
 
+def _grove_adjugate(lp: dict, cfg: Qwen3Config, cur: jax.Array,
+                    hn: jax.Array) -> jax.Array:
+    """GroveMoE adjugate chunk-expert MoE (llm_build_grovemoe second
+    build_moe_ffn + the GROVEMOE branches in llama-graph.cpp:948,958):
+    selection re-runs top-k over sigmoid(router(hn)), the selected expert
+    ids integer-divide by n_group_experts into chunk ids; weights are the
+    SOFTMAX probs read at the CHUNK id positions, renormalized; the tiny
+    SiLU chunk experts transform `cur` (the main MoE's output)."""
+    n_chunk = lp["gate_chexps"].shape[0]
+    k = min(max(cfg.n_experts_used, 1), n_chunk)
+    router = jnp.einsum("td,ed->te", hn.astype(jnp.float32),
+                        lp["gate_inp"].astype(jnp.float32))
+    _, top_i = jax.lax.top_k(jax.nn.sigmoid(router), k)
+    chunk_i = top_i // cfg.n_group_experts
+    probs = jax.nn.softmax(router, axis=-1)
+    top_w = jnp.take_along_axis(probs, chunk_i, axis=-1)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    cb = cur.astype(jnp.bfloat16)
+    wg = lp["gate_chexps"][chunk_i]  # [T, K, F', D] dense (F' is tiny)
+    wu = lp["up_chexps"][chunk_i]
+    wd = lp["down_chexps"][chunk_i]  # [T, K, D, F']
+    g = jnp.einsum("td,tkfd->tkf", cb, wg,
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("td,tkfd->tkf", cb, wu,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("tkf,tkdf->tkd", (jax.nn.silu(g) * u).astype(jnp.bfloat16),
+                   wd, preferred_element_type=jnp.float32)
+    return jnp.einsum("tkd,tk->td", y, top_w).astype(cur.dtype)
+
+
 def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array,
             router_x: jax.Array | None = None) -> jax.Array:
     """Top-k routed SwiGLU expert mix (reference llm_build_qwen3moe /
@@ -1399,12 +1459,16 @@ def moe_ffn(lp: dict, cfg: Qwen3Config, hn: jax.Array,
     else:
         if cfg.moe_gating == "sigmoid":
             probs = jax.nn.sigmoid(router)
-        else:
+        else:  # softmax default; grove weights also come from softmax
             probs = jax.nn.softmax(router, axis=-1)  # [T, E]
         # V3 expert-selection bias (e_score_correction): biases SELECTION
         # only, weights come from the unbiased probs
         sel = (probs + lp["exp_probs_b"].astype(jnp.float32)
                if lp.get("exp_probs_b") is not None else probs)
+        if cfg.moe_gating == "grove":
+            # GroveMoE selects on sigmoid(logits), weights on softmax
+            # (llama-graph.cpp:948 GROVEMOE selection_probs override)
+            sel = jax.nn.sigmoid(router)
         _, top_i = jax.lax.top_k(sel, k)
         top_w = jnp.take_along_axis(probs, top_i, axis=-1)
         if cfg.moe_norm_w:  # norm_topk_prob
