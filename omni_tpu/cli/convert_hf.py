@@ -33,7 +33,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
           "neo-bert", "rwkv6qwen2", "gemma-embedding", "lfm2moe",
-          "grovemoe")
+          "grovemoe", "plamo2")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -91,6 +91,8 @@ _HF_ARCH_MAP = {
     "Lfm2ForCausalLM": "lfm2",
     "Lfm2MoeForCausalLM": "lfm2moe",
     "GroveMoeForCausalLM": "grovemoe",
+    "Plamo2ForCausalLM": "plamo2",
+    "PLaMo2ForCausalLM": "plamo2",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",

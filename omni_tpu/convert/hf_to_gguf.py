@@ -387,6 +387,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "nemotron_h":
         return _convert_nemotron_h(state, config, out_path, qtype,
                                    tokenizer_kv=tokenizer_kv)
+    if arch == "plamo2":
+        return _convert_plamo2(state, config, out_path, qtype,
+                               tokenizer_kv=tokenizer_kv)
     if arch in ("rwkv7", "arwkv7"):
         return _convert_rwkv7(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv, arch=arch)
@@ -3906,6 +3909,107 @@ def _convert_rwkv7(state: Mapping[str, Any], config: Mapping[str, Any],
             put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
             put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
             put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_plamo2(state: Mapping[str, Any], config: Mapping[str, Any],
+                    out_path: str, qtype: GGMLType,
+                    tokenizer_kv: Mapping[str, Any] | None = None,
+                    ) -> list[str]:
+    """HF PLaMo2ForCausalLM (model.layers.layers.* remote-code layout) ->
+    GGUF arch "plamo2" (reference convert_hf_to_gguf.py Plamo2Model):
+    per-layer head_count/head_count_kv vectors from the mamba_step
+    pattern, A_log -> -exp(A_log), conv1d squeezed 2-D, and the norm
+    weight offsets the checkpoint factored out (+1 pre-norms/final,
+    +1/5 post_mixer, +1/5^1.5 post_mlp)."""
+    state = _strip(state, "model.")
+    arch = "plamo2"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_heads = int(config.get("num_attention_heads", 32))
+    n_kv = int(config.get("num_key_value_heads", 4))
+    hd = int(config.get("hidden_size_per_head", 128))
+    mamba_step = int(config.get("mamba_step", 2))
+    ssm_heads = int(config.get("mamba_num_heads", 64))
+    kvh, nh = [], []
+    for i in range(n_layers):
+        if n_layers <= mamba_step // 2:
+            is_mamba = i != n_layers - 1
+        else:
+            is_mamba = (i % mamba_step) != (mamba_step // 2)
+        kvh.append(0 if is_mamba else n_kv)
+        nh.append(0 if is_mamba else n_heads)
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config.get("intermediate_size", 4 * d_model)))
+    w.add_kv(f"{arch}.attention.head_count", nh)
+    w.add_kv(f"{arch}.attention.head_count_kv", kvh)
+    w.add_kv(f"{arch}.attention.key_length", hd)
+    w.add_kv(f"{arch}.attention.value_length", hd)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 2048)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 64)))
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", ssm_heads)
+    w.add_kv(f"{arch}.ssm.inner_size", ssm_heads * hd)
+    w.add_kv(f"{arch}.ssm.group_count", 0)
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype, off=0.0):
+        if off:
+            arr = _np(arr).astype(np.float32) + off
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("output_norm.weight", state["norm.weight"], None, off=1.0)
+    if "lm_head.weight" in state and not config.get("tie_word_embeddings",
+                                                    True):
+        put("output.weight", state["lm_head.weight"])
+    for i in range(n_layers):
+        pfx, b = f"layers.layers.{i}.", f"blk.{i}."
+        mx = pfx + "mixer."
+        put(b + "attn_norm.weight", state[pfx + "pre_mixer_norm.weight"],
+            None, off=1.0)
+        put(b + "attn_post_norm.weight",
+            state[pfx + "post_mixer_norm.weight"], None, off=1.0 / 5)
+        put(b + "ffn_norm.weight", state[pfx + "pre_mlp_norm.weight"],
+            None, off=1.0)
+        put(b + "ffn_post_norm.weight",
+            state[pfx + "post_mlp_norm.weight"], None, off=1.0 / 5 ** 1.5)
+        put(b + "ffn_up.weight", state[pfx + "mlp.gate_up_proj.weight"])
+        put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
+        if kvh[i] == 0:  # mamba mixer
+            put(b + "ssm_in.weight", state[mx + "in_proj.weight"])
+            put(b + "ssm_conv1d.weight",
+                _np(state[mx + "conv1d.weight"]).squeeze(), None)
+            put(b + "ssm_x.weight", state[mx + "bcdt_proj.weight"])
+            put(b + "ssm_dt.weight", state[mx + "dt_proj.weight"])
+            put(b + "ssm_dt.bias", state[mx + "dt_bias"], None)
+            put(b + "ssm_dt_norm.weight", state[mx + "dt_norm_weight"],
+                None)
+            put(b + "ssm_b_norm.weight", state[mx + "B_norm_weight"], None)
+            put(b + "ssm_c_norm.weight", state[mx + "C_norm_weight"], None)
+            put(b + "ssm_a", -np.exp(_np(state[mx + "A_log"])), None)
+            put(b + "ssm_d", state[mx + "D"], None)
+            put(b + "ssm_out.weight", state[mx + "out_proj.weight"])
+        else:
+            put(b + "attn_qkv.weight", state[mx + "qkv_proj.weight"])
+            put(b + "attn_output.weight", state[mx + "o_proj.weight"])
+            put(b + "attn_q_norm.weight", state[mx + "q_weight"], None)
+            put(b + "attn_k_norm.weight", state[mx + "k_weight"], None)
     w.write()
     return written
 
