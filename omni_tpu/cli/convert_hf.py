@@ -33,7 +33,7 @@ ARCHES = ("qwen2", "qwen3", "qwen3moe", "llama", "minicpm", "gemma2",
           "rwkv7", "arwkv7", "nemotron_h", "deci", "openelm",
           "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
           "neo-bert", "rwkv6qwen2", "gemma-embedding", "lfm2moe",
-          "grovemoe", "plamo2")
+          "grovemoe", "plamo2", "gemma3n")
 
 _HF_ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
@@ -93,6 +93,8 @@ _HF_ARCH_MAP = {
     "GroveMoeForCausalLM": "grovemoe",
     "Plamo2ForCausalLM": "plamo2",
     "PLaMo2ForCausalLM": "plamo2",
+    "Gemma3nForCausalLM": "gemma3n",
+    "Gemma3nForConditionalGeneration": "gemma3n",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "PhimoeForCausalLM": "phimoe",

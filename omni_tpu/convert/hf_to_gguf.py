@@ -390,6 +390,9 @@ def convert_llm(state: Mapping[str, Any], config: Mapping[str, Any],
     if arch == "plamo2":
         return _convert_plamo2(state, config, out_path, qtype,
                                tokenizer_kv=tokenizer_kv)
+    if arch == "gemma3n":
+        return _convert_gemma3n(state, config, out_path, qtype,
+                                tokenizer_kv=tokenizer_kv)
     if arch in ("rwkv7", "arwkv7"):
         return _convert_rwkv7(state, config, out_path, qtype,
                               tokenizer_kv=tokenizer_kv, arch=arch)
@@ -3909,6 +3912,126 @@ def _convert_rwkv7(state: Mapping[str, Any], config: Mapping[str, Any],
             put(b + "ffn_gate.weight", state[pfx + "mlp.gate_proj.weight"])
             put(b + "ffn_up.weight", state[pfx + "mlp.up_proj.weight"])
             put(b + "ffn_down.weight", state[pfx + "mlp.down_proj.weight"])
+    w.write()
+    return written
+
+
+def _convert_gemma3n(state: Mapping[str, Any], config: Mapping[str, Any],
+                     out_path: str, qtype: GGMLType,
+                     tokenizer_kv: Mapping[str, Any] | None = None,
+                     ) -> list[str]:
+    """HF Gemma3nForCausalLM -> GGUF arch "gemma3n" (reference
+    convert_hf_to_gguf.py Gemma3NModel, norm_shift=0): AltUp tensors per
+    layer, the 3 altup_(unembed_)projections stacked to [A-1, D, D],
+    laurel low-rank pair, per-layer input gate/proj, and the
+    activation-sparsity std multipliers (icdf of the target sparsity)."""
+    state = _strip(state, "model.language_model.", "model.")
+    arch = "gemma3n"
+    d_model = int(config["hidden_size"])
+    n_layers = int(config["num_hidden_layers"])
+    n_altup = int(config.get("altup_num_inputs", 4))
+    ff = config["intermediate_size"]
+    if isinstance(ff, (list, tuple)):  # HF normalizes to a per-layer list
+        assert len(set(ff)) == 1, "per-layer FFN widths unsupported"
+        ff = ff[0]
+    config = {**config, "intermediate_size": int(ff)}
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count",
+             int(config.get("num_attention_heads", 8)))
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(config.get("num_key_value_heads", 2)))
+    w.add_kv(f"{arch}.attention.key_length",
+             int(config.get("head_dim", 256)))
+    w.add_kv(f"{arch}.attention.value_length",
+             int(config.get("head_dim", 256)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(config.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.context_length",
+             int(config.get("max_position_embeddings", 32768)))
+    w.add_kv(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_kv(f"{arch}.rope.freq_base",
+             float(config.get("rope_theta", 1_000_000.0)))
+    w.add_kv(f"{arch}.attention.sliding_window",
+             int(config["sliding_window"]))
+    w.add_kv(f"{arch}.altup.active_idx",
+             int(config.get("altup_active_idx", 0)))
+    w.add_kv(f"{arch}.altup.num_inputs", n_altup)
+    w.add_kv(f"{arch}.embedding_length_per_layer_input",
+             int(config["hidden_size_per_layer_input"]))
+    w.add_kv(f"{arch}.attention.shared_kv_layers",
+             int(config.get("num_kv_shared_layers", 0)))
+    from statistics import NormalDist
+
+    spars = [float(NormalDist().inv_cdf(s)) if s > 0 else 0.0
+             for s in (config.get("activation_sparsity_pattern")
+                       or [0.95] * min(10, n_layers)
+                       + [0.0] * max(0, n_layers - 10))]
+    w.add_kv(f"{arch}.activation_sparsity_scale", spars)
+    for k, v in (tokenizer_kv or {}).items():
+        w.add_kv(k, v)
+
+    written = []
+
+    def put(name, arr, q=qtype):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("token_embd.weight", state["embed_tokens.weight"])
+    put("per_layer_token_embd.weight",
+        state["embed_tokens_per_layer.weight"])
+    put("per_layer_model_proj.weight",
+        state["per_layer_model_projection.weight"])
+    put("per_layer_proj_norm.weight",
+        state["per_layer_projection_norm.weight"], None)
+    put("altup_proj.weight", np.stack(
+        [_np(state[f"altup_projections.{i}.weight"])
+         for i in range(n_altup - 1)]))
+    put("altup_unembd_proj.weight", np.stack(
+        [_np(state[f"altup_unembed_projections.{i}.weight"])
+         for i in range(n_altup - 1)]))
+    put("output_norm.weight", state["norm.weight"], None)
+    if "lm_head.weight" in state and not config.get("tie_word_embeddings",
+                                                    True):
+        put("output.weight", state["lm_head.weight"])
+    lmap = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "self_attn.q_norm.weight": "attn_q_norm.weight",
+        "self_attn.k_norm.weight": "attn_k_norm.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+        "altup.correction_coefs.weight": "altup_correct_coef.weight",
+        "altup.prediction_coefs.weight": "altup_predict_coef.weight",
+        "altup.modality_router.weight": "altup_router.weight",
+        "altup.router_norm.weight": "altup_router_norm.weight",
+        "altup.correct_output_scale": "altup_correct_scale.weight",
+        "laurel.linear_left.weight": "laurel_l.weight",
+        "laurel.linear_right.weight": "laurel_r.weight",
+        "laurel.post_laurel_norm.weight": "laurel_post_norm.weight",
+        "per_layer_input_gate.weight": "inp_gate.weight",
+        "per_layer_projection.weight": "proj.weight",
+        "post_per_layer_input_norm.weight": "post_norm.weight",
+    }
+    for i in range(n_layers):
+        for hf, gg in lmap.items():
+            key = f"layers.{i}.{hf}"
+            if key not in state:
+                continue  # shared-kv layers have no k/v projections
+            is_small = ("norm" in gg or "coef" in gg or "router" in gg
+                        or "scale" in gg)
+            put(f"blk.{i}.{gg}", state[key], None if is_small else qtype)
     w.write()
     return written
 
