@@ -91,3 +91,19 @@ def test_finetune_loss_decreases():
 
     losses = finetune.main(["--steps", "6"])
     assert losses[-1] < losses[0]
+
+
+def test_embedding():
+    import embedding
+
+    vecs = embedding.main([])
+    assert vecs.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0,
+                               rtol=1e-5)
+
+
+def test_retrieval():
+    import retrieval
+
+    order = retrieval.main([])
+    assert order[0] == 3  # overlapping chunk ranks first
