@@ -1628,14 +1628,22 @@ def _moe_capacity(lp: dict, cfg: Qwen3Config, hb: jax.Array,
 def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:
     """Cache-free causal forward over [B, T] token batches -> [B, T, vocab]
     f32 logits. Used for training/finetuning (the capability of the
-    reference's ggml-opt + examples/training) and perplexity evaluation.
-    Requires dense (non-QTensor) parameters for differentiability."""
-    if cfg.sandwich_norms or cfg.emb_scale != 1.0:
-        raise NotImplementedError(
-            "forward_train covers the qwen3/llama graph; Gemma's sandwich "
-            "norms / embedding scaling are inference-only for now")
+    reference's ggml-opt + examples/training, which trains any graph it
+    can build) and perplexity evaluation. Requires dense (non-QTensor)
+    parameters for differentiability.
+
+    Covers the zoo's main training topologies: the qwen3/llama graph,
+    Gemma-family sandwich norms + sqrt(d) embedding scale + gelu + attn
+    scale/softcaps (llm_build_gemma2_iswa/gemma3), and dense-stack MoE
+    with softmax/sigmoid routing (top-k gathers are differentiable wrt
+    the routing probs). MLA and recurrent graphs remain inference-only.
+    """
+    if cfg.kv_lora_rank:
+        raise NotImplementedError("forward_train: MLA is inference-only")
     b, t = tokens.shape
     h = params["token_embd"][tokens].astype(jnp.bfloat16)  # [B, T, d]
+    if cfg.emb_scale != 1.0:  # gemma sqrt(d) embedding scale
+        h = h * jnp.bfloat16(cfg.emb_scale)
     pos = jnp.arange(t, dtype=jnp.int32)
     causal = jnp.tril(jnp.ones((t, t), bool))
 
@@ -1644,6 +1652,47 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
             x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
             (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
+
+    if cfg.act == "gelu":
+        act = lambda z: jax.nn.gelu(z, approximate=True)  # noqa: E731
+    elif cfg.act == "relu2":
+        act = lambda z: jnp.square(jax.nn.relu(z))  # noqa: E731
+    else:
+        act = jax.nn.silu
+
+    def ffn_dense(hn, lp):
+        gate = act(lin(hn, lp["w_gate"]).astype(jnp.float32)) \
+            .astype(jnp.bfloat16)
+        return lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
+
+    def ffn_moe(hn, lp):
+        # dense-stack routed experts (build_moe_ffn core laws; gathers
+        # and take_along_axis are differentiable)
+        e, k_used = cfg.n_experts, max(cfg.n_experts_used, 1)
+        router = jnp.einsum("btd,ed->bte", hn.astype(jnp.float32),
+                            lp["gate_inp"].astype(jnp.float32))
+        probs = (jax.nn.sigmoid(router) if cfg.moe_gating == "sigmoid"
+                 else jax.nn.softmax(router, axis=-1))
+        sel = (probs + lp["exp_probs_b"].astype(jnp.float32)
+               if lp.get("exp_probs_b") is not None else probs)
+        _, top_i = jax.lax.top_k(sel, k_used)
+        top_w = jnp.take_along_axis(probs, top_i, axis=-1)
+        if cfg.moe_norm_w:
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        top_w = top_w * cfg.moe_scale_w
+        wg = lp["gate_exps"][top_i].astype(jnp.bfloat16)  # [B,T,K,F,D]
+        wu = lp["up_exps"][top_i].astype(jnp.bfloat16)
+        wd = lp["down_exps"][top_i].astype(jnp.bfloat16)
+        hb = hn.astype(jnp.bfloat16)
+        g_ = jnp.einsum("btd,btkfd->btkf", hb, wg,
+                        preferred_element_type=jnp.float32)
+        u_ = jnp.einsum("btd,btkfd->btkf", hb, wu,
+                        preferred_element_type=jnp.float32)
+        y = jnp.einsum("btkf,btkdf->btkd", act(g_).astype(jnp.bfloat16)
+                       * u_.astype(jnp.bfloat16), wd,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("btkd,btk->btd", y,
+                          top_w.astype(jnp.float32)).astype(jnp.bfloat16)
 
     for lp in params["layers"]:
         h_in = h
@@ -1666,25 +1715,37 @@ def forward_train(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Arra
         qg = q.reshape(b, t, cfg.n_kv_heads, g, cfg.head_dim)
         scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,
                             preferred_element_type=jnp.float32)
-        scores = scores / (cfg.head_dim ** 0.5)
+        scores = scores * (cfg.attn_scale if cfg.attn_scale is not None
+                           else cfg.head_dim ** -0.5)
+        if cfg.attn_softcap > 0.0:  # gemma2
+            scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
         scores = jnp.where(causal[None, None, None], scores, -1e30)
         p = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
         attn = jnp.einsum("bhgts,bshd->bthgd", p, v,
                           preferred_element_type=jnp.float32)
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim).astype(jnp.bfloat16)
-        h = h_in + lin(attn, lp["wo"])
+        attn = lin(attn, lp["wo"])
+        if cfg.sandwich_norms:  # gemma post-attention norm
+            attn = rms_norm(attn, lp["attn_post_norm"], cfg.rms_eps)
+        h = h_in + attn
         h_in = h
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)).astype(jnp.bfloat16)
-        h = h_in + lin(gate * lin(hn, lp["w_up"]), lp["w_down"])
+        ff = (ffn_moe(hn, lp) if lp.get("gate_inp") is not None
+              else ffn_dense(hn, lp))
+        if cfg.sandwich_norms:  # gemma post-ffw norm
+            ff = rms_norm(ff, lp["ffn_post_norm"], cfg.rms_eps)
+        h = h_in + ff
 
     hidden = (rms_norm if cfg.norm_type == "rms" else layer_norm_nobias)(
         h, params["output_norm"], cfg.rms_eps)
     head = params["output"] if params["output"] is not None else params["token_embd"]
-    return jax.lax.dot_general(
+    logits = jax.lax.dot_general(
         hidden.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
         (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    if cfg.final_softcap > 0.0:  # gemma2 final logit capping
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits
 
 
 def train_loss(params: dict, cfg: Qwen3Config, tokens: jax.Array) -> jax.Array:
