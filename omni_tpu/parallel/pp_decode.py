@@ -29,10 +29,14 @@ from ..kernels.rope import apply_rope
 from .pp import _block, stage_param_specs
 
 
-def _step_block(lp: dict, cfg, h: jax.Array, k_cache, v_cache, p):
+def _step_block(lp: dict, cfg, h: jax.Array, k_cache, v_cache, p,
+                tp_axis: str | None = None):
     """Single-token decode block: h [B, d]; stage-local cache slices
     [B, Hkv, Tmax, D]; p = write/attend position (traced scalar).
-    Returns (h_out, k_new [B, Hkv, D], v_new)."""
+    With `tp_axis`, head counts come from the tp-local weight shards and
+    wo/w_down partial products psum over that axis (megatron layout —
+    the same composition as pp.py _block). Returns (h_out,
+    k_new [B, Hkv, D], v_new)."""
     b, _ = h.shape
     hd = cfg.head_dim
     n_heads = lp["wq"].shape[0] // hd
@@ -43,6 +47,11 @@ def _step_block(lp: dict, cfg, h: jax.Array, k_cache, v_cache, p):
             x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
+
+    def reduce_rows(x):
+        if tp_axis is None:
+            return x
+        return jax.lax.psum(x.astype(jnp.float32), tp_axis).astype(x.dtype)
 
     h_in = h
     hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
@@ -72,11 +81,12 @@ def _step_block(lp: dict, cfg, h: jax.Array, k_cache, v_cache, p):
     attn = jnp.einsum("bkgs,bksd->bkgd", pr, v_all,
                       preferred_element_type=jnp.float32)
     attn = attn.reshape(b, n_heads * hd).astype(jnp.bfloat16)
-    h = h_in + lin(attn, lp["wo"]).astype(h.dtype)
+    h = h_in + reduce_rows(lin(attn, lp["wo"])).astype(h.dtype)
     hn = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
     gate = jax.nn.silu(lin(hn, lp["w_gate"]).astype(jnp.float32)
                        ).astype(jnp.bfloat16)
-    out = h + lin(gate * lin(hn, lp["w_up"]), lp["w_down"]).astype(h.dtype)
+    out = h + reduce_rows(
+        lin(gate * lin(hn, lp["w_up"]), lp["w_down"])).astype(h.dtype)
     return out, k, v
 
 
@@ -86,6 +96,8 @@ def pp_decode(pp_params: dict, cfg, tokens0: jax.Array, mesh: Mesh,
     [G, B, n_new]. Prefill runs the GPipe schedule capturing stage-local
     KV; decode runs G·(n_new-1)+S continuous ticks with zero host syncs."""
     n_stages = mesh.shape["pp"]
+    n_tp = mesh.shape.get("tp", 1)
+    tp_axis = "tp" if n_tp > 1 else None
     g_groups, b, t0 = tokens0.shape
     assert g_groups >= n_stages, (
         f"pipelined decode needs >= {n_stages} groups in flight, got "
@@ -96,7 +108,7 @@ def pp_decode(pp_params: dict, cfg, tokens0: jax.Array, mesh: Mesh,
     out_norm = pp_params["output_norm"]
     head = (pp_params["output"] if pp_params.get("output") is not None
             else pp_params["token_embd"])
-    stage_specs = stage_param_specs(pp_params["stages"], 1)
+    stage_specs = stage_param_specs(pp_params["stages"], n_tp)
     ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def stage_fn(stages, toks):
@@ -125,7 +137,8 @@ def pp_decode(pp_params: dict, cfg, tokens0: jax.Array, mesh: Mesh,
             ks, vs = [], []
             for i in range(n_lps):
                 lp = jax.tree.map(lambda a, i=i: a[i], lps)
-                y, (k, v) = _block(lp, cfg, y, pos, causal, return_kv=True)
+                y, (k, v) = _block(lp, cfg, y, pos, causal,
+                                   tp_axis=tp_axis, return_kv=True)
                 ks.append(k.transpose(0, 2, 1, 3))  # [B, Hkv, T0, D]
                 vs.append(v.transpose(0, 2, 1, 3))
             ks = jnp.stack(ks)  # [Lps, B, Hkv, T0, D]
@@ -187,7 +200,8 @@ def pp_decode(pp_params: dict, cfg, tokens0: jax.Array, mesh: Mesh,
             for i_l in range(n_lps):
                 lp = jax.tree.map(lambda a, i_l=i_l: a[i_l], lps)
                 y, k1, v1 = _step_block(lp, cfg, y, cache_k[i_l, gi],
-                                        cache_v[i_l, gi], p)
+                                        cache_v[i_l, gi], p,
+                                        tp_axis=tp_axis)
                 old_k = jax.lax.dynamic_slice_in_dim(
                     cache_k[i_l, gi], p, 1, axis=2)
                 old_v = jax.lax.dynamic_slice_in_dim(
