@@ -17,6 +17,9 @@ python scripts/lint.py
 echo "== tests (8-device virtual CPU mesh) =="
 python -m pytest tests/ -q -x
 
+echo "== docs drift (NOTES.md headline vs collected tests) =="
+python scripts/check_docs_drift.py
+
 echo "== graft entry: single-chip compile + multichip dryrun =="
 N_DEVICES=8 python __graft_entry__.py
 
