@@ -47,8 +47,12 @@ class ServerState:
                  slot_save_path: str | None = None,
                  chat_template: str | None = None,
                  encoder: tuple | None = None,
-                 mtmd_enc=None):
+                 mtmd_enc=None, rsession=None):
         self.ctx = ctx
+        # recurrent/hybrid families (Mamba/RWKV/Jamba/...) serve the
+        # completion routes through a RecurrentSession (state-carrying
+        # caches don't fit the unified-KV slot scheduler)
+        self.rsession = rsession
         # generic-VLM image encoder (mtmd.Qwen2VLImageEncoder): enables
         # image_url parts on /v1/chat/completions (reference
         # tools/server multimodal via libmtmd)
@@ -68,8 +72,9 @@ class ServerState:
             else:
                 from ..models import bert as _enc_mod
             self.encoder_mod = _enc_mod
-        if ctx is None and encoder is None:
-            raise ValueError("ServerState needs a decoder ctx or an encoder")
+        if ctx is None and encoder is None and rsession is None:
+            raise ValueError("ServerState needs a decoder ctx, an encoder "
+                             "or a recurrent session")
         # seqs 30 (speculative) and 31 (embedding/rerank scratch) are
         # reserved; the KV bitset caps everything at MAX_SEQS (32)
         from ..runtime import MAX_SEQS
@@ -95,7 +100,9 @@ class ServerState:
         self.metrics = {"n_requests": 0, "n_tokens_generated": 0,
                         "t_start": time.time()}
         # LoRA hot-swap state (server --lora; scale via POST /lora-adapters)
-        self.base_params = ctx.params if ctx is not None else encoder[1]
+        self.base_params = (ctx.params if ctx is not None else
+                            encoder[1] if encoder is not None else
+                            rsession.params)
         self.loras = []  # [{"path", "adapter", "scale"}]
         for p in lora_paths or []:
             from ..runtime.adapter import LoraAdapter
@@ -137,6 +144,9 @@ class ServerState:
         decoder hidden states."""
         from ..runtime.context import Batch
 
+        if self.ctx is None and self.encoder is None:
+            raise ValueError("recurrent-state model: embeddings are "
+                             "unavailable")
         if self.encoder is not None:
             import dataclasses
 
@@ -217,6 +227,18 @@ class ServerState:
     def complete(self, prompt_tokens, max_new, sampler, stream_cb=None,
                  grammar=None, n_probs=0, infill=False,
                  grammar_lazy=False, grammar_triggers=()):
+        # recurrent/hybrid families: one state-carrying session, requests
+        # serialized (reference single-slot mode for recurrent caches)
+        if self.ctx is None and self.rsession is not None:
+            if grammar is not None or n_probs or infill:
+                raise ValueError("recurrent-state models do not support "
+                                 "grammar/n_probs/infill")
+            with self.sched_lock:
+                out, timing = self.rsession.generate(
+                    prompt_tokens, max_new, sampler,
+                    stop_tokens=self._stop_ids(), stream_cb=stream_cb)
+            self.metrics["n_tokens_generated"] += len(out)
+            return out, timing
         # speculative fast path (greedy-exact; reference server --draft):
         # the draft proposes, the target verifies in one batched decode
         if (self.draft_ctx is not None and grammar is None and not infill
@@ -426,6 +448,8 @@ def make_handler(state: ServerState):
                 self._json(200, {
                     "model": state.model_name,
                     "n_ctx": (state.ctx.n_ctx if state.ctx is not None
+                              else state.rsession.n_ctx
+                              if state.rsession is not None
                               else state.encoder[0].n_ctx),
                     "n_slots": (len(state.sched.slots)
                                 if state.sched is not None else 0),
@@ -469,12 +493,22 @@ def make_handler(state: ServerState):
                 gen_routes = ("/completion", "/completions",
                               "/v1/completions", "/v1/chat/completions",
                               "/infill")
-                if state.ctx is None and (route in gen_routes
-                                          or route.startswith("/v1/stream/")
-                                          or route.startswith("/slots/")):
+                if (state.ctx is None and state.rsession is None
+                        and (route in gen_routes
+                             or route.startswith("/v1/stream/")
+                             or route.startswith("/slots/"))):
                     self._json(400, {"error": {"message":
                                "encoder-only model: generation endpoints "
                                "are unavailable", "type": "invalid_request_error"}})
+                    return
+                if (state.ctx is None and state.rsession is not None
+                        and (route.startswith("/v1/stream/")
+                             or route.startswith("/slots/")
+                             or route == "/infill")):
+                    self._json(400, {"error": {"message":
+                               "recurrent-state model: omni/slot/infill "
+                               "endpoints are unavailable",
+                               "type": "invalid_request_error"}})
                     return
                 if route in ("/completion", "/completions", "/v1/completions"):
                     self._handle_completion(body)
@@ -899,6 +933,10 @@ def make_handler(state: ServerState):
             query = body.get("query", "")
             docs = body.get("documents", [])
             results = []
+            if state.ctx is None and state.encoder is None:
+                self._json(400, {"error": "recurrent-state model: rerank "
+                                          "is unavailable"})
+                return
             rank_params = (state.encoder[1] if state.encoder is not None
                            else state.ctx.params)
             has_rank_head = (rank_params.get("cls_out") is not None
@@ -1176,10 +1214,13 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    from ..runtime.recurrent_session import is_recurrent_arch as _is_recurrent
+
     reader = GGUFReader(args.model)
     tok = build_tokenizer(reader.kv)
     encoder = None
     ctx = None
+    rsession = None
     if reader.kv.get("general.architecture") in (
             "bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2",
             "jina-bert-v3", "neo-bert"):
@@ -1195,6 +1236,10 @@ def main(argv=None):
 
         encoder = (gemma_embed.GemmaEmbedConfig.from_gguf(reader.kv),
                    gemma_embed.load_params(reader))
+    elif _is_recurrent(reader.kv.get("general.architecture", "")):
+        from ..runtime.recurrent_session import RecurrentSession
+
+        rsession = RecurrentSession(reader, n_ctx=args.ctx_size)
     else:
         cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
         params = qwen3.load_params(reader)
@@ -1220,7 +1265,7 @@ def main(argv=None):
                         lora_paths=args.lora, draft_ctx=draft_ctx,
                         slot_save_path=args.slot_save_path, encoder=encoder,
                         chat_template=reader.kv.get("tokenizer.chat_template"),
-                        mtmd_enc=mtmd_enc)
+                        mtmd_enc=mtmd_enc, rsession=rsession)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
