@@ -47,8 +47,11 @@ class ServerState:
                  slot_save_path: str | None = None,
                  chat_template: str | None = None,
                  encoder: tuple | None = None,
-                 mtmd_enc=None, rsession=None):
+                 mtmd_enc=None, rsession=None, api_key: str | None = None):
         self.ctx = ctx
+        # --api-key bearer auth (reference server --api-key; /health and
+        # /models stay public, test_security.py contract)
+        self.api_key = api_key
         # recurrent/hybrid families (Mamba/RWKV/Jamba/...) serve the
         # completion routes through a RecurrentSession (state-carrying
         # caches don't fit the unified-KV slot scheduler)
@@ -434,8 +437,28 @@ def make_handler(state: ServerState):
             return json.loads(self.rfile.read(n) or b"{}")
 
         # ---- GET ----------------------------------------------------------
+        def _authed(self) -> bool:
+            """--api-key gate (reference server.cpp middleware_server_state
+            + test_security.py contract): /health and /models stay public;
+            everything else needs `Authorization: Bearer <key>`."""
+            if state.api_key is None:
+                return True
+            pub = self.path.split("?")[0] in (
+                "/health", "/v1/health", "/models", "/v1/models")
+            if pub:
+                return True
+            got = self.headers.get("Authorization", "")
+            if got == f"Bearer {state.api_key}":
+                return True
+            self._json(401, {"error": {
+                "message": "invalid api key",
+                "type": "authentication_error"}})
+            return False
+
         def do_GET(self):
             state.metrics["n_requests"] += 1
+            if not self._authed():
+                return
             if self.path in ("/health", "/v1/health"):
                 self._json(200, {"status": "ok"})
             elif self.path in ("/v1/models", "/models", "/api/tags"):
@@ -487,6 +510,8 @@ def make_handler(state: ServerState):
         # ---- POST ---------------------------------------------------------
         def do_POST(self):
             state.metrics["n_requests"] += 1
+            if not self._authed():
+                return
             try:
                 body = self._body()
                 route = self.path.split("?")[0]
@@ -1204,6 +1229,9 @@ def main(argv=None):
                     help="LoRA adapter GGUF (repeatable; hot-swap scale via "
                          "POST /lora-adapters)")
     ap.add_argument("--draft", help="draft model GGUF for speculative decoding")
+    ap.add_argument("--api-key", default=None,
+                    help="require `Authorization: Bearer <key>` on every "
+                         "endpoint except /health and /models")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for slot save/restore files (persistence "
                          "is disabled unless set)")
@@ -1265,7 +1293,8 @@ def main(argv=None):
                         lora_paths=args.lora, draft_ctx=draft_ctx,
                         slot_save_path=args.slot_save_path, encoder=encoder,
                         chat_template=reader.kv.get("tokenizer.chat_template"),
-                        mtmd_enc=mtmd_enc, rsession=rsession)
+                        mtmd_enc=mtmd_enc, rsession=rsession,
+                        api_key=args.api_key)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
