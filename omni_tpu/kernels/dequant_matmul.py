@@ -41,6 +41,8 @@ _PLANE_DIV = {
     GGMLType.IQ4_NL: {"q": 1, "d": 32},
     GGMLType.IQ4_XS: {"q": 1, "sc": 32, "d": 256},
     GGMLType.MXFP4: {"q": 1, "d": 32},
+    GGMLType.Q2_K: {"q": 4, "sc": 16, "mn": 16, "d": 256, "dm": 256},
+    GGMLType.Q3_K: {"q": 4, "sc": 16, "qh": 8, "d": 256},
 }
 
 
@@ -178,11 +180,15 @@ def qmatmul_pallas(
 # (/root/reference/ggml/src/ggml-cuda/mmvq.cu); this is the TPU-shaped
 # equivalent — MXU group-dots instead of DP4A lanes.
 
-from .qformats import _expand_rows, _unpack_sb_halves  # noqa: E402
+from .qformats import (_expand_rows, _unpack_sb_halves,  # noqa: E402
+                       _unpack_sb_quarters)
 
 _GP_QTYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
               GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-              GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4)
+              GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4,
+              GGMLType.Q2_K, GGMLType.Q3_K)
+# group width of the scale law (everything else is per-32)
+_GP_GW16 = (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K)
 
 
 def _gp_slice(t: GGMLType, refs, s: int, ks: int, tn: int):
@@ -206,6 +212,18 @@ def _gp_slice(t: GGMLType, refs, s: int, ks: int, tn: int):
         q = rows("q", 1).astype(i32).astype(f32)
         dl = _expand_rows(rows("d", 256), 16) * rows("sc", 16).astype(i32).astype(f32)
         return q.astype(jnp.bfloat16), dl, None, 16
+    if t == GGMLType.Q2_K:
+        q = _unpack_sb_quarters(rows("q", 4))
+        dl = _expand_rows(rows("d", 256), 16) * rows("sc", 16).astype(i32).astype(f32)
+        ml = _expand_rows(rows("dm", 256), 16) * rows("mn", 16).astype(i32).astype(f32)
+        return q.astype(f32).astype(jnp.bfloat16), dl, ml, 16
+    if t == GGMLType.Q3_K:
+        q = _unpack_sb_quarters(rows("q", 4))
+        qh = _expand_rows(rows("qh", 8).astype(i32), 8)
+        sh = jax.lax.broadcasted_iota(i32, qh.shape, 0) % 8
+        q = q + ((qh >> sh) & 1) * 4 - 4
+        dl = _expand_rows(rows("d", 256), 16) * rows("sc", 16).astype(i32).astype(f32)
+        return q.astype(f32).astype(jnp.bfloat16), dl, None, 16
     if t in (GGMLType.Q8_0, GGMLType.IQ4_NL, GGMLType.MXFP4):
         q = rows("q", 1).astype(i32).astype(f32)
         return q.astype(jnp.bfloat16), rows("d", 32), None, 32
@@ -319,7 +337,7 @@ def qmatmul_gp_pallas(
 
     # pre-broadcast x to [gs, K] rows-identical (in-kernel sublane
     # broadcast of lane-sliced vectors crashes the Mosaic backend)
-    gw = 16 if qt.ggml_type == GGMLType.Q6_K else 32
+    gw = 16 if qt.ggml_type in _GP_GW16 else 32
     gs = ks // gw
     xb = jnp.broadcast_to(x.astype(jnp.bfloat16), (gs, k))
 

@@ -46,6 +46,10 @@ NATIVE_QTYPES = (
     # in-kernel gathers), still 2x denser than bf16
     GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
     GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4,
+    # round-4: the low-bit K-quants keep disk density in HBM — Q2_K packs
+    # 4 values/byte (superblock-local quarters), Q3_K packs (q+4) as a
+    # 2-bit quarter plane + a Q5_K-style high-bit plane
+    GGMLType.Q2_K, GGMLType.Q3_K,
 )
 
 # minimum K multiple a format needs for the fused kernel's plane layout:
@@ -106,6 +110,17 @@ def _pack_sb_halves(q: np.ndarray) -> np.ndarray:
     return (s[:, :, 0, :] | (s[:, :, 1, :] << np.uint8(4))).reshape(n, k // 2)
 
 
+def _pack_sb_quarters(q: np.ndarray) -> np.ndarray:
+    """[N, K] 2-bit values -> [N, K/4] bytes with superblock-local
+    quarters: byte row r of superblock s holds elements s*256 + j*64 + r
+    at shift 2j."""
+    n, k = q.shape
+    s = q.reshape(n, k // QK_K, 4, 64)
+    return (s[:, :, 0] | (s[:, :, 1] << np.uint8(2))
+            | (s[:, :, 2] << np.uint8(4))
+            | (s[:, :, 3] << np.uint8(6))).reshape(n, k // 4)
+
+
 def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
     """GGUF block bytes -> K-major SoA QTensor. The multithreaded C++
     repacker (native/quants.cpp, bit-identical) takes the multi-GB
@@ -154,6 +169,31 @@ def repack(blocks: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> Q
             T(mn6.reshape(n, nsb * 8).view(np.int8)),
             T(d), T(dm), qh=qh_plane,
         )
+
+    if t == GGMLType.Q2_K:
+        scales = b[:, :16]  # per-16 group: low 4 bits scale, high min
+        d = nq._f16(b[:, 80:82]).reshape(n, nsb)
+        dm = nq._f16(b[:, 82:84]).reshape(n, nsb)
+        q = nq._expand_bits(b[:, 16:80], [0, 2, 4, 6], 32, 3).reshape(n, k)
+        sc = (scales & np.uint8(0xF)).reshape(n, nsb * 16).view(np.int8)
+        mn = (scales >> np.uint8(4)).reshape(n, nsb * 16).view(np.int8)
+        return QTensor(t, shape, T(_pack_sb_quarters(q)), T(sc), T(mn),
+                       T(d), T(dm))
+
+    if t == GGMLType.Q3_K:
+        hmask, qs, scales = b[:, :32], b[:, 32:96], b[:, 96:108]
+        d = nq._f16(b[:, 108:110]).reshape(n, nsb)
+        sc = nq._unpack_scales_q3k(scales).reshape(n, nsb * 16)  # int8
+        ql = nq._expand_bits(qs, [0, 2, 4, 6], 32, 3)
+        qh = nq._expand_bits(hmask, list(range(8)), 32, 1)
+        # ggml: SET hmask bit means "do not subtract 4", i.e.
+        # q = ql + 4*h - 4 -> store q+4 = ql + 4*h in [0, 7] as a 2-bit
+        # quarter plane + a Q5_K-style high-bit plane
+        qplus = (ql + (qh << np.uint8(2))).reshape(n, k)
+        qh_plane = T(np.packbits(qplus >> 2, axis=-1, bitorder="little"))
+        return QTensor(t, shape,
+                       T(_pack_sb_quarters(qplus & np.uint8(3))),
+                       T(sc), None, T(d), None, qh=qh_plane)
 
     if t == GGMLType.Q6_K:
         ql = nq._split_nibbles(b[:, :128], 64)
@@ -237,6 +277,15 @@ def _unpack_sb_halves(qp: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=1).reshape(rows * 2, n)
 
 
+def _unpack_sb_quarters(qp: jax.Array) -> jax.Array:
+    """[K/4, N] packed 2-bit quarters -> [K, N] int32, original order."""
+    rows, n = qp.shape
+    qp = qp.astype(jnp.int32)
+    parts = [((qp >> (2 * j)) & 3).reshape(rows // 64, 1, 64, n)
+             for j in range(4)]
+    return jnp.concatenate(parts, axis=1).reshape(rows * 4, n)
+
+
 def dequant_tile(t: GGMLType, p: dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
     """Dequantize plane tile(s) -> [K_tile, N_tile] float. K_tile must be a
     multiple of the superblock (256) for K-quants / 32 for Q8_0."""
@@ -261,6 +310,23 @@ def dequant_tile(t: GGMLType, p: dict[str, jax.Array], dtype=jnp.float32) -> jax
         q = p["q"].astype(jnp.int32).astype(jnp.float32)
         sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
         dl = _expand_rows(p["d"], 16) * sc  # [K/16, N]
+        return (q * _expand_rows(dl, 16)).astype(dtype)
+
+    if t == GGMLType.Q2_K:
+        q = _unpack_sb_quarters(p["q"]).astype(jnp.float32)
+        sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
+        mn = p["mn"].astype(jnp.int32).astype(jnp.float32)
+        dl = _expand_rows(p["d"], 16) * sc  # [K/16, N]
+        ml = _expand_rows(p["dm"], 16) * mn
+        return (q * _expand_rows(dl, 16) - _expand_rows(ml, 16)).astype(dtype)
+
+    if t == GGMLType.Q3_K:
+        q = _unpack_sb_quarters(p["q"])
+        qh = _expand_rows(p["qh"].astype(jnp.int32), 8)
+        sh = jax.lax.broadcasted_iota(jnp.int32, qh.shape, 0) % 8
+        q = (q + ((qh >> sh) & 1) * 4 - 4).astype(jnp.float32)
+        sc = p["sc"].astype(jnp.int32).astype(jnp.float32)
+        dl = _expand_rows(p["d"], 16) * sc
         return (q * _expand_rows(dl, 16)).astype(dtype)
 
     if t in (GGMLType.Q4_0, GGMLType.Q4_1):

@@ -20,7 +20,8 @@ from omni_tpu.kernels import (
 
 NATIVE = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
           GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-          GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4]
+          GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.MXFP4,
+          GGMLType.Q2_K, GGMLType.Q3_K]
 
 
 def _make_qtensor(rng, qtype, n=16, k=512):
