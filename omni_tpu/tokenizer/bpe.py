@@ -72,13 +72,56 @@ _FALCON = [
     r"[0-9][0-9][0-9]",
 ]
 
+# python `regex` supports the ORIGINAL tokenizer.json patterns ((?i:..),
+# possessive quantifiers) that the reference's C++ engine has to rewrite
+# (src/llama-vocab.cpp:283-444) — where both exist we use the original
+_DEEPSEEK3 = [
+    r"\p{N}{1,3}",
+    "[一-龥぀-ゟ゠-ヿ]+",
+    "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~][A-Za-z]+"
+    r"|[^\r\n\p{L}\p{P}\p{S}]?[\p{L}\p{M}]+| ?[\p{P}\p{S}]+[\r\n]*"
+    r"|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+_PORO = [" ?[^(\\s|.,!?…。，、।۔،)]+"]
+_TEKKEN = [
+    r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*"
+    r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]+"
+    r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+"
+    r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]*"
+    r"|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+_CHAMELEON = [
+    "<sentinel:[0-9]+>",
+    "(IMGIMG)((A|B|C|D|E|F|G|H|I){1,4})Z",
+    "([\\t\\n]|    |  )",
+    r"\p{N}",
+    "[\\p{P}!-/:-@\\[-`{-~]",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
+]
+_GPT4O = [
+    r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*"
+    r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+    r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+"
+    r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+    r"|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+_SUPERBPE = [r"\p{N}+", r"(?=(\d{3})+(?!\d))"]
+_BAILINGMOE = [
+    # original tokenizer.json pattern (possessive quantifiers OK here)
+    r"'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}"
+    r"| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+",
+]
+_SEED_CODER = [
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1}"
+    r"| ?[^\s\p{L}\p{N}\r\n]+|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+_GROK2 = [
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}"
+    r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
 PRE_REGEX: dict[str, list[str]] = {
     "default": [_GPT2],
-    "gpt-2": [_GPT2],
-    "gpt2": [_GPT2],
-    "mpt": [_GPT2],
-    "olmo": [_GPT2],
-    "jais": [_GPT2],
     "qwen2": [_QWEN2],
     "stablelm2": [_QWEN2],
     "minicpm": [_QWEN2],
@@ -86,16 +129,42 @@ PRE_REGEX: dict[str, list[str]] = {
     "llama3": [_LLAMA3],
     "dbrx": [_LLAMA3],
     "smaug-bpe": [_LLAMA3],
-    "starcoder": _DIGIT_THEN_GPT2,
-    "refact": _DIGIT_THEN_GPT2,
-    "command-r": _DIGIT_THEN_GPT2,
-    "smollm": _DIGIT_THEN_GPT2,
-    "codeshell": _DIGIT_THEN_GPT2,
-    "exaone": _DIGIT_THEN_GPT2,
     "deepseek-llm": _DEEPSEEK_LLM,
     "deepseek-coder": _DEEPSEEK_CODER,
     "falcon": _FALCON,
+    "deepseek-v3": _DEEPSEEK3,
+    "hunyuan-dense": _DEEPSEEK3,
+    "poro-chat": _PORO,
+    "bloom": _PORO,
+    "gpt3-finnish": _PORO,
+    "viking": _PORO + [r"\p{N}"],
+    "tekken": _TEKKEN,
+    "chameleon": _CHAMELEON,
+    "gpt-4o": _GPT4O,
+    "llama4": _GPT4O,
+    "superbpe": _SUPERBPE,
+    "bailingmoe": _BAILINGMOE,
+    "llada-moe": _BAILINGMOE,
+    "seed-coder": _SEED_CODER,
+    "grok-2": _GROK2,
+    # glm4 shares the llama3 pattern (PRE_TYPE_CHATGLM4)
+    "glm4": [_LLAMA3],
+    "chatglm-bpe": [_LLAMA3],
 }
+# alias groups (llama-vocab.cpp:1824-1993)
+for _n in ("gpt-2", "gpt2", "mpt", "olmo", "jais", "phi-2", "jina-es",
+           "jina-de", "gigachat", "jina-v2-es", "jina-v2-de", "a.x-4.0",
+           "mellum", "jina-v1-en", "jina-v2-code", "roberta-bpe",
+           "exaone4", "trillion", "granite-docling"):
+    PRE_REGEX[_n] = [_GPT2]
+for _n in ("starcoder", "refact", "command-r", "smollm", "codeshell",
+           "exaone", "minerva-7b"):
+    PRE_REGEX[_n] = _DIGIT_THEN_GPT2
+for _n in ("deepseek-r1-qwen", "megrez", "hunyuan"):
+    PRE_REGEX[_n] = [_QWEN2]
+for _n in ("falcon3", "falcon-h1", "pixtral", "midm-2.0", "lfm2",
+           "llama-v3"):
+    PRE_REGEX[_n] = [_LLAMA3]
 
 
 @functools.lru_cache(maxsize=1)

@@ -171,3 +171,65 @@ def test_ugm_precompiled_charsmap():
     # end-to-end: encode goes through the charsmap
     assert tok.encode("A", add_special=False) == [2]  # '▁a'
     assert tok.decode(tok.encode("É", add_special=False)) == " E"
+
+
+# ---------------------------------------------------------------------------
+# round-4 pre-tokenizer breadth: all 62 reference pre names resolve to a
+# regex set (llama-vocab.cpp:1824-1993) with the reference split semantics
+# ---------------------------------------------------------------------------
+
+def _pre_split(pre: str, text: str):
+    from omni_tpu.tokenizer.bpe import BPEEngine
+    from omni_tpu.tokenizer.vocab import Vocab
+
+    v = Vocab(tokens=["a"], token_types=[1], scores=None, model="gpt2",
+              pre=pre, merges=[], bos_id=None, eos_id=None, unk_id=None,
+              pad_id=None, add_bos=False, add_eos=False,
+              add_space_prefix=False)
+    return BPEEngine(v)._pre_tokenize(text)
+
+
+def test_all_reference_pre_names_mapped():
+    from omni_tpu.tokenizer.bpe import PRE_REGEX
+
+    names = [
+        "default", "llama3", "llama-v3", "llama-bpe", "falcon3",
+        "falcon-h1", "pixtral", "midm-2.0", "lfm2", "deepseek-llm",
+        "deepseek-coder", "deepseek-v3", "falcon", "mpt", "starcoder",
+        "gpt-2", "phi-2", "jina-es", "jina-de", "gigachat", "jina-v2-es",
+        "jina-v2-de", "a.x-4.0", "mellum", "jina-v1-en", "jina-v2-code",
+        "roberta-bpe", "refact", "command-r", "qwen2", "deepseek-r1-qwen",
+        "stablelm2", "olmo", "dbrx", "smaug-bpe", "poro-chat", "glm4",
+        "chatglm-bpe", "viking", "jais", "tekken", "smollm", "codeshell",
+        "bloom", "gpt3-finnish", "exaone", "exaone4", "chameleon",
+        "minerva-7b", "megrez", "gpt-4o", "llama4", "superbpe",
+        "trillion", "granite-docling", "bailingmoe", "llada-moe",
+        "seed-coder", "hunyuan", "hunyuan-dense", "grok-2",
+    ]
+    missing = [n for n in names if n not in PRE_REGEX]
+    assert not missing, missing
+
+
+def test_pre_split_semantics():
+    # tekken (mistral-nemo): case-boundary word split
+    assert "Hello" in _pre_split("tekken", "HelloWORLDx")[0:2][0] or \
+        _pre_split("tekken", "Hello")[0] == "Hello"
+    # gpt-4o: digits grouped in threes
+    assert _pre_split("gpt-4o", "12345") == ["123", "45"]
+    # qwen2 keeps single digits apart
+    assert _pre_split("qwen2", "12") == ["1", "2"]
+    # deepseek-v3 digit triples + CJK (Han/kana) run isolation
+    assert _pre_split("deepseek-v3", "abc123456 漢字かな") == \
+        ["abc", "123", "456", " ", "漢字かな"]
+    # poro/bloom: word chunks stop at the literal punctuation set
+    assert _pre_split("bloom", "hei maailma!") == ["hei", " maailma", "!"]
+    # superbpe: zero-width split points every digit-triple boundary
+    assert _pre_split("superbpe", "1234567") == ["1", "234", "567"]
+    # bailingmoe possessive-quantifier original pattern; single digits
+    assert _pre_split("bailingmoe", "it's 42") == \
+        ["it", "'s", " ", "4", "2"]
+    # chameleon: the sentinel matched by stage 1 is re-split by the later
+    # punctuation stages — same as the reference engine, where sentinel
+    # atomicity comes from tokenizer_st_partition, not the regex
+    # (llama-vocab.cpp chameleon comment + unicode_regex_split semantics)
+    assert _pre_split("chameleon", "ab12")[-2:] == ["1", "2"]
