@@ -1208,6 +1208,87 @@ int on_repack_iq4_xs(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
     return 0;
 }
 
+// Q2_K: packed 2-bit superblock-local quarter plane + per-16 scale/min
+// (kernels/qformats.py _pack_sb_quarters layout)
+int on_repack_q2_k(const uint8_t *blocks, int64_t n, int64_t k, uint8_t *q,
+                   int8_t *sc, int8_t *mn, float *d, float *dm,
+                   int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    const int ts = 84;  // 16 scales + 64 qs + 2 d + 2 dmin
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * ts;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * ts;
+                const uint8_t *qs = blk + 16;
+                d[s * n + i] = fp16v(blk + 80);
+                dm[s * n + i] = fp16v(blk + 82);
+                for (int g = 0; g < 16; ++g) {
+                    sc[(s * 16 + g) * n + i] = (int8_t)(blk[g] & 0xF);
+                    mn[(s * 16 + g) * n + i] = (int8_t)(blk[g] >> 4);
+                }
+                for (int r = 0; r < 64; ++r) {
+                    uint8_t byte = 0;
+                    for (int j = 0; j < 4; ++j) {
+                        int e = j * 64 + r;  // quarter j, row r
+                        int c = e / 128, si = (e % 128) / 32, jj = e % 32;
+                        byte |= (uint8_t)(((qs[c * 32 + jj] >> (2 * si)) & 3)
+                                          << (2 * j));
+                    }
+                    q[(s * 64 + r) * n + i] = byte;
+                }
+            }
+        }
+    });
+    return 0;
+}
+
+// Q3_K: (q+4) as a 2-bit quarter plane + Q5_K-style high-bit plane;
+// 6-bit signed scales unpacked to int8 (per-16 groups)
+int on_repack_q3_k(const uint8_t *blocks, int64_t n, int64_t k, uint8_t *q,
+                   int8_t *sc, uint8_t *qh, float *d, int n_threads) {
+    if (k % 256) return -1;
+    int64_t nsb = k / 256;
+    const int ts = 110;  // 32 hmask + 64 qs + 12 scales + 2 d
+    parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = blocks + i * nsb * ts;
+            for (int64_t s = 0; s < nsb; ++s) {
+                const uint8_t *blk = row + s * ts;
+                const uint8_t *hm = blk, *qs = blk + 32, *scl = blk + 96;
+                d[s * n + i] = fp16v(blk + 108);
+                for (int g = 0; g < 16; ++g) {
+                    int lo4 = (scl[g % 8] >> (4 * (g / 8))) & 0xF;
+                    int hi2 = (scl[8 + (g % 4)] >> (2 * (g / 4))) & 3;
+                    sc[(s * 16 + g) * n + i] =
+                        (int8_t)((lo4 | (hi2 << 4)) - 32);
+                }
+                uint8_t qplus[256];
+                for (int e = 0; e < 256; ++e) {
+                    int c = e / 128, si = (e % 128) / 32, jj = e % 32;
+                    uint8_t ql = (qs[c * 32 + jj] >> (2 * si)) & 3;
+                    uint8_t h = (hm[e % 32] >> (e / 32)) & 1;
+                    qplus[e] = ql + (uint8_t)(h << 2);
+                }
+                for (int r = 0; r < 64; ++r) {
+                    uint8_t byte = 0;
+                    for (int j = 0; j < 4; ++j)
+                        byte |= (uint8_t)((qplus[j * 64 + r] & 3) << (2 * j));
+                    q[(s * 64 + r) * n + i] = byte;
+                }
+                for (int t_ = 0; t_ < 32; ++t_) {
+                    uint8_t byte = 0;
+                    for (int b_ = 0; b_ < 8; ++b_)
+                        byte |= (uint8_t)((qplus[t_ * 8 + b_] >> 2) << b_);
+                    qh[(s * 32 + t_) * n + i] = byte;
+                }
+            }
+        }
+    });
+    return 0;
+}
+
 int on_repack_q6_k(const uint8_t *blocks, int64_t n, int64_t k, int8_t *q,
                    int8_t *sc, float *d, int n_threads) {
     if (k % 256) return -1;

@@ -313,7 +313,7 @@ def qmatmul_gp_pallas(
     *,
     block_n: int | None = None,
     block_k: int | None = None,
-    block_ks: int = 1024,
+    block_ks: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     vmem_limit: int | None = None,
@@ -326,6 +326,11 @@ def qmatmul_gp_pallas(
         auto_n, auto_k = _auto_tiles(m, n, k)
         block_n = block_n or auto_n
         block_k = block_k or auto_k
+    if block_ks is None:
+        # on-chip sweep (scripts/gpdot_probe.py): wide-N shapes amortize
+        # the larger block-diagonal dots, square wo-like shapes prefer
+        # the shallower sub-slice
+        block_ks = 512 if n <= 4096 else 1024
     granule = max(tile_granule(qt.ggml_type), _gp_min_tk(qt.ggml_type))
     tn = min(block_n, n)
     tk = max(granule, min(block_k, k))

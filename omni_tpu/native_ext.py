@@ -66,6 +66,10 @@ def _declare(lib) -> None:
                                        C.c_int]
     lib.on_repack_iq4_xs.argtypes = [u8p, i64, i64, i8p, i8p, f32p,
                                      C.c_int]
+    lib.on_repack_q2_k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p,
+                                   f32p, C.c_int]
+    lib.on_repack_q3_k.argtypes = [u8p, i64, i64, u8p, i8p, u8p, f32p,
+                                   C.c_int]
 
     lib.on_gguf_open.restype = C.c_void_p
     lib.on_gguf_open.argtypes = [C.c_char_p]
@@ -213,6 +217,27 @@ def repack(ggml_type: int, blocks: np.ndarray, n: int, k: int,
                                   _p(sc, C.c_int8), _p(d, C.c_float),
                                   n_threads)
         return {"q": q, "sc": sc, "d": d} if rc == 0 else None
+    if t == 10:  # Q2_K: packed quarter plane + per-16 scale/min
+        q = np.empty((k // 4, n), np.uint8)
+        sc = np.empty((k // 16, n), np.int8)
+        mn = np.empty((k // 16, n), np.int8)
+        d = np.empty((k // 256, n), np.float32)
+        dm = np.empty((k // 256, n), np.float32)
+        rc = lib.on_repack_q2_k(_p(b, C.c_uint8), n, k, _p(q, C.c_uint8),
+                                _p(sc, C.c_int8), _p(mn, C.c_int8),
+                                _p(d, C.c_float), _p(dm, C.c_float),
+                                n_threads)
+        return ({"q": q, "sc": sc, "mn": mn, "d": d, "dm": dm}
+                if rc == 0 else None)
+    if t == 11:  # Q3_K: quarter plane + high-bit plane + int8 scales
+        q = np.empty((k // 4, n), np.uint8)
+        sc = np.empty((k // 16, n), np.int8)
+        qh = np.empty((k // 8, n), np.uint8)
+        d = np.empty((k // 256, n), np.float32)
+        rc = lib.on_repack_q3_k(_p(b, C.c_uint8), n, k, _p(q, C.c_uint8),
+                                _p(sc, C.c_int8), _p(qh, C.c_uint8),
+                                _p(d, C.c_float), n_threads)
+        return ({"q": q, "sc": sc, "qh": qh, "d": d} if rc == 0 else None)
     return None
 
 
