@@ -19,6 +19,13 @@ import jax.numpy as jnp
 
 from .sampler import SamplerParams, sample, update_prev_tokens
 
+# saved cross-turn state: reuse the recurrent state when the next request's
+# prompt extends the previous turn's (prompt + generated) token stream — the
+# recurrent analog of the reference server's slot prompt-cache common-prefix
+# reuse (tools/server/server.cpp cache_tokens). A recurrent state summarizes
+# exactly one token prefix, so unlike the KV cache no partial trim is
+# possible: either the new prompt extends the saved stream or we start over.
+
 # arch -> (module name, config class, needs_cfg_in_load, cache kv_size)
 _FAMILIES = {
     "mamba": ("ssm", "SSMConfig", False, False),
@@ -58,6 +65,12 @@ class RecurrentSession:
         self._kv_sized = kv_sized
         self._fwd = jax.jit(self.mod.forward, static_argnums=(1,))
         self.n_vocab = getattr(self.cfg, "n_vocab", 0)
+        # (tokens fed so far, state after them, logits of the last one)
+        self._saved: tuple[np.ndarray, object, object] | None = None
+
+    def reset(self) -> None:
+        """Drop the saved cross-turn state (server /v1/stream/reset role)."""
+        self._saved = None
 
     def _fresh_cache(self):
         if self._kv_sized:
@@ -72,13 +85,20 @@ class RecurrentSession:
         import time
 
         t0 = time.time()
-        cache = self._fresh_cache()
         toks = np.asarray(prompt_tokens, np.int32)
-        logits = None
-        for i in range(0, len(toks), chunk):
+        cache, start, logits = None, 0, None
+        if self._saved is not None:
+            stoks, scache, slast = self._saved
+            n = len(stoks)
+            if (0 < n <= len(toks) and np.array_equal(toks[:n], stoks)
+                    and (not self._kv_sized
+                         or len(toks) + max_new <= self.n_ctx)):
+                cache, start, logits = scache, n, slast
+        if cache is None:
+            cache, start = self._fresh_cache(), 0
+        n_cached = start
+        for i in range(start, len(toks), chunk):
             part = toks[i:i + chunk]
-            if len(part) < chunk and i + chunk < len(toks) + chunk:
-                pass  # final ragged chunk compiles once per length bucket
             logits, cache = self._fwd(self.params, self.cfg,
                                       jnp.asarray(part), cache, 0)
         prompt_ms = (time.time() - t0) * 1e3
@@ -110,6 +130,11 @@ class RecurrentSession:
                                       jnp.asarray([tok], jnp.int32),
                                       cache, 0)
             last = logits[-1]
+        # every token in (prompt + out) has been fed through the state;
+        # the next turn extends this stream (chat history + reply)
+        self._saved = (np.concatenate([toks, np.asarray(out, np.int32)]),
+                       cache, logits)
         return out, {"prompt_ms": prompt_ms,
                      "predicted_ms": (time.time() - t1) * 1e3,
-                     "n_decoded": len(out)}
+                     "n_decoded": len(out),
+                     "n_prompt_cached": n_cached}

@@ -54,7 +54,7 @@ def mamba_server(tmp_path_factory):
     httpd = serve(state, port=0)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}", model
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", model, rs
     httpd.shutdown()
 
 
@@ -72,7 +72,7 @@ def _post(url, obj):
 def test_completion_greedy_matches_hf(mamba_server):
     import torch
 
-    base, model = mamba_server
+    base, model, _ = mamba_server
     out = _post(base + "/completion", {
         "prompt": "the", "n_predict": 4, "temperature": 0.0})
     assert out["content"] and out["tokens_predicted"] == 4
@@ -97,7 +97,7 @@ def test_completion_greedy_matches_hf(mamba_server):
 
 
 def test_chat_completions_route(mamba_server):
-    base, _ = mamba_server
+    base, _, _ = mamba_server
     out = _post(base + "/v1/chat/completions", {
         "messages": [{"role": "user", "content": "hi"}],
         "max_tokens": 3, "temperature": 0.0})
@@ -106,7 +106,7 @@ def test_chat_completions_route(mamba_server):
 
 
 def test_unsupported_routes_400(mamba_server):
-    base, _ = mamba_server
+    base, _, _ = mamba_server
     out = _post(base + "/v1/embeddings", {"input": ["he"]})
     assert "error" in out
     out = _post(base + "/infill", {"input_prefix": "a", "input_suffix": "b"})
@@ -118,6 +118,36 @@ def test_unsupported_routes_400(mamba_server):
 def test_props_reports_ctx(mamba_server):
     import urllib.request
 
-    base, _ = mamba_server
+    base, _, _ = mamba_server
     out = json.load(urllib.request.urlopen(base + "/props", timeout=30))
     assert out["n_ctx"] == 128 and out["n_slots"] == 0
+
+
+def test_cross_turn_state_reuse(mamba_server):
+    """A second turn whose prompt extends (turn-1 prompt + reply) reuses
+    the saved recurrent state instead of re-prefilling the whole history
+    — and produces EXACTLY the same greedy tokens as a fresh-state run
+    (the recurrent analog of the server slot prompt-cache,
+    tools/server/server.cpp cache_tokens common-prefix reuse)."""
+    from omni_tpu.runtime.sampler import SamplerParams
+
+    _, _, rs = mamba_server
+    greedy = SamplerParams(temp=0.0, top_k=1)
+
+    rs.reset()
+    t1 = [10, 11, 12, 13]
+    out1, tm1 = rs.generate(t1, 3, greedy)
+    assert tm1["n_prompt_cached"] == 0
+
+    t2 = t1 + out1 + [20, 21]  # chat history + new user turn
+    out2, tm2 = rs.generate(t2, 3, greedy)
+    assert tm2["n_prompt_cached"] == len(t1) + len(out1)
+
+    rs.reset()
+    out2_fresh, tm3 = rs.generate(t2, 3, greedy)
+    assert tm3["n_prompt_cached"] == 0
+    assert out2 == out2_fresh
+
+    # a prompt that does NOT extend the stream starts from scratch
+    out3, tm4 = rs.generate([99, 98], 2, greedy)
+    assert tm4["n_prompt_cached"] == 0 and len(out3) <= 2
