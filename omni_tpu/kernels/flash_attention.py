@@ -73,6 +73,69 @@ def _kernel(ns: int, quant: bool, scale: float):
     return kernel
 
 
+def _kernel4(ns: int, scale: float):
+    """int4-KV variant: K/V arrive packed [TS, D/2] (byte d = nibbles of
+    logical cols d and d+D/2, biased +8 — kv_cache._quant_rows4), Q arrives
+    pre-split [2, TG, D/2] so no lane-axis slicing happens in-kernel. The
+    score is the sum of the two half-width dots; the output keeps split
+    halves [2, TG, D/2] and the host concatenates (lane concat is free in
+    XLA, hostile in Mosaic)."""
+    def kernel(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
+               o_ref, m_ref, l_ref, acc_lo, acc_hi):
+        h = pl.program_id(0)
+        s_idx = pl.program_id(1)
+
+        @pl.when(s_idx == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_lo[...] = jnp.zeros_like(acc_lo)
+            acc_hi[...] = jnp.zeros_like(acc_hi)
+
+        q_lo = q_ref[0, 0].astype(jnp.bfloat16)  # [TG, D/2]
+        q_hi = q_ref[1, 0].astype(jnp.bfloat16)
+
+        def halves(ref):  # packed uint8 [TS, D/2] -> two bf16 [TS, D/2]
+            b = ref[0].astype(jnp.int32)
+            lo = ((b & 0xF) - 8).astype(jnp.float32).astype(jnp.bfloat16)
+            hi = ((b >> 4) - 8).astype(jnp.float32).astype(jnp.bfloat16)
+            return lo, hi
+
+        k_lo, k_hi = halves(k_ref)
+        dims = (((1,), (1,)), ((), ()))
+        sc = (jax.lax.dot_general(q_lo, k_lo, dims,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(q_hi, k_hi, dims,
+                                    preferred_element_type=jnp.float32))
+        # per-cell K scale folds into score columns (same law as int8)
+        sc = sc * scale * ks_ref[pl.ds(h, 1), :]
+        sc = jnp.where(mask_ref[...], sc, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape)
+        p = (p * vs_ref[pl.ds(h, 1), :]).astype(jnp.bfloat16)
+        v_lo, v_hi = halves(v_ref)
+        dims_pv = (((1,), (0,)), ((), ()))
+        acc_lo[...] = acc_lo[...] * corr + jax.lax.dot_general(
+            p, v_lo, dims_pv, preferred_element_type=jnp.float32)
+        acc_hi[...] = acc_hi[...] * corr + jax.lax.dot_general(
+            p, v_hi, dims_pv, preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        @pl.when(s_idx == ns - 1)
+        def _():
+            den = jnp.maximum(l_ref[:, :1], 1e-30)
+            o_ref[0, 0] = (acc_lo[...] / den).astype(o_ref.dtype)
+            o_ref[0, 1] = (acc_hi[...] / den).astype(o_ref.dtype)
+
+    return kernel
+
+
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_s", "interpret"))
 def flash_decode(
@@ -92,6 +155,7 @@ def flash_decode(
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     quant = k_scale is not None
+    quant4 = quant and k.dtype == jnp.uint8  # packed int4 (kv_cache bits=4)
 
     ts = min(block_s, s)
     while s % ts != 0:
@@ -106,6 +170,10 @@ def flash_decode(
     # mask rows follow the same (t, g) flattening; padding rows all-False
     mrows = jnp.repeat(mask, g, axis=0)
     mrows = jnp.pad(mrows, ((0, tgp - tg), (0, 0)))
+
+    if quant4:
+        return _flash_decode4(qh, k, v, mrows, k_scale, v_scale,
+                              float(scale), ts, ns, tg, t, g, interpret)
 
     in_specs = [
         pl.BlockSpec((1, tgp, d), lambda h, si: (h, 0, 0),
@@ -144,3 +212,47 @@ def flash_decode(
 
     out = out[:, :tg].reshape(hkv, t, g, d).transpose(1, 0, 2, 3)
     return out.reshape(t, hq, d)
+
+
+def _flash_decode4(qh, k, v, mrows, k_scale, v_scale, scale: float,
+                   ts: int, ns: int, tg: int, t: int, g: int,
+                   interpret: bool):
+    """Packed-int4 dispatch: Q split into halves outside the kernel, the
+    kernel's output keeps split halves, concatenated here (in XLA)."""
+    hkv, tgp, d = qh.shape
+    s = k.shape[1]
+    d2 = d // 2
+    q2 = jnp.stack([qh[..., :d2], qh[..., d2:]], axis=0)  # [2, Hkv, TGP, D/2]
+
+    out = pl.pallas_call(
+        _kernel4(ns, scale),
+        out_shape=jax.ShapeDtypeStruct((hkv, 2, tgp, d2), jnp.float32),
+        grid=(hkv, ns),
+        in_specs=[
+            pl.BlockSpec((2, 1, tgp, d2), lambda h, si: (0, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d2), lambda h, si: (h, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d2), lambda h, si: (h, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tgp, ts), lambda h, si: (0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv, ts), lambda h, si: (0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv, ts), lambda h, si: (0, si),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tgp, d2), lambda h, si: (h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tgp, 128), jnp.float32),  # running max
+            pltpu.VMEM((tgp, 128), jnp.float32),  # running denom
+            pltpu.VMEM((tgp, d2), jnp.float32),  # low-half V accumulator
+            pltpu.VMEM((tgp, d2), jnp.float32),  # high-half V accumulator
+        ],
+        interpret=interpret,
+    )(q2, k, v, mrows, k_scale, v_scale)
+
+    out = jnp.concatenate([out[:, 0], out[:, 1]], axis=-1)  # [Hkv, TGP, D]
+    out = out[:, :tg].reshape(hkv, t, g, d).transpose(1, 0, 2, 3)
+    return out.reshape(t, hkv * g, d)

@@ -16,9 +16,12 @@ metadata, find_slot, seq_rm/seq_cp/seq_add/seq_div — see SURVEY.md §2.2):
   (examples/passkey/passkey.cpp:133-139) depend on.
 
 Attention reads the whole pool with a per-query mask (seq bit ∧ causal pos);
-masked cells contribute -inf scores. K/V can optionally be stored int8 with
-per-(cell, head) scales — the TPU analog of the reference's quantized KV
-cache types (include/llama.h:330).
+masked cells contribute -inf scores. K/V can optionally be stored int8 or
+packed int4 with per-(cell, head) scales — the TPU analog of the reference's
+quantized KV cache types (include/llama.h:330; q8_0 and q4_0 are the
+CLI-exposed -ctk/-ctv choices). int4 packs byte column d with the nibbles
+of logical columns d (low) and d + D/2 (high), so both the XLA dequant and
+the Pallas flash kernel unpack with plain shifts — no lane interleave.
 """
 
 from __future__ import annotations
@@ -83,6 +86,9 @@ class KVCache:
     # only the leading rope_dim columns are position-dependent; 0 = the
     # whole key is roped (standard attention)
     rope_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # quantized-KV bit width: 16 (bf16), 8 (int8), 4 (packed nibbles —
+    # k/v arrays are uint8 [L, Hkv, S, D/2])
+    bits: int = dataclasses.field(metadata=dict(static=True), default=16)
 
     # ---- construction ----------------------------------------------------
     @staticmethod
@@ -90,20 +96,30 @@ class KVCache:
                dtype=jnp.bfloat16, rope_base: float = 10000.0,
                rope_neox: bool = True, v_head_dim: int | None = None,
                rope_dim: int = 0) -> "KVCache":
-        quant = dtype == jnp.int8
-        shape = (n_layers, n_kv_heads, size, head_dim)
-        vshape = (n_layers, n_kv_heads, size,
-                  head_dim if v_head_dim is None else v_head_dim)
+        if dtype in ("q4_0", "int4"):
+            bits, dtype = 4, jnp.uint8
+        elif dtype == jnp.int8 or dtype == "q8_0":
+            bits, dtype = 8, jnp.int8
+        else:
+            bits = 16
+        dv = head_dim if v_head_dim is None else v_head_dim
+        dk = head_dim
+        if bits == 4:
+            assert dk % 2 == 0 and dv % 2 == 0, (dk, dv)
+            dk, dv = dk // 2, dv // 2  # two nibbles per byte along D
+        shape = (n_layers, n_kv_heads, size, dk)
+        vshape = (n_layers, n_kv_heads, size, dv)
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(vshape, dtype),
-            k_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
-            v_scale=jnp.zeros(shape[:3], jnp.float32) if quant else None,
+            k_scale=jnp.zeros(shape[:3], jnp.float32) if bits < 16 else None,
+            v_scale=jnp.zeros(shape[:3], jnp.float32) if bits < 16 else None,
             pos=jnp.full((size,), -1, jnp.int32),
             seq_mask=jnp.zeros((size,), jnp.uint32),
             rope_base=rope_base,
             rope_neox=rope_neox,
             rope_dim=rope_dim,
+            bits=bits,
         )
 
     @property
@@ -140,8 +156,9 @@ class KVCache:
         # note: k[layer, :, slots] uses one advanced index behind a slice,
         # so the update operand keeps the [T, Hkv, D] token-major shape
         if self.quantized:
-            ks, k_q = _quant_rows(k)
-            vs, v_q = _quant_rows(v)
+            qr = _quant_rows4 if self.bits == 4 else _quant_rows
+            ks, k_q = qr(k)
+            vs, v_q = qr(v)
             return dataclasses.replace(
                 self,
                 k=self.k.at[layer, :, slots].set(k_q),
@@ -164,8 +181,9 @@ class KVCache:
         kh = jnp.swapaxes(k, 1, 2)  # [L, Hkv, T, D]
         vh = jnp.swapaxes(v, 1, 2)
         if self.quantized:
-            ks, k_q = _quant_rows(kh)
-            vs, v_q = _quant_rows(vh)
+            qr = _quant_rows4 if self.bits == 4 else _quant_rows
+            ks, k_q = qr(kh)
+            vs, v_q = qr(vh)
             return dataclasses.replace(
                 self,
                 k=self.k.at[:, :, slots].set(k_q),
@@ -205,6 +223,11 @@ class KVCache:
         bucket so XLA fuses the slice into the attention reads for free)."""
         s = slice(None) if limit is None else slice(0, limit)
         if self.quantized:
+            if self.bits == 4:
+                return (_dequant4(self.k[layer, :, s],
+                                  self.k_scale[layer, :, s]),
+                        _dequant4(self.v[layer, :, s],
+                                  self.v_scale[layer, :, s]))
             k = self.k[layer, :, s].astype(jnp.bfloat16) * self.k_scale[layer, :, s][..., None].astype(jnp.bfloat16)
             v = self.v[layer, :, s].astype(jnp.bfloat16) * self.v_scale[layer, :, s][..., None].astype(jnp.bfloat16)
             return k, v
@@ -296,8 +319,12 @@ class KVCache:
             return jnp.swapaxes(kc, 1, 2)
 
         if self.quantized:
-            kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
-            scale, kq = _quant_rows(rotate(kf))
+            if self.bits == 4:
+                kf = _dequant4(self.k, self.k_scale)
+                scale, kq = _quant_rows4(rotate(kf))
+            else:
+                kf = self.k.astype(jnp.bfloat16) * self.k_scale[..., None].astype(jnp.bfloat16)
+                scale, kq = _quant_rows(rotate(kf))
             return dataclasses.replace(
                 self, k=kq, k_scale=scale,
                 pos=jnp.where(drop, -1, new_pos),
@@ -353,3 +380,25 @@ def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
     return scale, q
+
+
+def _quant_rows4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int4 quantization, packed two logical
+    columns per byte: byte d = nibble(col d) | nibble(col d + D/2) << 4,
+    each nibble biased +8 (the q4_0 bit law, ggml-common.h:219 role)."""
+    d = x.shape[-1]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -8, 7).astype(jnp.int32) + 8
+    lo, hi = q[..., :d // 2], q[..., d // 2:]
+    return scale, (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def _dequant4(q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Packed [..., D/2] uint8 + per-row scale -> [..., D] bf16."""
+    qi = q.astype(jnp.int32)
+    lo = (qi & 0xF) - 8
+    hi = (qi >> 4) - 8
+    full = jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+    return full * scale[..., None].astype(jnp.bfloat16)

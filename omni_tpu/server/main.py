@@ -1224,7 +1224,8 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("-np", "--parallel", type=int, default=4)
-    ap.add_argument("--cache-type-k", default="bf16", choices=["bf16", "q8_0"])
+    ap.add_argument("--cache-type-k", default="bf16",
+                    choices=["bf16", "q8_0", "q4_0"])
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable; hot-swap scale via "
                          "POST /lora-adapters)")
@@ -1271,7 +1272,8 @@ def main(argv=None):
     else:
         cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
         params = qwen3.load_params(reader)
-        kv_dtype = jnp.int8 if args.cache_type_k == "q8_0" else jnp.bfloat16
+        kv_dtype = {"q8_0": jnp.int8,
+                    "q4_0": "q4_0"}.get(args.cache_type_k, jnp.bfloat16)
         ctx = Context(cfg, params, qwen3.forward, qwen3.embed,
                       n_ctx=args.ctx_size, kv_dtype=kv_dtype)
     draft_ctx = None

@@ -64,3 +64,34 @@ def test_flash_fully_masked_rows_are_finite():
     mask = jnp.zeros_like(mask)  # everything masked
     got = np.asarray(flash_decode(q, k, v, mask, interpret=True))
     assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("t", [1, 2])
+def test_flash_matches_reference_int4_kv(t):
+    """Packed-int4 KV kernel vs XLA attention on the dequantized pool —
+    the q4_0 KV-cache analog (reference include/llama.h:330 type_k)."""
+    from omni_tpu.runtime.kv_cache import _dequant4, _quant_rows4
+
+    q, k, v, _, _, mask = _mk(t=t, s=512, seed=7)
+    ks, kq = _quant_rows4(k)
+    vs, vq = _quant_rows4(v)
+    kd = _dequant4(kq, ks).astype(jnp.float32)
+    vd = _dequant4(vq, vs).astype(jnp.float32)
+    ref = np.asarray(cache_attention(q, kd, vd, mask))
+    got = np.asarray(flash_decode(q, kq, vq, mask, k_scale=ks, v_scale=vs,
+                                  interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_int4_pack_roundtrip_and_rmse():
+    rng = np.random.default_rng(0)
+    from omni_tpu.runtime.kv_cache import _dequant4, _quant_rows4
+
+    x = jnp.asarray(rng.standard_normal((4, 64, 128)) * 0.5, jnp.float32)
+    s, q = _quant_rows4(x)
+    assert q.dtype == jnp.uint8 and q.shape == (4, 64, 64)
+    back = np.asarray(_dequant4(q, s), np.float32)
+    # 4-bit symmetric round-trip: error bounded by scale/2 per element
+    # (x1.05 + 0.01 slack for the bf16 dequant product rounding)
+    bound = np.asarray(s)[..., None] * 0.5 * 1.05 + 0.01
+    assert (np.abs(back - np.asarray(x)) <= bound).all()

@@ -113,6 +113,32 @@ def test_quantized_kv_roundtrip():
                                np.asarray(k[:, 0] * 2), rtol=0.1, atol=0.1)
 
 
+def test_int4_kv_roundtrip_and_rotation():
+    """q4_0-analog packed-int4 KV: write/read round-trip plus the seq_add
+    K re-rotation path (dequant -> rope -> requant)."""
+    c = make_cache(dtype="q4_0")
+    assert c.bits == 4 and c.k.dtype == jnp.uint8
+    assert c.k.shape[-1] == 4  # D=8 packed to 4 bytes
+    k = jnp.asarray(np.random.default_rng(2).standard_normal((3, 1, 8)),
+                    jnp.float32)
+    slots = c.find_slots(3)
+    c = c.write(0, slots, k, k * 2)
+    c = c.commit(slots, jnp.array([0, 1, 2]), jnp.zeros(3, jnp.int32))
+    kd, vd = c.read_layer(0)
+    np.testing.assert_allclose(np.asarray(kd[0, :3], np.float32),
+                               np.asarray(k[:, 0]), rtol=0.25, atol=0.15)
+    np.testing.assert_allclose(np.asarray(vd[0, :3], np.float32),
+                               np.asarray(k[:, 0] * 2), rtol=0.25, atol=0.3)
+    c2 = c.seq_add(0, 0, 100, 3)  # position shift re-rotates K in-place
+    assert int(c2.pos[0]) == 3
+    kd2, _ = c2.read_layer(0)
+    assert np.isfinite(np.asarray(kd2, np.float32)).all()
+    # the rotation must preserve K row norms (rope is a rotation)
+    n1 = np.linalg.norm(np.asarray(kd[0, :3], np.float32), axis=-1)
+    n2 = np.linalg.norm(np.asarray(kd2[0, :3], np.float32), axis=-1)
+    np.testing.assert_allclose(n2, n1, rtol=0.2)
+
+
 def test_cache_in_jit_step():
     """The whole cache round-trips through jit (static rope_base etc.)."""
     c = make_cache()

@@ -133,6 +133,28 @@ def test_generate_greedy_deterministic(ctx_factory):
     assert len(out1) == 8
 
 
+def test_int4_kv_decode_close_to_bf16(ctx_factory):
+    """End-to-end decode with the packed-int4 KV cache (q4_0 analog,
+    reference -ctk q4_0): logits must stay close to the bf16-KV run —
+    4-bit KV noise dilutes through softmax, it must not corrupt."""
+    toks = np.array([5, 17, 99, 3, 42, 7], np.int32)
+    ref, _ = ctx_factory().decode(Batch(tokens=toks))
+    got, _ = ctx_factory(kv_dtype="q4_0").decode(Batch(tokens=toks))
+    a = np.asarray(ref[-1], np.float32)
+    b = np.asarray(got[-1], np.float32)
+    assert np.isfinite(b).all()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    # random weights make 4-bit KV noise worst-case (no learned structure);
+    # measured 0.976 on this fixture, trained models sit far higher
+    assert cos > 0.95, cos
+    # incremental decode (pool reads through read_layer) also works
+    ctx = ctx_factory(kv_dtype="q4_0")
+    for i, t in enumerate(toks[:3]):
+        lg, _ = ctx.decode(Batch(tokens=np.array([t], np.int32),
+                                 pos=np.array([i], np.int32)))
+        assert np.isfinite(np.asarray(lg)).all()
+
+
 def test_fused_qkv_gateup_matches_unfused(tmp_path):
     """fuse=True (one kernel for QKV, one for gate+up) must reproduce the
     unfused forward exactly at F32."""
