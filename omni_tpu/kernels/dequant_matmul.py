@@ -24,6 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 # Served 8B Q4_K decode 12.92 -> 9.84 ms/token (full bench A/B on chip,
 # round 4); OMNI_GP_DECODE=0 restores the plain fused kernel.
 _GP_DECODE = os.environ.get("OMNI_GP_DECODE", "1") == "1"
+# small-M extension (M=2..8: multi-slot batched decode, speculative verify
+# rows); OMNI_GP_SMALLM=0 restores the plain kernel for M>1
+_GP_SMALLM = os.environ.get("OMNI_GP_SMALLM", "1") == "1"
 
 from ..core.dtypes import GGMLType
 from .qformats import QTensor, dequant_t, dequant_tile, tile_granule
@@ -250,7 +253,7 @@ def _gp_slice(t: GGMLType, refs, s: int, ks: int, tn: int):
 
 
 def _make_gp_kernel(t: GGMLType, names: tuple[str, ...], nk: int,
-                    out_dtype, tk: int, tn: int, ks: int):
+                    out_dtype, tk: int, tn: int, ks: int, m: int = 1):
     n_sl = tk // ks
 
     def kernel(x_ref, *rest):
@@ -263,25 +266,37 @@ def _make_gp_kernel(t: GGMLType, names: tuple[str, ...], nk: int,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        x = x_ref[...]  # [gs, tk] bf16, all rows identical (pre-broadcast
+        x = x_ref[...]  # [m*gs, tk] bf16: row r = x[r // gs] (pre-broadcast
         # OUTSIDE the kernel: Mosaic's in-kernel sublane broadcast of a
         # lane-sliced vector crashes its backend)
-        acc = jnp.zeros((1, tn), jnp.float32)
+        acc = jnp.zeros((m, tn), jnp.float32)
         for s in range(n_sl):
             q, dl, ml, gw = _gp_slice(t, refs, s, ks, tn)
             gs = ks // gw
-            xsl = x[:gs, s * ks:(s + 1) * ks]  # static slice
-            grp = jax.lax.broadcasted_iota(jnp.int32, (gs, ks), 1) // gw
-            row = jax.lax.broadcasted_iota(jnp.int32, (gs, ks), 0)
+            rows = m * gs
+            xsl = x[:rows, s * ks:(s + 1) * ks]  # static slice
+            grp = jax.lax.broadcasted_iota(jnp.int32, (rows, ks), 1) // gw
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, ks), 0)
+            if m > 1:
+                row = row % gs  # each batch row owns a gs-row band
             xb = jnp.where(grp == row, xsl, jnp.bfloat16(0))
-            p = jax.lax.dot_general(  # [gs, tn] per-group partial dots
+            p = jax.lax.dot_general(  # [m*gs, tn] per-group partial dots
                 xb, q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if m > 1:  # tile the [gs, tn] scale law over the m bands
+                dl = jnp.concatenate([dl] * m, axis=0)
+                if ml is not None:
+                    ml_t = jnp.concatenate([ml] * m, axis=0)
+            else:
+                ml_t = ml
             c = dl * p
             if ml is not None:
                 xs = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
-                c = c - ml * xs
-            acc = acc + jnp.sum(c, axis=0, keepdims=True)
+                c = c - ml_t * xs
+            if m > 1:  # per-band reduction: [m*gs, tn] -> [m, tn]
+                acc = acc + c.reshape(m, gs, tn).sum(axis=1)
+            else:
+                acc = acc + jnp.sum(c, axis=0, keepdims=True)
         acc_ref[...] += acc
 
         @pl.when(kk == nk - 1)
@@ -297,9 +312,14 @@ def _gp_min_tk(t: GGMLType) -> int:
     return 2048 if 256 in _PLANE_DIV[t].values() else 256
 
 
+_GP_MAX_M = 8  # beyond this the block-diagonal MXU padding eats the win
+
+
 def gp_supported(m: int, qt: QTensor) -> bool:
-    """Can qmatmul_gp_pallas serve this (x, qt)? Decode-only (M=1)."""
-    return (m == 1 and qt.ggml_type in _GP_QTYPES
+    """Can qmatmul_gp_pallas serve this (x, qt)? Small-M decode only:
+    M=1 (single-stream) through M=8 (multi-slot batched decode /
+    speculative verify rows)."""
+    return (1 <= m <= _GP_MAX_M and qt.ggml_type in _GP_QTYPES
             and qt.shape[1] % _gp_min_tk(qt.ggml_type) == 0)
 
 
@@ -318,39 +338,41 @@ def qmatmul_gp_pallas(
     interpret: bool = False,
     vmem_limit: int | None = None,
 ) -> jax.Array:
-    """Decode (M=1) fused matmul with group-parallel MXU scale folding."""
+    """Small-M decode fused matmul with group-parallel MXU scale folding."""
     m, k = x.shape
     n, k2 = qt.shape
-    assert m == 1 and k == k2, (x.shape, qt.shape)
+    assert 1 <= m <= _GP_MAX_M and k == k2, (x.shape, qt.shape)
     if block_n is None or block_k is None:
-        auto_n, auto_k = _auto_tiles(m, n, k)
+        auto_n, auto_k = _auto_tiles(1, n, k)  # decode-shaped tiles
         block_n = block_n or auto_n
         block_k = block_k or auto_k
     if block_ks is None:
         # on-chip sweep (scripts/gpdot_probe.py): wide-N shapes amortize
         # the larger block-diagonal dots, square wo-like shapes prefer
-        # the shallower sub-slice
-        block_ks = 512 if n <= 4096 else 1024
+        # the shallower sub-slice. M>1 multiplies the dot rows, so shrink
+        # the sub-slice to keep the MXU M-dim comparable.
+        block_ks = (512 if n <= 4096 else 1024) // min(m, 4)
     granule = max(tile_granule(qt.ggml_type), _gp_min_tk(qt.ggml_type))
     tn = min(block_n, n)
     tk = max(granule, min(block_k, k))
     while k % tk != 0:
         tk -= granule
-    ks = min(block_ks, tk)
+    ks = max(256, min(block_ks, tk))
     assert tk % ks == 0, (tk, ks)
     grid = (1, pl.cdiv(n, tn), pl.cdiv(k, tk))
 
-    # pre-broadcast x to [gs, K] rows-identical (in-kernel sublane
+    # pre-broadcast x to [m*gs, K]: row r = x[r // gs] (in-kernel sublane
     # broadcast of lane-sliced vectors crashes the Mosaic backend)
     gw = 16 if qt.ggml_type in _GP_GW16 else 32
     gs = ks // gw
-    xb = jnp.broadcast_to(x.astype(jnp.bfloat16), (gs, k))
+    xb = jnp.broadcast_to(x.astype(jnp.bfloat16)[:, None, :],
+                          (m, gs, k)).reshape(m * gs, k)
 
     planes = qt.planes()
     names = tuple(planes)
     divs = _PLANE_DIV[qt.ggml_type]
     in_specs = [
-        pl.BlockSpec((gs, tk), lambda i, j, kk: (0, kk),
+        pl.BlockSpec((m * gs, tk), lambda i, j, kk: (0, kk),
                      memory_space=pltpu.VMEM)
     ]
     for nm in names:
@@ -360,18 +382,20 @@ def qmatmul_gp_pallas(
                 (tk // dv, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
             )
         )
-    # block-diagonal dots: M = ks/gw rows per depth-ks dot -> k*(ks/gw)*n MACs
-    flops = 2 * k * (ks // 32) * n
-    bytes_accessed = x.size * x.dtype.itemsize + qt.nbytes + n * 4
+    # block-diagonal dots: M·ks/gw rows per depth-ks dot -> k·m·(ks/gw)·n MACs
+    # (m==1 keeps the exact round-4-tuned estimate — scheduling parity)
+    flops = 2 * k * (ks // 32) * n if m == 1 else 2 * k * m * (ks // gw) * n
+    bytes_accessed = x.size * x.dtype.itemsize + qt.nbytes + m * n * 4
     return pl.pallas_call(
-        _make_gp_kernel(qt.ggml_type, names, grid[2], out_dtype, tk, tn, ks),
-        out_shape=jax.ShapeDtypeStruct((1, n), out_dtype),
+        _make_gp_kernel(qt.ggml_type, names, grid[2], out_dtype, tk, tn, ks,
+                        m=m),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+            (m, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -406,7 +430,8 @@ def matmul(x: jax.Array, w, out_dtype=jnp.bfloat16) -> jax.Array:
         return (y + w.scale * delta).astype(out_dtype)
     if isinstance(w, QTensor):
         if jax.default_backend() == "tpu":
-            if _GP_DECODE and gp_supported(x.shape[0], w):
+            if (_GP_DECODE and gp_supported(x.shape[0], w)
+                    and (x.shape[0] == 1 or _GP_SMALLM)):
                 return qmatmul_gp_pallas(x, w, out_dtype=out_dtype)
             return qmatmul_pallas(x, w, out_dtype=out_dtype)
         return qmatmul_xla(x, w, out_dtype=out_dtype)

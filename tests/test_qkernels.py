@@ -68,6 +68,27 @@ def test_qmatmul_gp_interpret_matches_xla(qtype, rng):
 
 
 @pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
+@pytest.mark.parametrize("m", [2, 3, 8], ids=lambda m: f"m{m}")
+def test_qmatmul_gp_smallm_matches_xla(qtype, m, rng):
+    """Small-M group-parallel extension (M=2..8: multi-slot batched decode
+    and speculative-verify rows): each batch row rides its own block-
+    diagonal band; per-band reduction must match the XLA fallback."""
+    from omni_tpu.kernels.dequant_matmul import gp_supported, qmatmul_gp_pallas
+
+    qt, _ = _make_qtensor(rng, qtype, n=24, k=4096)
+    assert gp_supported(m, qt)
+    x = jnp.asarray(rng.standard_normal((m, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_gp_pallas(x, qt, block_n=16, out_dtype=jnp.float32,
+                            interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    # atol 0.4: both paths accumulate bf16 products over K=4096; near-zero
+    # outputs (cancellation) land within ~0.3 of the f64 oracle on either
+    # side (checked element-wise against the dense f64 dot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=4e-1)
+
+
+@pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
 @pytest.mark.parametrize("m", [1, 4, 48], ids=lambda m: f"m{m}")
 def test_qmatmul_pallas_interpret_matches_xla(qtype, m, rng):
     """The fused Pallas kernel (interpret mode on CPU) must agree with the
