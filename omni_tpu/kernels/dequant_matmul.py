@@ -357,8 +357,17 @@ def qmatmul_gp_pallas(
     tk = max(granule, min(block_k, k))
     while k % tk != 0:
         tk -= granule
-    ks = max(256, min(block_ks, tk))
-    assert tk % ks == 0, (tk, ks)
+    # ks must be a 256-multiple divisor of tk (the sub-slice plane rows are
+    # static slices), and the unroll count tk//ks must stay <=8 (16 unrolled
+    # sub-slices hung Mosaic >9 min, round-4 note). Snap the swept target to
+    # the smallest qualifying divisor — tk itself always qualifies.
+    target = max(256, min(block_ks, tk), -(-tk // 8))
+    ks = tk
+    for cand in range(256, tk + 1, 256):
+        if tk % cand == 0 and cand >= target:
+            ks = cand
+            break
+    assert tk % ks == 0 and ks % 256 == 0, (tk, ks)
     grid = (1, pl.cdiv(n, tn), pl.cdiv(k, tk))
 
     # pre-broadcast x to [m*gs, K]: row r = x[r // gs] (in-kernel sublane

@@ -88,6 +88,44 @@ def test_qmatmul_gp_smallm_matches_xla(qtype, m, rng):
                                atol=4e-1)
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("m", [2, 3, 8], ids=lambda m: f"m{m}")
+def test_qmatmul_gp_smallm_wide_n(qtype, m, rng):
+    """Regression (round-4 advisor, high): the n>4096 block_ks branch picked
+    a non-divisor sub-slice for m=3 (1024//3=341, AssertionError at the
+    standard 24576x4096 gateup shape). ks must snap to a 256-multiple
+    divisor of tk for every small M. n is kept modest via block_n override;
+    the branch under test depends only on the FULL n."""
+    from omni_tpu.kernels.dequant_matmul import gp_supported, qmatmul_gp_pallas
+
+    qt, _ = _make_qtensor(rng, qtype, n=4096 + 128, k=4096)
+    assert gp_supported(m, qt)
+    x = jnp.asarray(rng.standard_normal((m, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_gp_pallas(x, qt, block_n=128, out_dtype=jnp.float32,
+                            interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=4e-1)
+
+
+@pytest.mark.parametrize("m", [1, 2], ids=lambda m: f"m{m}")
+def test_qmatmul_gp_odd_k_divisor(m, rng):
+    """Regression (round-4 advisor, low): K=1280 (gpt2-large) is a valid
+    gp_supported shape but the default ks=512 does not divide tk=1280 —
+    the divisor snap must land on a working sub-slice."""
+    from omni_tpu.kernels.dequant_matmul import gp_supported, qmatmul_gp_pallas
+
+    qt, _ = _make_qtensor(rng, GGMLType.Q8_0, n=24, k=1280)
+    assert gp_supported(m, qt)
+    x = jnp.asarray(rng.standard_normal((m, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_gp_pallas(x, qt, block_n=16, out_dtype=jnp.float32,
+                            interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=2e-1)
+
+
 @pytest.mark.parametrize("qtype", NATIVE, ids=lambda t: t.name)
 @pytest.mark.parametrize("m", [1, 4, 48], ids=lambda m: f"m{m}")
 def test_qmatmul_pallas_interpret_matches_xla(qtype, m, rng):
