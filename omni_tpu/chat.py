@@ -49,10 +49,23 @@ def detect_template(jinja: str) -> str | None:
         if has("<end_of_utterance>"):
             return "smolvlm"
         return "chatml"
-    if has("[INST]"):
-        return ("mistral" if "' [INST] ' + system_message" in jinja
-                or has("[AVAILABLE_TOOLS]") or has("[SYSTEM_PROMPT]")
-                or has("[/INST]") else "llama2")
+    if jinja.startswith("mistral") or has("[INST]"):
+        # mistral/llama2 family precedence (llama-chat.cpp:101-135)
+        if has("[SYSTEM_PROMPT]"):
+            return "mistral-v7"
+        if "' [INST] ' + system_message" in jinja or has("[AVAILABLE_TOOLS]"):
+            if has(" [INST]"):
+                return "mistral-v1"
+            if has('"[INST]"'):
+                return "mistral-v3-tekken"
+            return "mistral-v3"
+        if has("content.strip()"):
+            return "llama2-sys-strip"
+        if has("bos_token + '[INST]"):
+            return "llama2-sys-bos"
+        if has("<<SYS>>"):
+            return "llama2-sys"
+        return "llama2"
     if has("<|assistant|>") and has("<|end|>"):
         return "phi3"
     if has("[gMASK]<sop>"):
@@ -79,10 +92,14 @@ def detect_template(jinja: str) -> str | None:
         return "llama3"
     if has("[gMASK]sop"):
         return "chatglm3"
+    if has("<用户>"):
+        return "minicpm"
+    if has("'Assistant: ' + message['content'] + eos_token"):
+        return "deepseek2"
     if has("<｜Assistant｜>") and has("<｜User｜>"):
         return "deepseek3"
     if has("[|system|]") and has("[|endofturn|]"):
-        return "exaone3"  # exaone4's [|tool|] rides the same renderer
+        return "exaone4" if has("[|tool|]") else "exaone3"
     if has("rwkv-world") or has("'User: ' + message['content']"):
         return "rwkv-world"
     if has("<|start_of_role|>"):
@@ -137,21 +154,55 @@ def _chatml(messages, add_assistant):
     return out
 
 
+def _llama2_family(messages, *, support_system: bool,
+                   bos_inside_history: bool, strip: bool) -> str:
+    """The llama2 template and its three variants (llama-chat.cpp:271-307):
+    base ignores <<SYS>> wrapping, -sys wraps the system message, -sys-bos
+    re-emits <s> before each history [INST], -sys-strip trims contents.
+    The leading BOS is the tokenizer's job (skipped here, like the ref)."""
+    out = "[INST] "
+    inside = True
+    for m in messages:
+        content = m["content"].strip() if strip else m["content"]
+        role = m["role"]
+        if not inside:
+            inside = True
+            out += "<s>[INST] " if bos_inside_history else "[INST] "
+        if role == "system":
+            if support_system:
+                out += f"<<SYS>>\n{content}\n<</SYS>>\n\n"
+            else:
+                out += content + "\n"
+        elif role == "user":
+            out += content + " [/INST]"
+        else:
+            out += content + "</s>"
+            inside = False
+    return out
+
+
 @register("llama2")
 def _llama2(messages, add_assistant):
-    sys_txt, turns = _system_and_turns(messages)
-    out = ""
-    first = True
-    for m in turns:
-        if m["role"] == "user":
-            inner = m["content"]
-            if first and sys_txt:
-                inner = f"<<SYS>>\n{sys_txt}\n<</SYS>>\n\n{inner}"
-            out += f"<s>[INST] {inner} [/INST]"
-            first = False
-        else:
-            out += f" {m['content']} </s>"
-    return out
+    return _llama2_family(messages, support_system=False,
+                          bos_inside_history=False, strip=False)
+
+
+@register("llama2-sys")
+def _llama2_sys(messages, add_assistant):
+    return _llama2_family(messages, support_system=True,
+                          bos_inside_history=False, strip=False)
+
+
+@register("llama2-sys-bos")
+def _llama2_sys_bos(messages, add_assistant):
+    return _llama2_family(messages, support_system=True,
+                          bos_inside_history=True, strip=False)
+
+
+@register("llama2-sys-strip")
+def _llama2_sys_strip(messages, add_assistant):
+    return _llama2_family(messages, support_system=True,
+                          bos_inside_history=False, strip=True)
 
 
 @register("llama3")
@@ -180,6 +231,68 @@ def _mistral(messages, add_assistant):
         else:
             out += f" {m['content']}</s>"
     return out
+
+
+def _mistral_vx(messages, *, lead: str, trail: str, trim_asst: bool) -> str:
+    """Official mistral v1/v3/v3-tekken templates (llama-chat.cpp:253-270):
+    v1 puts a space before [INST] and before [/INST]; v3 trims the
+    assistant message; tekken drops the post-[INST] space."""
+    out = ""
+    inside = False
+    for m in messages:
+        if not inside:
+            out += f"{lead}[INST]{trail}"
+            inside = True
+        role, content = m["role"], m["content"]
+        if role == "system":
+            out += content + "\n\n"
+        elif role == "user":
+            out += content + lead + "[/INST]"
+        else:
+            out += trail + (content.strip() if trim_asst else content) + "</s>"
+            inside = False
+    return out
+
+
+@register("mistral-v1")
+def _mistral_v1(messages, add_assistant):
+    return _mistral_vx(messages, lead=" ", trail=" ", trim_asst=False)
+
+
+@register("mistral-v3")
+def _mistral_v3(messages, add_assistant):
+    return _mistral_vx(messages, lead="", trail=" ", trim_asst=True)
+
+
+@register("mistral-v3-tekken")
+def _mistral_v3_tekken(messages, add_assistant):
+    return _mistral_vx(messages, lead="", trail="", trim_asst=False)
+
+
+def _mistral_v7x(messages, trail: str) -> str:
+    """Official mistral v7 / v7-tekken (llama-chat.cpp:239-252):
+    [SYSTEM_PROMPT] sections, per-message [INST] wrapping; tekken drops
+    the space after each opening marker."""
+    out = ""
+    for m in messages:
+        role, content = m["role"], m["content"]
+        if role == "system":
+            out += f"[SYSTEM_PROMPT]{trail}{content}[/SYSTEM_PROMPT]"
+        elif role == "user":
+            out += f"[INST]{trail}{content}[/INST]"
+        else:
+            out += f"{trail}{content}</s>"
+    return out
+
+
+@register("mistral-v7")
+def _mistral_v7(messages, add_assistant):
+    return _mistral_v7x(messages, " ")
+
+
+@register("mistral-v7-tekken")
+def _mistral_v7_tekken(messages, add_assistant):
+    return _mistral_v7x(messages, "")
 
 
 @register("gemma")
@@ -265,9 +378,33 @@ def _granite(messages, add_assistant):
 
 @register("minicpm")
 def _minicpm(messages, add_assistant):
-    # MiniCPM-o uses ChatML with the Qwen vocab (reference omni prompts,
-    # tools/omni/omni.cpp:3518-3538)
-    return _chatml(messages, add_assistant)
+    # MiniCPM-3B-OpenHermes form (llama-chat.cpp:529-541). MiniCPM-o's omni
+    # pipeline uses ChatML prompts directly (tools/omni/omni.cpp:3518-3538)
+    # and never routes through this renderer.
+    out = ""
+    for m in messages:
+        if m["role"] == "user":
+            out += f"<用户>{_trim(m['content'])}<AI>"
+        else:
+            out += _trim(m["content"])
+    return out
+
+
+@register("deepseek2")
+def _deepseek2(messages, add_assistant):
+    # DeepSeek-V2 (llama-chat.cpp:542-557): like "deepseek" but the
+    # assistant turn has no blank-line separator after User
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"{m['content']}\n\n"
+        elif m["role"] == "user":
+            out += f"User: {m['content']}\n\n"
+        else:
+            out += f"Assistant: {m['content']}<｜end▁of▁sentence｜>"
+    if add_assistant:
+        out += "Assistant:"
+    return out
 
 
 def _trim(s: str) -> str:
@@ -413,7 +550,23 @@ def _exaone3(messages, add_assistant):
             out += f"[|user|]{_trim(m['content'])}\n"
         elif m["role"] == "assistant":
             out += f"[|assistant|]{_trim(m['content'])}[|endofturn|]\n"
-        elif m["role"] == "tool":  # exaone4 extension
+    if add_assistant:
+        out += "[|assistant|]"
+    return out
+
+
+@register("exaone4")
+def _exaone4(messages, add_assistant):
+    # exaone3 surface plus the [|tool|] role (llama-chat.cpp:584-601)
+    out = ""
+    for m in messages:
+        if m["role"] == "system":
+            out += f"[|system|]{_trim(m['content'])}[|endofturn|]\n"
+        elif m["role"] == "user":
+            out += f"[|user|]{_trim(m['content'])}\n"
+        elif m["role"] == "assistant":
+            out += f"[|assistant|]{_trim(m['content'])}[|endofturn|]\n"
+        elif m["role"] == "tool":
             out += f"[|tool|]{_trim(m['content'])}[|endofturn|]\n"
     if add_assistant:
         out += "[|assistant|]"
@@ -563,6 +716,9 @@ def _gpt_oss(messages, add_assistant):
     if add_assistant:
         out += "<|start|>assistant"
     return out
+
+
+register("openai-moe")(_gpt_oss)  # enum-name alias (LLM_CHAT_TEMPLATE_OPENAI_MOE)
 
 
 @register("kimi-k2")

@@ -115,6 +115,32 @@ class ServerState:
                                "scale": 1.0})
         self._reapply_loras()
 
+    def render_prompt(self, messages, tools=None):
+        """Resolve the model's chat template: mini-Jinja render of the GGUF
+        template first, then the built-in family renderer detected from its
+        markers (reference llm_chat_apply_template fallback path,
+        src/llama-chat.cpp) — so a template the Jinja engine can't render
+        (e.g. mistral-v7-tekken) still produces the correct surface form.
+        Returns (prompt | None, chat_format)."""
+        if self.chat_template:
+            from ..chat_parser import apply_jinja_template
+
+            try:
+                return apply_jinja_template(
+                    self.chat_template, messages, tools=tools,
+                    add_generation_prompt=True), self.chat_format
+            except Exception:  # noqa: BLE001 (template feature gap)
+                pass
+            from ..chat import _REGISTRY, detect_template
+
+            fam = detect_template(self.chat_template)
+            if fam is not None and fam != "chatml":
+                try:
+                    return _REGISTRY[fam](messages, True), "generic"
+                except Exception:  # noqa: BLE001 (exotic roles)
+                    pass
+        return None, "generic"
+
     def _reapply_loras(self) -> None:
         from ..runtime.adapter import apply_lora
 
@@ -527,6 +553,16 @@ def make_handler(state: ServerState):
                                "are unavailable", "type": "invalid_request_error"}})
                     return
                 if (state.ctx is None and state.rsession is not None
+                        and route == "/v1/stream/reset"):
+                    # the reference's /v1/stream/reset clears the session
+                    # KV (server.cpp:5990+); for a state-carrying family
+                    # the analog is dropping the saved cross-turn
+                    # recurrent state (and freeing it on device)
+                    with state.sched_lock:
+                        state.rsession.reset()
+                    self._json(200, {"success": True})
+                    return
+                if (state.ctx is None and state.rsession is not None
                         and (route.startswith("/v1/stream/")
                              or route.startswith("/slots/")
                              or route == "/infill")):
@@ -561,8 +597,10 @@ def make_handler(state: ServerState):
                 elif route == "/infill":
                     self._handle_infill(body)
                 elif route == "/apply-template":
-                    self._json(200, {"prompt": apply_chat_template(
-                        body.get("messages", []))})
+                    msgs = body.get("messages", [])
+                    p, _ = state.render_prompt(msgs)
+                    self._json(200, {"prompt": p if p is not None
+                                     else apply_chat_template(msgs)})
                 elif route.startswith("/slots/"):
                     self._handle_slot_action(route, body)
                 elif route == "/lora-adapters":
@@ -804,20 +842,9 @@ def make_handler(state: ServerState):
             tool_choice = body.get("tool_choice", "auto" if tools else "none")
             force_tool = tools and tool_choice != "none" and (
                 tool_choice == "required" or isinstance(tool_choice, dict))
-            chat_fmt = "generic"
-            prompt = None
-            if state.chat_template:
-                # model's own Jinja template + native tool-call syntax
-                # (minja role, common/chat.cpp)
-                from ..chat_parser import apply_jinja_template
-
-                try:
-                    prompt = apply_jinja_template(
-                        state.chat_template, messages, tools=tools or None,
-                        add_generation_prompt=True)
-                    chat_fmt = state.chat_format
-                except Exception:  # noqa: BLE001  (template feature gap)
-                    prompt = None
+            # model's own template (mini-Jinja with native tool-call syntax,
+            # then the built-in family renderer — common/chat.cpp role)
+            prompt, chat_fmt = state.render_prompt(messages, tools or None)
             if prompt is None:
                 if tools:
                     # advertise the tools in the system prompt; constrained

@@ -23,11 +23,48 @@ def test_chatml():
     )
 
 
-def test_llama2_system_folded_into_first_user():
+def test_llama2_base_inlines_system_without_sys_tags():
+    # base llama2 has no <<SYS>> support (llama-chat.cpp:276-307); the
+    # tokenizer adds the leading BOS
     out = apply_chat_template("llama2", MSGS)
-    assert out.startswith("<s>[INST] <<SYS>>\nYou are helpful.\n<</SYS>>\n\nHi [/INST]")
-    assert " Hello! </s>" in out
-    assert out.endswith("<s>[INST] Bye [/INST]")
+    assert out == ("[INST] You are helpful.\nHi [/INST]Hello!</s>"
+                   "[INST] Bye [/INST]")
+
+
+def test_llama2_sys_variants():
+    out = apply_chat_template("llama2-sys", MSGS)
+    assert out == ("[INST] <<SYS>>\nYou are helpful.\n<</SYS>>\n\n"
+                   "Hi [/INST]Hello!</s>[INST] Bye [/INST]")
+    out = apply_chat_template("llama2-sys-bos", MSGS)
+    assert "</s><s>[INST] Bye [/INST]" in out
+    out = apply_chat_template("llama2-sys-strip", [
+        {"role": "system", "content": "  sys  "},
+        {"role": "user", "content": " hi "}])
+    assert out == "[INST] <<SYS>>\nsys\n<</SYS>>\n\nhi [/INST]"
+
+
+def test_mistral_official_variants():
+    msgs = [{"role": "system", "content": "sys"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": " yo "},
+            {"role": "user", "content": "again"}]
+    # v1: space before [INST] and [/INST]
+    assert apply_chat_template("mistral-v1", msgs) == (
+        " [INST] sys\n\nhi [/INST]  yo </s> [INST] again [/INST]")
+    # v3: no leading space, trims the assistant message
+    assert apply_chat_template("mistral-v3", msgs) == (
+        "[INST] sys\n\nhi[/INST] yo</s>[INST] again[/INST]")
+    # v3-tekken: no spaces at all, no trim
+    assert apply_chat_template("mistral-v3-tekken", msgs) == (
+        "[INST]sys\n\nhi[/INST] yo </s>[INST]again[/INST]")
+    # v7: [SYSTEM_PROMPT] sections with trailing space
+    assert apply_chat_template("mistral-v7", msgs) == (
+        "[SYSTEM_PROMPT] sys[/SYSTEM_PROMPT][INST] hi[/INST]  yo </s>"
+        "[INST] again[/INST]")
+    # v7-tekken: same, no spaces (shipping format for current Mistral)
+    assert apply_chat_template("mistral-v7-tekken", msgs) == (
+        "[SYSTEM_PROMPT]sys[/SYSTEM_PROMPT][INST]hi[/INST] yo </s>"
+        "[INST]again[/INST]")
 
 
 def test_llama3():
@@ -175,6 +212,39 @@ def test_new_template_detection():
         ("...<|im_middle|>...<|im_assistant|>...", "kimi-k2"),
         ("...<seed:bos>...", "seed-oss"),
         ("...Human: ...<|separator|>...", "grok2"),
+        # mistral/llama2 family precedence (llama-chat.cpp:101-135)
+        ("...[INST]...[SYSTEM_PROMPT]...", "mistral-v7"),
+        ("...' [INST] ' + system_message... [INST]...", "mistral-v1"),
+        ('...[AVAILABLE_TOOLS]..."[INST]"...', "mistral-v3-tekken"),
+        ("...[AVAILABLE_TOOLS]...[INST]...", "mistral-v3"),
+        ("...[INST]...content.strip()...<<SYS>>...", "llama2-sys-strip"),
+        ("...bos_token + '[INST]...<<SYS>>...", "llama2-sys-bos"),
+        ("...[INST]...<<SYS>>...", "llama2-sys"),
+        ("...[INST]...[/INST]...", "llama2"),
+        ("...<用户>...<AI>...", "minicpm"),
+        ("...'Assistant: ' + message['content'] + eos_token...", "deepseek2"),
+        ("...[|system|]...[|endofturn|]...[|tool|]...", "exaone4"),
     ]
     for jinja, want in cases:
         assert detect_template(jinja) == want, (jinja, want)
+
+
+def test_known_templates_counts_46():
+    """Every named template of the reference registry
+    (src/llama-chat.h:8-54, 45 named + dots1) must be renderable."""
+    names = set(known_templates())
+    ref_names = {
+        "chatml", "llama2", "llama2-sys", "llama2-sys-bos",
+        "llama2-sys-strip", "mistral-v1", "mistral-v3", "mistral-v3-tekken",
+        "mistral-v7", "mistral-v7-tekken", "phi3", "phi4", "falcon3",
+        "zephyr", "monarch", "gemma", "orion", "openchat", "vicuna",
+        "vicuna-orca", "deepseek", "deepseek2", "deepseek3", "command-r",
+        "llama3", "chatglm3", "chatglm4", "glmedge", "minicpm", "exaone3",
+        "exaone4", "rwkv-world", "granite", "gigachat", "megrez", "yandex",
+        "bailing", "llama4", "smolvlm", "hunyuan-moe", "gpt-oss",
+        "hunyuan-dense", "kimi-k2", "grok2", "seed-oss", "dots1",
+    }
+    assert len(ref_names) == 46
+    missing = ref_names - names
+    assert not missing, missing
+    assert len(names) >= 46
