@@ -69,7 +69,9 @@ class RecurrentSession:
         self._saved: tuple[np.ndarray, object, object] | None = None
 
     def reset(self) -> None:
-        """Drop the saved cross-turn state (server /v1/stream/reset role)."""
+        """Drop the saved cross-turn state (wired to the server's
+        /v1/stream/reset route — the state-carrying analog of the
+        reference's session-KV clear, tools/server/server.cpp:5990+)."""
         self._saved = None
 
     def _fresh_cache(self):

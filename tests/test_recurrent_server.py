@@ -151,3 +151,21 @@ def test_cross_turn_state_reuse(mamba_server):
     # a prompt that does NOT extend the stream starts from scratch
     out3, tm4 = rs.generate([99, 98], 2, greedy)
     assert tm4["n_prompt_cached"] == 0 and len(out3) <= 2
+
+
+def test_reset_route_drops_saved_state(mamba_server):
+    """POST /v1/stream/reset (reference: clears the session KV,
+    server.cpp:5990+) must drop the saved cross-turn recurrent state so
+    the next identical prompt re-prefills from scratch."""
+    from omni_tpu.runtime.sampler import SamplerParams
+
+    base, _, rs = mamba_server
+    greedy = SamplerParams(temp=0.0, top_k=1)
+    t1 = [30, 31, 32]
+    out1, _ = rs.generate(t1, 2, greedy)
+    assert rs._saved is not None
+    out = _post(base + "/v1/stream/reset", {})
+    assert out.get("success") is True
+    assert rs._saved is None
+    _, tm = rs.generate(t1 + out1, 2, greedy)
+    assert tm["n_prompt_cached"] == 0
