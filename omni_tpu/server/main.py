@@ -1266,6 +1266,10 @@ def main(argv=None):
     ap.add_argument("--mmproj", default=None,
                     help="multimodal projector GGUF (qwen2vl_merger): "
                          "enables image_url parts on /v1/chat/completions")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the serving executables before "
+                         "accepting traffic (first request served warm; "
+                         "instant when the shipped _warmcache matches)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -1324,6 +1328,10 @@ def main(argv=None):
                         chat_template=reader.kv.get("tokenizer.chat_template"),
                         mtmd_enc=mtmd_enc, rsession=rsession,
                         api_key=args.api_key)
+    if args.warmup and ctx is not None:
+        from ..cli.warmup import warm_llm_session
+
+        warm_llm_session(ctx, tok, n_ctx=args.ctx_size)
     httpd = serve(state, args.host, args.port)
     print(f"omni-server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
