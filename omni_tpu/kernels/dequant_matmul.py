@@ -27,6 +27,9 @@ _GP_DECODE = os.environ.get("OMNI_GP_DECODE", "1") == "1"
 # small-M extension (M=2..8: multi-slot batched decode, speculative verify
 # rows); OMNI_GP_SMALLM=0 restores the plain kernel for M>1
 _GP_SMALLM = os.environ.get("OMNI_GP_SMALLM", "1") == "1"
+# split-half prefill kernel (M>8, halves-packed formats);
+# OMNI_SH_PREFILL=0 restores the plain fused kernel
+_SH_PREFILL = os.environ.get("OMNI_SH_PREFILL", "1") == "1"
 
 from ..core.dtypes import GGMLType
 from .qformats import QTensor, dequant_t, dequant_tile, tile_granule
@@ -415,6 +418,226 @@ def qmatmul_gp_pallas(
     )(xb, *[planes[nm] for nm in names])
 
 
+# --------------------------------------------------------------------------
+# split-half prefill kernel (large M)
+# --------------------------------------------------------------------------
+# The plain kernel's per-element dequant costs ~9 VPU ops on a [TK, TN]
+# tile (nibble unpack + a CONCAT materialization to restore element order +
+# scale/min expand copies + mul + sub). At prefill M (>=~32) the kernel is
+# VPU-bound on exactly that work (PERF.md: 12-15 TF/s at M=64 vs 197 peak),
+# and the GP block-diagonal trick is analytically wrong there: its extra
+# MXU MACs per weight element scale as M·(KS/gw) and its scale-plane pass
+# as M/gw — both LOSE once M >= gw (32). This kernel instead restructures
+# the dequant itself for the halves-packed formats:
+#   - NO concat: the low/high nibble planes are contracted SEPARATELY
+#     against a pre-split activation (x_lo, x_hi) whose K order matches the
+#     plane layout (byte row r of superblock s holds elements s·256+r and
+#     s·256+128+r) — the split is a cheap [M, K] lane reshape OUTSIDE the
+#     kernel.
+#   - min/offset term as a SIDE DOT on the MXU: out -= xs @ ml with xs the
+#     per-32-group sums of x (computed outside) and ml the [K/32, N] group
+#     min plane — 1/32 of the main dot's MACs, replacing a full [TK, TN]
+#     subtract + expand.
+# Per-element VPU work drops to mask/shift + cast + scale-mul + bf16 cast.
+# Role model: mmq.cu (the reference's quantized GEMM for prompt
+# processing, /root/reference/ggml/src/ggml-cuda/mmq.cu).
+
+_SH_QTYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q4_0, GGMLType.Q4_1,
+              GGMLType.Q5_0, GGMLType.Q5_1)
+
+
+def sh_supported(m: int, qt: QTensor) -> bool:
+    """Can qmatmul_splith_pallas serve this (x, qt)? Prefill-shaped M on
+    the halves-packed formats; K must hold whole superblocks (and >=2048
+    for the K-quants' [K/256, N] plane 8-sublane rule)."""
+    return (m > _GP_MAX_M and qt.ggml_type in _SH_QTYPES
+            and qt.shape[1] % _gp_min_tk(qt.ggml_type) == 0)
+
+
+def _sh_split_grp(a: jax.Array, tk: int, tn: int):
+    """[tk/32, tn] original-group-order plane -> (lo, hi) halves, each
+    [tk/64, tn]: superblock groups 0..3 are the low-nibble half, 4..7 the
+    high half (sublane-axis reshape/slice only)."""
+    g = a.reshape(tk // 256, 8, tn)
+    return (g[:, :4, :].reshape(tk // 64, tn),
+            g[:, 4:, :].reshape(tk // 64, tn))
+
+
+def _sh_qh_halves(qh: jax.Array, tk: int, tn: int):
+    """[tk/8, tn] original-order high-bit plane -> per-half expanded bit
+    arrays [tk/2, tn] (int32 0/1). Original element o = s·256 + h·128 + r
+    lives at qh row o//8 = s·32 + h·16 + r//8, bit r%8."""
+    i32 = jnp.int32
+    q = qh.astype(i32).reshape(tk // 256, 2, 16, tn)
+    out = []
+    for h in (0, 1):
+        e = _expand_rows(q[:, h].reshape(tk // 16, tn), 8)  # [tk/2, tn]
+        sh = jax.lax.broadcasted_iota(i32, e.shape, 0) % 8
+        out.append((e >> sh) & 1)
+    return out[0], out[1]
+
+
+def _sh_scales(t: GGMLType, refs, tk: int, tn: int):
+    """Per-format centered dequant pieces. The law w = q·dl − ml is
+    rewritten w = (q − t)·dl − ml_res with t = ml/dl (so the bf16 weight
+    keeps the reference's centered magnitude — rounding the uncentered
+    q·dl costs ~2× the error) and ml_res = ml − t·dl, exactly zero except
+    on dl==0 guard groups, folded back by an xs side-dot.
+
+    Returns (dl_lo, dl_hi, t_lo, t_hi) expanded to [tk/2, tn] f32 — t as
+    scalars for the const-offset legacy formats — plus ml_res
+    [tk/32, tn] | None."""
+    f32 = jnp.float32
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        sc = refs["sc"][...].astype(jnp.int32).astype(f32)
+        mn = refs["mn"][...].astype(jnp.int32).astype(f32)
+        dl = _expand_rows(refs["d"][...], 8) * sc   # [tk/32, tn]
+        ml = _expand_rows(refs["dm"][...], 8) * mn
+        tt = jnp.where(dl != 0.0, ml / jnp.where(dl != 0.0, dl, 1.0), 0.0)
+        ml_res = ml - tt * dl
+        dlo, dhi = _sh_split_grp(dl, tk, tn)
+        tlo, thi = _sh_split_grp(tt, tk, tn)
+        return (_expand_rows(dlo, 32), _expand_rows(dhi, 32),
+                _expand_rows(tlo, 32), _expand_rows(thi, 32), ml_res)
+    d = refs["d"][...]  # legacy per-32 formats: [tk/32, tn]
+    if t in (GGMLType.Q4_0, GGMLType.Q5_0):
+        off = 8.0 if t == GGMLType.Q4_0 else 16.0
+        dlo, dhi = _sh_split_grp(d, tk, tn)
+        return (_expand_rows(dlo, 32), _expand_rows(dhi, 32),
+                off, off, None)
+    # Q4_1 / Q5_1: dequant is q*d + m -> ml = -m
+    m = refs["dm"][...]
+    tt = jnp.where(d != 0.0, -m / jnp.where(d != 0.0, d, 1.0), 0.0)
+    ml_res = -m - tt * d
+    dlo, dhi = _sh_split_grp(d, tk, tn)
+    tlo, thi = _sh_split_grp(tt, tk, tn)
+    return (_expand_rows(dlo, 32), _expand_rows(dhi, 32),
+            _expand_rows(tlo, 32), _expand_rows(thi, 32), ml_res)
+
+
+def _make_sh_kernel(t: GGMLType, names: tuple[str, ...], nk: int, out_dtype,
+                    tk: int, tn: int):
+    five_bit = t in (GGMLType.Q5_K, GGMLType.Q5_0, GGMLType.Q5_1)
+
+    def kernel(xlo_ref, xhi_ref, xs_ref, *rest):
+        refs = {nm: rest[i] for i, nm in enumerate(names)}
+        o_ref = rest[len(names)]
+        acc_ref = rest[len(names) + 1]
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        qp = refs["q"][...].astype(jnp.int32)        # [tk/2, tn]
+        lo = (qp & 0xF).astype(jnp.float32)
+        hi = (qp >> 4).astype(jnp.float32)
+        dl_lo, dl_hi, t_lo, t_hi, ml_res = _sh_scales(t, refs, tk, tn)
+        if five_bit:
+            hb_lo, hb_hi = _sh_qh_halves(refs["qh"][...], tk, tn)
+            lo = lo + hb_lo.astype(jnp.float32) * 16.0
+            hi = hi + hb_hi.astype(jnp.float32) * 16.0
+        w_lo = ((lo - t_lo) * dl_lo).astype(jnp.bfloat16)
+        w_hi = ((hi - t_hi) * dl_hi).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(xlo_ref[...], w_lo, dn,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(xhi_ref[...], w_hi, dn,
+                                   preferred_element_type=jnp.float32)
+        if ml_res is not None:
+            # guard-group residual, exactly zero on normal groups; f32 dot
+            # at 1/32 of the main MACs is free
+            acc -= jax.lax.dot_general(xs_ref[...], ml_res, dn,
+                                       preferred_element_type=jnp.float32)
+        acc_ref[...] += acc
+
+        @pl.when(kk == nk - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype",
+                              "interpret", "vmem_limit")
+)
+def qmatmul_splith_pallas(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    block_m: int = 256,
+    block_n: int | None = None,
+    block_k: int | None = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+) -> jax.Array:
+    """Prefill (large-M) fused matmul: split-half dequant + min side-dot."""
+    m, k = x.shape
+    n, k2 = qt.shape
+    assert k == k2 and qt.ggml_type in _SH_QTYPES, (x.shape, qt.shape)
+    if block_n is None or block_k is None:
+        auto_n, auto_k = _auto_tiles(m, n, k)
+        block_n = block_n or auto_n
+        block_k = block_k or auto_k
+    granule = max(tile_granule(qt.ggml_type), _gp_min_tk(qt.ggml_type), 256)
+    tm = min(block_m, m)
+    tn = min(block_n, n)
+    tk = max(granule, min(block_k, k))
+    while k % tk != 0:
+        tk -= granule
+    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), pl.cdiv(k, tk))
+
+    # pre-split x to the plane element order (lane-axis reshapes are fine
+    # in XLA, unsupported inside Mosaic) + per-32-group sums for the side
+    # dot. All three are tiny next to the [K, N] weight stream.
+    xb = x.astype(jnp.bfloat16)
+    xsb = xb.reshape(m, k // 256, 2, 128)
+    x_lo = xsb[:, :, 0, :].reshape(m, k // 2)
+    x_hi = xsb[:, :, 1, :].reshape(m, k // 2)
+    xs = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(-1)
+
+    planes = qt.planes()
+    names = tuple(planes)
+    divs = _PLANE_DIV[qt.ggml_type]
+    in_specs = [
+        pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tk // 32), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+    ]
+    for nm in names:
+        dv = divs[nm]
+        in_specs.append(
+            pl.BlockSpec(
+                (tk // dv, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            )
+        )
+
+    flops = 2 * m * n * k
+    bytes_accessed = 3 * x.size * 2 + qt.nbytes + m * n * 4
+    return pl.pallas_call(
+        _make_sh_kernel(qt.ggml_type, names, grid[2], out_dtype, tk, tn),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(x_lo, x_hi, xs, *[planes[nm] for nm in names])
+
+
 def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference/fallback path: full dequant via XLA then plain matmul."""
     w_t = dequant_t(qt, jnp.bfloat16)  # [K, N]
@@ -442,6 +665,8 @@ def matmul(x: jax.Array, w, out_dtype=jnp.bfloat16) -> jax.Array:
             if (_GP_DECODE and gp_supported(x.shape[0], w)
                     and (x.shape[0] == 1 or _GP_SMALLM)):
                 return qmatmul_gp_pallas(x, w, out_dtype=out_dtype)
+            if _SH_PREFILL and sh_supported(x.shape[0], w):
+                return qmatmul_splith_pallas(x, w, out_dtype=out_dtype)
             return qmatmul_pallas(x, w, out_dtype=out_dtype)
         return qmatmul_xla(x, w, out_dtype=out_dtype)
     return jax.lax.dot_general(

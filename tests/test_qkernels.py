@@ -109,6 +109,30 @@ def test_qmatmul_gp_smallm_wide_n(qtype, m, rng):
                                atol=4e-1)
 
 
+SH_TYPES = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q4_0, GGMLType.Q4_1,
+            GGMLType.Q5_0, GGMLType.Q5_1]
+
+
+@pytest.mark.parametrize("qtype", SH_TYPES, ids=lambda t: t.name)
+@pytest.mark.parametrize("m", [48, 300], ids=lambda m: f"m{m}")
+def test_qmatmul_splith_matches_xla(qtype, m, rng):
+    """Split-half prefill kernel (M>8 on halves-packed formats): separate
+    low/high nibble-plane contractions against a pre-split activation +
+    the group-min law as an MXU side dot must agree with the XLA fallback,
+    including a ragged N edge and multi-k-tile K."""
+    from omni_tpu.kernels.dequant_matmul import (sh_supported,
+                                                 qmatmul_splith_pallas)
+
+    qt, _ = _make_qtensor(rng, qtype, n=24, k=4096)
+    assert sh_supported(m, qt) and not sh_supported(8, qt)
+    x = jnp.asarray(rng.standard_normal((m, qt.shape[1]), dtype=np.float32))
+    got = qmatmul_splith_pallas(x, qt, block_m=64, block_n=16, block_k=2048,
+                                out_dtype=jnp.float32, interpret=True)
+    want = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=4e-1)
+
+
 @pytest.mark.parametrize("m", [1, 2], ids=lambda m: f"m{m}")
 def test_qmatmul_gp_odd_k_divisor(m, rng):
     """Regression (round-4 advisor, low): K=1280 (gpt2-large) is a valid
