@@ -3789,6 +3789,181 @@ def convert_llava_vision(state: Mapping[str, Any],
     return written
 
 
+def _put_vit_layers(put, state: Mapping[str, Any], depth: int,
+                    prefix: str = "encoder.layers.") -> None:
+    """SigLip/CLIP-shaped encoder layers -> v.blk.N.* (reference clip.cpp
+    TN_* naming)."""
+    for i in range(depth):
+        p, b = f"{prefix}{i}.", f"v.blk.{i}."
+        for nm in ("q", "k", "v"):
+            put(b + f"attn_{nm}.weight", state[p + f"self_attn.{nm}_proj.weight"])
+            put(b + f"attn_{nm}.bias", state[p + f"self_attn.{nm}_proj.bias"])
+        put(b + "attn_out.weight", state[p + "self_attn.out_proj.weight"])
+        put(b + "attn_out.bias", state[p + "self_attn.out_proj.bias"])
+        put(b + "ln1.weight", state[p + "layer_norm1.weight"])
+        put(b + "ln1.bias", state[p + "layer_norm1.bias"])
+        put(b + "ln2.weight", state[p + "layer_norm2.weight"])
+        put(b + "ln2.bias", state[p + "layer_norm2.bias"])
+        put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"])
+        put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"])
+        put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"])
+
+
+def _vision_writer(out_path: str, proj_type: str, config: Mapping[str, Any],
+                   ffn_op: str, eps: float, scale_factor: int | None = None):
+    def _i(v):  # internvl stores patch_size/image_size as (h, w) tuples
+        return int(v[0]) if isinstance(v, (tuple, list)) else int(v)
+
+    config = {k: (_i(v) if k in ("patch_size", "image_size") else v)
+              for k, v in config.items()}
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", proj_type)
+    w.add_kv("clip.use_gelu", ffn_op in ("gelu", "gelu_tanh"))
+    w.add_kv("clip.vision.ffn_op", ffn_op)
+    w.add_kv("clip.vision.block_count", int(config["num_hidden_layers"]))
+    w.add_kv("clip.vision.embedding_length", int(config["hidden_size"]))
+    w.add_kv("clip.vision.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.vision.attention.head_count",
+             int(config["num_attention_heads"]))
+    w.add_kv("clip.vision.patch_size", int(config["patch_size"]))
+    w.add_kv("clip.vision.image_size", int(config.get("image_size", 224)))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", float(eps))
+    if scale_factor is not None:
+        w.add_kv("clip.vision.projector.scale_factor", int(scale_factor))
+    return w
+
+
+def convert_gemma3_vision(state: Mapping[str, Any],
+                          config: Mapping[str, Any], out_path: str,
+                          qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF Gemma3 vision tower (SigLip) + Gemma3MultiModalProjector ->
+    mmproj GGUF (reference convert_hf_to_gguf.py Gemma3VisionModel:
+    soft_emb_norm stored +1; clip.cpp:508-530 consumes avg-pool + RMS +
+    input projection). `config` = HF vision_config dict + out_hidden
+    (LLM width) + mm_tokens_per_image."""
+    state = _strip(state, "model.")
+    state = _strip(state, "vision_tower.vision_model.")
+    tokens_per_side = int(round(
+        float(config.get("mm_tokens_per_image", 256)) ** 0.5))
+    kernel = ((int(config["image_size"]) // int(config["patch_size"]))
+              // tokens_per_side)
+    w = _vision_writer(out_path, "gemma3", config, "gelu_tanh",
+                       config.get("layer_norm_eps", 1e-6),
+                       scale_factor=kernel)
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.patch_embd.weight", state["embeddings.patch_embedding.weight"])
+    put("v.patch_embd.bias", state["embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight",
+        state["embeddings.position_embedding.weight"])
+    put("v.post_ln.weight", state["post_layernorm.weight"])
+    put("v.post_ln.bias", state["post_layernorm.bias"])
+    put("mm.input_projection.weight",
+        state["multi_modal_projector.mm_input_projection_weight"])
+    put("mm.soft_emb_norm.weight",
+        _np(state["multi_modal_projector.mm_soft_emb_norm.weight"]) + 1.0)
+    _put_vit_layers(put, state, int(config["num_hidden_layers"]))
+    w.write()
+    return written
+
+
+def convert_idefics3_vision(state: Mapping[str, Any],
+                            config: Mapping[str, Any], out_path: str,
+                            qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF Idefics3/SmolVLM vision tower + connector -> mmproj GGUF
+    (clip.cpp:531-537: pixel shuffle + mm.model.fc). `config` = HF
+    vision_config dict + out_hidden + scale_factor."""
+    state = _strip(state, "model.")
+    state = _strip(state, "vision_model.")
+    w = _vision_writer(out_path, "idefics3", config, "gelu_tanh",
+                       config.get("layer_norm_eps", 1e-6),
+                       scale_factor=int(config.get("scale_factor", 2)))
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.patch_embd.weight", state["embeddings.patch_embedding.weight"])
+    put("v.patch_embd.bias", state["embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight",
+        state["embeddings.position_embedding.weight"])
+    put("v.post_ln.weight", state["post_layernorm.weight"])
+    put("v.post_ln.bias", state["post_layernorm.bias"])
+    put("mm.model.fc.weight",
+        state["connector.modality_projection.proj.weight"])
+    _put_vit_layers(put, state, int(config["num_hidden_layers"]))
+    w.write()
+    return written
+
+
+def convert_internvl_vision(state: Mapping[str, Any],
+                            config: Mapping[str, Any], out_path: str,
+                            qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF InternVL vision tower + InternVLMultiModalProjector -> mmproj
+    GGUF (clip.cpp:916-982: CLS ViT with layer-scale, pixel shuffle,
+    mm.model.mlp.{0,1,3}). `config` = HF vision_config dict + out_hidden
+    + downsample_ratio."""
+    state = _strip(state, "model.")
+    state = _strip(state, "vision_tower.")
+    sf = int(round(1.0 / float(config.get("downsample_ratio", 0.5))))
+    w = _vision_writer(out_path, "internvl", config, "gelu",
+                       config.get("layer_norm_eps", 1e-6), scale_factor=sf)
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.class_embd", _np(state["embeddings.cls_token"]).reshape(-1))
+    put("v.patch_embd.weight",
+        state["embeddings.patch_embeddings.projection.weight"])
+    put("v.patch_embd.bias",
+        state["embeddings.patch_embeddings.projection.bias"])
+    pe = _np(state["embeddings.position_embeddings"])
+    put("v.position_embd.weight", pe.reshape(pe.shape[-2], pe.shape[-1]))
+    put("mm.model.mlp.0.weight",
+        state["multi_modal_projector.layer_norm.weight"])
+    put("mm.model.mlp.0.bias",
+        state["multi_modal_projector.layer_norm.bias"])
+    put("mm.model.mlp.1.weight",
+        state["multi_modal_projector.linear_1.weight"])
+    put("mm.model.mlp.1.bias", state["multi_modal_projector.linear_1.bias"])
+    put("mm.model.mlp.3.weight",
+        state["multi_modal_projector.linear_2.weight"])
+    put("mm.model.mlp.3.bias", state["multi_modal_projector.linear_2.bias"])
+    for i in range(int(config["num_hidden_layers"])):
+        p, b = f"encoder.layer.{i}.", f"v.blk.{i}."
+        for nm in ("q", "k", "v"):
+            put(b + f"attn_{nm}.weight", state[p + f"attention.{nm}_proj.weight"])
+            bias = state.get(p + f"attention.{nm}_proj.bias")
+            if bias is not None:
+                put(b + f"attn_{nm}.bias", bias)
+        put(b + "attn_out.weight",
+            state[p + "attention.projection_layer.weight"])
+        put(b + "attn_out.bias", state[p + "attention.projection_layer.bias"])
+        put(b + "ln1.weight", state[p + "layernorm_before.weight"])
+        put(b + "ln1.bias", state[p + "layernorm_before.bias"])
+        put(b + "ln2.weight", state[p + "layernorm_after.weight"])
+        put(b + "ln2.bias", state[p + "layernorm_after.bias"])
+        put(b + "ls1.weight", state[p + "lambda_1"])
+        put(b + "ls2.weight", state[p + "lambda_2"])
+        put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"])
+        put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"])
+        put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"])
+    w.write()
+    return written
+
+
 def _convert_rwkv7(state: Mapping[str, Any], config: Mapping[str, Any],
                    out_path: str, qtype: GGMLType,
                    tokenizer_kv: Mapping[str, Any] | None = None,

@@ -109,8 +109,10 @@ class MtmdContext:
 def eval_chunks(ctx: Context, mctx: MtmdContext, chunks: list[MtmdChunk],
                 seq_id: int = 0, n_past: int | None = None) -> int:
     """Feed chunks into the LLM with correct interleaved positions
-    (mtmd_helper_eval_chunks). Returns the new n_past."""
+    (mtmd_helper_eval_chunks). Returns the new n_past; the last chunk's
+    logits are left on `ctx.last_logits` for the caller's first sample."""
     pos = ctx.n_past.get(seq_id, 0) if n_past is None else n_past
+    logits = None
     for chunk in chunks:
         mctx.encode(chunk)
         n = chunk.n_positions
@@ -119,11 +121,75 @@ def eval_chunks(ctx: Context, mctx: MtmdContext, chunks: list[MtmdChunk],
         positions = np.arange(pos, pos + n, dtype=np.int32)
         seqs = np.full(n, seq_id, np.int32)
         if chunk.type == ChunkType.TEXT:
-            ctx.decode(Batch(tokens=chunk.tokens, pos=positions, seq_id=seqs))
+            logits, _ = ctx.decode(Batch(tokens=chunk.tokens, pos=positions,
+                                         seq_id=seqs))
         else:
-            ctx.decode(Batch(embeds=chunk.embeds, pos=positions, seq_id=seqs))
+            logits, _ = ctx.decode(Batch(embeds=chunk.embeds, pos=positions,
+                                         seq_id=seqs))
         pos += n
+    ctx.last_logits = logits
     return pos
+
+
+@dataclasses.dataclass
+class ClipImageEncoder:
+    """Generic single-resolution image encoder: any clip_vit projector
+    family (mlp/gemma3/idefics3/internvl — the reference's clip.cpp
+    PROJECTOR_TYPE registry). media payload: pixels [C, H, W], already
+    normalized (use .preprocess)."""
+
+    params: dict
+    cfg: Any  # models.clip_vit.ClipVitConfig
+    image_mean: tuple = (0.5, 0.5, 0.5)
+    image_std: tuple = (0.5, 0.5, 0.5)
+    uses_mrope = False
+
+    def __call__(self, media):
+        from .models import clip_vit
+
+        return np.asarray(clip_vit.forward(self.params, self.cfg,
+                                           np.asarray(media)), np.float32)
+
+    def preprocess(self, img: np.ndarray):
+        """[H, W, 3] uint8 -> normalized [3, S, S] at the model's square
+        input size (bilinear; reference clip.cpp image_manipulation)."""
+        s = self.cfg.image_size
+        img = np.asarray(img, np.float32) / 255.0
+        h, w = img.shape[:2]
+        if (h, w) != (s, s):
+            ys = np.clip((np.arange(s) + 0.5) * h / s - 0.5, 0, h - 1)
+            xs = np.clip((np.arange(s) + 0.5) * w / s - 0.5, 0, w - 1)
+            y0 = np.floor(ys).astype(int)
+            x0 = np.floor(xs).astype(int)
+            y1 = np.minimum(y0 + 1, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            fy = (ys - y0)[:, None, None]
+            fx = (xs - x0)[None, :, None]
+            img = ((img[y0][:, x0] * (1 - fy) * (1 - fx))
+                   + (img[y1][:, x0] * fy * (1 - fx))
+                   + (img[y0][:, x1] * (1 - fy) * fx)
+                   + (img[y1][:, x1] * fy * fx))
+        mean = np.asarray(self.image_mean, np.float32)
+        std = np.asarray(self.image_std, np.float32)
+        return ((img - mean) / std).transpose(2, 0, 1)
+
+
+def load_image_encoder(reader):
+    """mmproj GGUF -> encoder, dispatched on clip.projector_type
+    (the reference's clip_init projector registry)."""
+    pt = reader.kv.get("clip.projector_type", "mlp")
+    if pt in ("qwen2vl_merger", "qwen2.5vl_merger"):
+        from .models import qwen2vl_vision as vis
+
+        return Qwen2VLImageEncoder(vis.load_params(reader),
+                                   vis.Qwen2VLVisionConfig.from_gguf(reader.kv))
+    from .models import clip_vit
+
+    mean = tuple(reader.kv.get("clip.vision.image_mean", (0.5, 0.5, 0.5)))
+    std = tuple(reader.kv.get("clip.vision.image_std", (0.5, 0.5, 0.5)))
+    return ClipImageEncoder(clip_vit.load_params(reader),
+                            clip_vit.ClipVitConfig.from_gguf(reader.kv),
+                            image_mean=mean, image_std=std)
 
 
 @dataclasses.dataclass
@@ -136,6 +202,7 @@ class Qwen2VLImageEncoder:
 
     params: dict
     cfg: Any  # models.qwen2vl_vision.Qwen2VLVisionConfig
+    uses_mrope = True
 
     def __call__(self, media):
         from .models import qwen2vl_vision as vis
@@ -144,6 +211,13 @@ class Qwen2VLImageEncoder:
         return np.asarray(
             vis.forward(self.params, self.cfg, np.asarray(pixels),
                         [tuple(grid_thw)]), np.float32)
+
+    def preprocess(self, img: np.ndarray):
+        from .models import qwen2vl_vision as vis
+
+        return vis.preprocess(img, patch=self.cfg.patch_size,
+                              merge=self.cfg.spatial_merge,
+                              temporal=self.cfg.temporal_patch)
 
     def positions(self, media, start: int):
         from .models import qwen2vl_vision as vis

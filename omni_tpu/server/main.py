@@ -745,26 +745,21 @@ def make_handler(state: ServerState):
                 return None
 
         def _decode_image_part(self, part):
-            """data: URL / raw base64 -> pixels+grid via the qwen2vl
-            preprocessor."""
+            """data: URL / raw base64 -> the loaded encoder's media
+            payload via its own preprocessor."""
             import base64
             import io
 
             url = part.get("image_url", {}).get("url", "")
             b64 = url.split(",", 1)[1] if url.startswith("data:") else url
             raw = base64.b64decode(b64)
-            from ..models import qwen2vl_vision as vis
-
             try:
                 from PIL import Image
 
                 img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
             except ImportError:
                 raise ValueError("image decoding needs PIL")
-            vcfg = state.mtmd_enc.cfg
-            return vis.preprocess(img, patch=vcfg.patch_size,
-                                  merge=vcfg.spatial_merge,
-                                  temporal=vcfg.temporal_patch)
+            return state.mtmd_enc.preprocess(img)
 
         def _handle_chat_vision(self, body, messages):
             """Generic-VLM chat (image -> projector -> LLM decode with
@@ -788,7 +783,9 @@ def make_handler(state: ServerState):
                             txt.append(p.get("text", ""))
                     m = {**m, "content": "".join(txt)}
                 flat_msgs.append(m)
-            prompt = apply_chat_template(flat_msgs)
+            prompt, _ = state.render_prompt(flat_msgs)
+            if prompt is None:
+                prompt = apply_chat_template(flat_msgs)
             mctx = MtmdContext(tokenizer=state.tok,
                                image_encoder=state.mtmd_enc,
                                image_marker=marker)
@@ -798,26 +795,36 @@ def make_handler(state: ServerState):
             state.ctx.n_past.pop(seq, None)
             if hasattr(state.ctx, "mrope_next"):
                 state.ctx.mrope_next.pop(seq, None)
-            idx, mpos, logits = eval_chunks_mrope(
-                state.ctx, mctx, chunks, seq_id=seq)
+            mrope = getattr(state.mtmd_enc, "uses_mrope", False)
+            from ..runtime import Batch
+
+            if mrope:
+                idx, mpos, logits = eval_chunks_mrope(
+                    state.ctx, mctx, chunks, seq_id=seq)
+            else:
+                from ..mtmd import eval_chunks
+
+                idx = eval_chunks(state.ctx, mctx, chunks, seq_id=seq)
+                logits = state.ctx.last_logits
+                mpos = idx
             max_new = int(body.get("max_tokens", 64))
             out = []
             tok = state.ctx.sample_token(np.asarray(logits)[-1])
-            from ..runtime import Batch
-
             for _ in range(max_new):
                 if state.tok.vocab.is_eog(tok):
                     break
                 out.append(tok)
+                kw = ({"pos3": np.full((1, 3), mpos, np.int32)}
+                      if mrope else {})
                 lg, _ = state.ctx.decode(Batch(
                     tokens=np.array([tok], np.int32),
                     pos=np.array([idx], np.int32),
-                    seq_id=np.array([seq], np.int32),
-                    pos3=np.full((1, 3), mpos, np.int32)))
+                    seq_id=np.array([seq], np.int32), **kw))
                 idx += 1
                 mpos += 1
                 tok = state.ctx.sample_token(np.asarray(lg)[0])
-            state.ctx.mrope_next[seq] = mpos
+            if mrope:
+                state.ctx.mrope_next[seq] = mpos
             content = state.tok.decode(out, skip_special=True)
             self._json(200, {
                 "id": f"chatcmpl-{int(time.time() * 1000)}",
@@ -1315,13 +1322,9 @@ def main(argv=None):
                             qwen3.embed, n_ctx=args.ctx_size)
     mtmd_enc = None
     if args.mmproj:
-        from ..models import qwen2vl_vision as vis
-        from ..mtmd import Qwen2VLImageEncoder
+        from ..mtmd import load_image_encoder
 
-        vreader = GGUFReader(args.mmproj)
-        mtmd_enc = Qwen2VLImageEncoder(
-            vis.load_params(vreader),
-            vis.Qwen2VLVisionConfig.from_gguf(vreader.kv))
+        mtmd_enc = load_image_encoder(GGUFReader(args.mmproj))
     state = ServerState(ctx, tok, n_slots=args.parallel,
                         lora_paths=args.lora, draft_ctx=draft_ctx,
                         slot_save_path=args.slot_save_path, encoder=encoder,
