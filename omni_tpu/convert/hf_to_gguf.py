@@ -3669,12 +3669,18 @@ def convert_qwen2vl_vision(state: Mapping[str, Any],
     vision_config dict (+ the LLM hidden size as out_hidden)."""
     state = {k.removeprefix("visual.").removeprefix("model.visual.") : v
              for k, v in state.items()}
+    v25 = "window_size" in config  # Qwen2.5-VL vision variant
+    d = int(config.get("embed_dim", config.get("hidden_size", 0)))
+    ff = int(config.get("intermediate_size",
+                        d * int(config.get("mlp_ratio", 4))))
     w = GGUFWriter(out_path)
     w.add_kv("general.architecture", "clip")
-    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.projector_type",
+             "qwen2.5vl_merger" if v25 else "qwen2vl_merger")
     w.add_kv("clip.vision.block_count", int(config["depth"]))
-    w.add_kv("clip.vision.embedding_length", int(config["embed_dim"]))
-    w.add_kv("clip.vision.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.vision.embedding_length", d)
+    w.add_kv("clip.vision.projection_dim",
+             int(config.get("out_hidden", config.get("out_hidden_size", 0))))
     w.add_kv("clip.vision.attention.head_count", int(config["num_heads"]))
     w.add_kv("clip.vision.in_channels", int(config.get("in_channels", 3)))
     w.add_kv("clip.vision.patch_size", int(config["patch_size"]))
@@ -3682,9 +3688,16 @@ def convert_qwen2vl_vision(state: Mapping[str, Any],
              int(config.get("spatial_merge_size", 2)))
     w.add_kv("clip.vision.temporal_patch_size",
              int(config.get("temporal_patch_size", 2)))
-    w.add_kv("clip.vision.feed_forward_length",
-             int(config["embed_dim"]) * int(config.get("mlp_ratio", 4)))
+    w.add_kv("clip.vision.feed_forward_length", ff)
     w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    if v25:
+        w.add_kv("clip.vision.window_size", int(config["window_size"]))
+        fab = [int(i) for i in config.get("fullatt_block_indexes", [])]
+        w.add_kv("clip.vision.fullatt_block_indexes", fab)
+        # reference KV (clip-impl.h KEY_WIN_ATTN_PATTERN) when periodic
+        if fab and all(fab[i] - fab[i - 1] == fab[0] + 1
+                       for i in range(1, len(fab))):
+            w.add_kv("clip.vision.n_wa_pattern", fab[0] + 1)
     written = []
 
     def put(name, arr, q=qtype):
@@ -3695,12 +3708,12 @@ def convert_qwen2vl_vision(state: Mapping[str, Any],
     put("v.patch_embd.weight", pe[:, :, 0], None)
     put("v.patch_embd.weight.1", pe[:, :, 1], None)
     put("v.post_ln.weight", state["merger.ln_q.weight"], None)
-    put("v.post_ln.bias", state["merger.ln_q.bias"], None)
+    if "merger.ln_q.bias" in state:
+        put("v.post_ln.bias", state["merger.ln_q.bias"], None)
     put("mm.0.weight", state["merger.mlp.0.weight"], None)
     put("mm.0.bias", state["merger.mlp.0.bias"], None)
     put("mm.2.weight", state["merger.mlp.2.weight"], None)
     put("mm.2.bias", state["merger.mlp.2.bias"], None)
-    d = int(config["embed_dim"])
     for i in range(int(config["depth"])):
         p, b = f"blocks.{i}.", f"v.blk.{i}."
         qkv_w = _np(state[p + "attn.qkv.weight"])
@@ -3711,13 +3724,22 @@ def convert_qwen2vl_vision(state: Mapping[str, Any],
         put(b + "attn_out.weight", state[p + "attn.proj.weight"], None)
         put(b + "attn_out.bias", state[p + "attn.proj.bias"], None)
         put(b + "ln1.weight", state[p + "norm1.weight"], None)
-        put(b + "ln1.bias", state[p + "norm1.bias"], None)
+        if p + "norm1.bias" in state:
+            put(b + "ln1.bias", state[p + "norm1.bias"], None)
+            put(b + "ln2.bias", state[p + "norm2.bias"], None)
         put(b + "ln2.weight", state[p + "norm2.weight"], None)
-        put(b + "ln2.bias", state[p + "norm2.bias"], None)
-        put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"], None)
-        put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
-        put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"], None)
-        put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
+        if v25:  # gated-SiLU MLP
+            put(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"], None)
+            put(b + "ffn_gate.bias", state[p + "mlp.gate_proj.bias"], None)
+            put(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"], None)
+            put(b + "ffn_up.bias", state[p + "mlp.up_proj.bias"], None)
+            put(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"], None)
+            put(b + "ffn_down.bias", state[p + "mlp.down_proj.bias"], None)
+        else:
+            put(b + "ffn_up.weight", state[p + "mlp.fc1.weight"], None)
+            put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], None)
+            put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"], None)
+            put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], None)
     w.write()
     return written
 
@@ -3960,6 +3982,136 @@ def convert_internvl_vision(state: Mapping[str, Any],
         put(b + "ffn_up.bias", state[p + "mlp.fc1.bias"])
         put(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
         put(b + "ffn_down.bias", state[p + "mlp.fc2.bias"])
+    w.write()
+    return written
+
+
+def convert_pixtral_vision(state: Mapping[str, Any],
+                           config: Mapping[str, Any], out_path: str,
+                           qtype: GGMLType = GGMLType.F16,
+                           img_break_embed=None) -> list[str]:
+    """HF Pixtral vision tower (+ Mistral3 patch-merger projector) ->
+    mmproj GGUF (reference clip.cpp build_pixtral names: mm.1/mm.2
+    projector, mm.input_norm + mm.patch_merger for Mistral-Small 3.1,
+    v.token_embd.img_break row separator). `config` = HF vision_config
+    dict + out_hidden (+ spatial_merge_size); `img_break_embed` = the
+    LLM's [IMG_BREAK] embedding row."""
+    state = _strip(state, "model.")
+    state = _strip(state, "vision_tower.")
+    sms = int(config.get("spatial_merge_size", 1))
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "pixtral")
+    w.add_kv("clip.use_silu", True)
+    w.add_kv("clip.vision.block_count", int(config["num_hidden_layers"]))
+    w.add_kv("clip.vision.embedding_length", int(config["hidden_size"]))
+    w.add_kv("clip.vision.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.vision.attention.head_count",
+             int(config["num_attention_heads"]))
+    w.add_kv("clip.vision.patch_size", int(config["patch_size"]))
+    w.add_kv("clip.vision.image_size", int(config.get("image_size", 1024)))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(config["intermediate_size"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("clip.vision.rope.freq_base",
+             float(config.get("rope_theta", 10000.0)))
+    w.add_kv("clip.vision.spatial_merge_size", sms)
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.patch_embd.weight", state["patch_conv.weight"])
+    put("v.pre_ln.weight", state["ln_pre.weight"])
+    mp = "multi_modal_projector."
+    put("mm.1.weight", state[mp + "linear_1.weight"])
+    if mp + "linear_1.bias" in state:
+        put("mm.1.bias", state[mp + "linear_1.bias"])
+        put("mm.2.bias", state[mp + "linear_2.bias"])
+    put("mm.2.weight", state[mp + "linear_2.weight"])
+    if mp + "patch_merger.merging_layer.weight" in state:
+        put("mm.input_norm.weight", state[mp + "norm.weight"])
+        put("mm.patch_merger.weight",
+            state[mp + "patch_merger.merging_layer.weight"])
+    if img_break_embed is not None:
+        put("v.token_embd.img_break", img_break_embed)
+    for i in range(int(config["num_hidden_layers"])):
+        p, b = f"transformer.layers.{i}.", f"v.blk.{i}."
+        put(b + "ln1.weight", state[p + "attention_norm.weight"])
+        put(b + "ln2.weight", state[p + "ffn_norm.weight"])
+        for nm in ("q", "k", "v"):
+            put(b + f"attn_{nm}.weight",
+                state[p + f"attention.{nm}_proj.weight"])
+        put(b + "attn_out.weight", state[p + "attention.o_proj.weight"])
+        put(b + "ffn_gate.weight",
+            state[p + "feed_forward.gate_proj.weight"])
+        put(b + "ffn_up.weight", state[p + "feed_forward.up_proj.weight"])
+        put(b + "ffn_down.weight",
+            state[p + "feed_forward.down_proj.weight"])
+    w.write()
+    return written
+
+
+def convert_qwen2audio_encoder(state: Mapping[str, Any],
+                               config: Mapping[str, Any], out_path: str,
+                               qtype: GGMLType = GGMLType.F16,
+                               mel_filters=None) -> list[str]:
+    """HF Qwen2-Audio tower + linear projector -> audio mmproj GGUF
+    (reference clip.cpp PROJECTOR_TYPE_QWEN2A names: a.conv1d.{1,2},
+    a.position_embd, a.blk.N.*, a.post_ln, mm.a.fc;
+    mtmd-audio.cpp preprocessing contract). `config` = HF audio_config
+    dict + out_hidden (LLM width). `mel_filters` [n_mel, n_fft/2+1] is
+    embedded for host-side log-mel preprocessing."""
+    state = _strip(state, "model.")
+    state = _strip(state, "audio_tower.")
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.audio.block_count", int(config["encoder_layers"]))
+    w.add_kv("clip.audio.embedding_length", int(config["d_model"]))
+    w.add_kv("clip.audio.projection_dim", int(config["out_hidden"]))
+    w.add_kv("clip.audio.attention.head_count",
+             int(config["encoder_attention_heads"]))
+    w.add_kv("clip.audio.num_mel_bins", int(config.get("num_mel_bins", 128)))
+    w.add_kv("clip.audio.feed_forward_length",
+             int(config["encoder_ffn_dim"]))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("a.conv1d.1.weight", state["conv1.weight"])
+    put("a.conv1d.1.bias", state["conv1.bias"])
+    put("a.conv1d.2.weight", state["conv2.weight"])
+    put("a.conv1d.2.bias", state["conv2.bias"])
+    put("a.position_embd.weight", state["embed_positions.weight"])
+    put("a.post_ln.weight", state["layer_norm.weight"])
+    put("a.post_ln.bias", state["layer_norm.bias"])
+    put("mm.a.fc.weight", state["multi_modal_projector.linear.weight"])
+    put("mm.a.fc.bias", state["multi_modal_projector.linear.bias"])
+    if mel_filters is not None:
+        put("a.mel_filters", mel_filters)
+    for i in range(int(config["encoder_layers"])):
+        p, b = f"layers.{i}.", f"a.blk.{i}."
+        put(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        put(b + "attn_q.bias", state[p + "self_attn.q_proj.bias"])
+        put(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        put(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        put(b + "attn_v.bias", state[p + "self_attn.v_proj.bias"])
+        put(b + "attn_out.weight", state[p + "self_attn.out_proj.weight"])
+        put(b + "attn_out.bias", state[p + "self_attn.out_proj.bias"])
+        put(b + "ln1.weight", state[p + "self_attn_layer_norm.weight"])
+        put(b + "ln1.bias", state[p + "self_attn_layer_norm.bias"])
+        put(b + "ln2.weight", state[p + "final_layer_norm.weight"])
+        put(b + "ln2.bias", state[p + "final_layer_norm.bias"])
+        put(b + "ffn_up.weight", state[p + "fc1.weight"])
+        put(b + "ffn_up.bias", state[p + "fc1.bias"])
+        put(b + "ffn_down.weight", state[p + "fc2.weight"])
+        put(b + "ffn_down.bias", state[p + "fc2.bias"])
     w.write()
     return written
 

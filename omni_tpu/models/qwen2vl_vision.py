@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.gguf import GGUFReader
-from ..kernels.norms import layer_norm
+from ..kernels.norms import layer_norm, rms_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +41,12 @@ class Qwen2VLVisionConfig:
     temporal_patch: int = 2
     mlp_dim: int = 0       # fc1 width
     eps: float = 1e-6
+    # qwen2.5vl variant (clip.cpp PROJECTOR_TYPE_QWEN25VL): RMSNorm,
+    # gated-SiLU MLP, window attention with periodic full-attn layers
+    rms: bool = False
+    gated: bool = False
+    window_size: int = 0               # 0 = full attention everywhere
+    fullatt_blocks: tuple = ()         # HF fullatt_block_indexes
 
     @property
     def head_dim(self) -> int:
@@ -49,8 +55,13 @@ class Qwen2VLVisionConfig:
     @staticmethod
     def from_gguf(kv: dict) -> "Qwen2VLVisionConfig":
         g = lambda k, d=None: kv.get(f"clip.vision.{k}", d)
+        v25 = kv.get("clip.projector_type") == "qwen2.5vl_merger"
+        wa = int(g("n_wa_pattern", 0))
+        depth = int(g("block_count"))
+        fullatt = tuple(g("fullatt_block_indexes",
+                          tuple(range(wa - 1, depth, wa)) if wa else ()))
         return Qwen2VLVisionConfig(
-            depth=int(g("block_count")),
+            depth=depth,
             embed_dim=int(g("embedding_length")),
             out_hidden=int(g("projection_dim")),
             n_heads=int(g("attention.head_count")),
@@ -60,6 +71,9 @@ class Qwen2VLVisionConfig:
             temporal_patch=int(g("temporal_patch_size", 2)),
             mlp_dim=int(g("feed_forward_length")),
             eps=float(g("attention.layer_norm_epsilon", 1e-6)),
+            rms=v25, gated=v25,
+            window_size=int(g("window_size", 0)) if v25 else 0,
+            fullatt_blocks=fullatt if v25 else (),
         )
 
 
@@ -79,7 +93,7 @@ def load_params(reader: GGUFReader) -> dict:
         "patch0": get("v.patch_embd.weight"),       # [E, C, P, P]
         "patch1": get("v.patch_embd.weight.1"),     # temporal plane 2
         "ln_q": get("v.post_ln.weight"),
-        "ln_q_b": get("v.post_ln.bias"),
+        "ln_q_b": get("v.post_ln.bias", required=False),
         "mm0": get("mm.0.weight"),
         "mm0_b": get("mm.0.bias"),
         "mm2": get("mm.2.weight"),
@@ -90,8 +104,10 @@ def load_params(reader: GGUFReader) -> dict:
     while f"v.blk.{i}.ln1.weight" in reader.tensors:
         p = f"v.blk.{i}."
         params["layers"].append({
-            "ln1": get(p + "ln1.weight"), "ln1_b": get(p + "ln1.bias"),
-            "ln2": get(p + "ln2.weight"), "ln2_b": get(p + "ln2.bias"),
+            "ln1": get(p + "ln1.weight"),
+            "ln1_b": get(p + "ln1.bias", required=False),
+            "ln2": get(p + "ln2.weight"),
+            "ln2_b": get(p + "ln2.bias", required=False),
             "wq": get(p + "attn_q.weight"), "bq": get(p + "attn_q.bias"),
             "wk": get(p + "attn_k.weight"), "bk": get(p + "attn_k.bias"),
             "wv": get(p + "attn_v.weight"), "bv": get(p + "attn_v.bias"),
@@ -100,6 +116,8 @@ def load_params(reader: GGUFReader) -> dict:
             "fc1": get(p + "ffn_up.weight"), "fc1_b": get(p + "ffn_up.bias"),
             "fc2": get(p + "ffn_down.weight"),
             "fc2_b": get(p + "ffn_down.bias"),
+            "gate": get(p + "ffn_gate.weight", required=False),
+            "gate_b": get(p + "ffn_gate.bias", required=False),
         })
         i += 1
     return params
@@ -122,6 +140,37 @@ def rot_pos_ids(grid_thw, merge: int) -> np.ndarray:
     return np.concatenate(out, axis=0)
 
 
+def window_index(grid_thw, merge: int, window: int, patch: int):
+    """(window_index over merge-groups, per-PATCH window segment ids in
+    the reordered sequence) — HF Qwen2_5_VisionTransformer
+    .get_window_index; the reference feeds the same permutation as
+    inv_window_idx + window_mask graph inputs (clip.cpp:709-722)."""
+    vws = window // merge // patch  # window size in merge-grid units
+    idx_parts, seg_parts = [], []
+    base = 0
+    wid = 0
+    for t, hh, ww in grid_thw:
+        t, hh, ww = int(t), int(hh), int(ww)
+        lh, lw = hh // merge, ww // merge
+        index = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h = (-lh) % vws
+        pad_w = (-lw) % vws
+        ip = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+        ip[:, :lh, :lw] = index
+        nwh, nww = (lh + pad_h) // vws, (lw + pad_w) // vws
+        ip = (ip.reshape(t, nwh, vws, nww, vws).transpose(0, 1, 3, 2, 4)
+              .reshape(t * nwh * nww, vws * vws))
+        seqlens = (ip != -100).sum(axis=1)
+        flat = ip.reshape(-1)
+        valid = flat[flat != -100]
+        idx_parts.append(valid + base)
+        seg_parts.append(np.repeat(np.arange(wid, wid + len(seqlens)),
+                                   seqlens * merge * merge))
+        base += t * lh * lw
+        wid += len(seqlens)
+    return np.concatenate(idx_parts), np.concatenate(seg_parts)
+
+
 def forward(params: dict, cfg: Qwen2VLVisionConfig, pixels: jax.Array,
             grid_thw) -> jax.Array:
     """pixels [N, C*T*P*P] flattened patches (the HF processor layout),
@@ -134,10 +183,30 @@ def forward(params: dict, cfg: Qwen2VLVisionConfig, pixels: jax.Array,
     # conv with kernel == stride == patch == one contraction
     h = jnp.einsum("nctxy,ectxy->ne", pix, wconv)
 
+    def bnorm(x, w, b):
+        if cfg.rms:
+            return rms_norm(x, w, cfg.eps)
+        return layer_norm(x, w, b, cfg.eps)
+
     # 2-D rotary tables (NeoX half-split over [h_freqs | w_freqs])
     hd = cfg.head_dim
     inv = 1.0 / (10000.0 ** (np.arange(0, hd // 2, 2) / (hd // 2)))
     ids = rot_pos_ids(grid_thw, cfg.spatial_merge)  # [N, 2]
+
+    # qwen2.5vl: the whole sequence is PERMUTED into window order before
+    # the blocks; window layers mask across windows, the periodic
+    # fullatt_blocks see per-image blocks; the merger output is permuted
+    # back (HF Qwen2_5_VisionTransformer.forward)
+    m2 = cfg.spatial_merge ** 2
+    win_idx = None
+    if cfg.window_size:
+        win_idx, seg_win = window_index(grid_thw, cfg.spatial_merge,
+                                        cfg.window_size, cfg.patch_size)
+        perm = (win_idx[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+        h = h[perm]
+        ids = ids[perm]
+        wmask = jnp.asarray(seg_win[:, None] == seg_win[None, :])
+
     freqs = np.concatenate([ids[:, :1] * inv[None, :],
                             ids[:, 1:] * inv[None, :]], axis=1)  # [N, hd/2]
     emb = np.concatenate([freqs, freqs], axis=1)  # [N, hd]
@@ -149,35 +218,47 @@ def forward(params: dict, cfg: Qwen2VLVisionConfig, pixels: jax.Array,
         rot = jnp.concatenate([-x2, x1], axis=-1)
         return x * cos + rot * sin
 
-    # per-image full-attention mask (cu_seqlens blocks)
+    # per-image full-attention mask (cu_seqlens blocks); under the window
+    # permutation every patch keeps its image (images are contiguous in
+    # both orders), so the segment ids permute with it
     sizes = [int(t) * int(hh) * int(ww) for t, hh, ww in grid_thw]
     seg = np.repeat(np.arange(len(sizes)), sizes)
+    if win_idx is not None:
+        seg = seg[perm]
     mask = jnp.asarray(seg[:, None] == seg[None, :])
 
     nh = cfg.n_heads
-    for lp in params["layers"]:
-        hn = layer_norm(h, lp["ln1"], lp["ln1_b"], cfg.eps)
+    for il, lp in enumerate(params["layers"]):
+        full = (win_idx is None) or (il in cfg.fullatt_blocks)
+        hn = bnorm(h, lp["ln1"], lp["ln1_b"])
         q = (hn @ lp["wq"].T + lp["bq"]).reshape(n, nh, hd)
         k = (hn @ lp["wk"].T + lp["bk"]).reshape(n, nh, hd)
         v = (hn @ lp["wv"].T + lp["bv"]).reshape(n, nh, hd)
         q, k = rope(q), rope(k)
         scores = jnp.einsum("thd,shd->hts", q, k) / jnp.sqrt(float(hd))
-        scores = jnp.where(mask[None], scores, -jnp.inf)
+        scores = jnp.where((mask if full else wmask)[None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("hts,shd->thd", probs, v).reshape(n, -1)
         h = h + (attn @ lp["wo"].T + lp["bo"])
-        hn2 = layer_norm(h, lp["ln2"], lp["ln2_b"], cfg.eps)
-        a = hn2 @ lp["fc1"].T + lp["fc1_b"]
-        a = a * jax.nn.sigmoid(1.702 * a)  # quick_gelu
+        hn2 = bnorm(h, lp["ln2"], lp["ln2_b"])
+        if cfg.gated:  # qwen2.5vl gated-SiLU MLP
+            a = jax.nn.silu(hn2 @ lp["gate"].T + lp["gate_b"]) \
+                * (hn2 @ lp["fc1"].T + lp["fc1_b"])
+        else:
+            a = hn2 @ lp["fc1"].T + lp["fc1_b"]
+            a = a * jax.nn.sigmoid(1.702 * a)  # quick_gelu
         h = h + (a @ lp["fc2"].T + lp["fc2_b"])
 
     # merger: ln_q then 2x2-group MLP
-    hq = layer_norm(h, params["ln_q"], params["ln_q_b"], cfg.eps)
+    hq = bnorm(h, params["ln_q"], params["ln_q_b"])
     g = cfg.spatial_merge ** 2
     hq = hq.reshape(n // g, g * cfg.embed_dim)
     z = hq @ params["mm0"].T + params["mm0_b"]
     z = jax.nn.gelu(z, approximate=False)
-    return z @ params["mm2"].T + params["mm2_b"]
+    z = z @ params["mm2"].T + params["mm2_b"]
+    if win_idx is not None:  # restore merge-group order
+        z = z[np.argsort(win_idx)]
+    return z
 
 
 def mrope_positions(n_text_before: int, grid_thw, start: int,

@@ -174,6 +174,77 @@ class ClipImageEncoder:
         return ((img - mean) / std).transpose(2, 0, 1)
 
 
+@dataclasses.dataclass
+class PixtralImageEncoder:
+    """Pixtral / Mistral-Small rope-2d encoder (PROJECTOR_TYPE_PIXTRAL).
+    media payload: pixels [C, H, W], H/W multiples of patch*merge."""
+
+    params: dict
+    cfg: Any  # models.pixtral.PixtralVisionConfig
+    uses_mrope = False
+
+    def __call__(self, media):
+        from .models import pixtral
+
+        return np.asarray(pixtral.forward(
+            self.params, self.cfg, np.asarray(media),
+            with_img_break=self.params.get("img_break") is not None),
+            np.float32)
+
+    def preprocess(self, img: np.ndarray):
+        from .models.qwen2vl_vision import (OPENAI_CLIP_MEAN,
+                                            OPENAI_CLIP_STD)
+
+        a = np.asarray(img, np.float32)
+        if a.max() > 1.5:
+            a = a / 255.0
+        f = self.cfg.patch_size * max(1, self.cfg.spatial_merge)
+        h = min(self.cfg.image_size, max(f, round(a.shape[0] / f) * f))
+        w = min(self.cfg.image_size, max(f, round(a.shape[1] / f) * f))
+        if (h, w) != a.shape[:2]:
+            yi = np.clip((np.arange(h) + 0.5) * a.shape[0] / h - 0.5,
+                         0, a.shape[0] - 1).round().astype(int)
+            xi = np.clip((np.arange(w) + 0.5) * a.shape[1] / w - 0.5,
+                         0, a.shape[1] - 1).round().astype(int)
+            a = a[yi][:, xi]
+        a = (a - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+        return a.transpose(2, 0, 1)
+
+
+@dataclasses.dataclass
+class AudioLMEncoder:
+    """Generic audio-LM encoder (Whisper tower + qwen2a/ultravox/voxtral
+    projector — clip.cpp build_whisper_enc + mtmd-audio.cpp). media
+    payload: normalized log-mel frames [T, n_mel] (use .preprocess on raw
+    16 kHz samples)."""
+
+    params: dict
+    cfg: Any  # models.audio_lm.AudioLMConfig
+    uses_mrope = False
+
+    def __call__(self, media):
+        from .models import audio_lm
+
+        return np.asarray(audio_lm.forward(self.params, self.cfg,
+                                           np.asarray(media)), np.float32)
+
+    def preprocess(self, samples: np.ndarray):
+        """16 kHz mono f32 samples -> log-mel frames via the filterbank
+        embedded in the mmproj (mtmd-audio.cpp contract)."""
+        from .omni.audio import log_mel_spectrogram
+
+        filters = np.asarray(self.params["mel_filters"], np.float32)
+        return log_mel_spectrogram(np.asarray(samples, np.float32), filters)
+
+
+def load_audio_encoder(reader):
+    """Audio mmproj GGUF -> AudioLMEncoder (clip.has_audio_encoder)."""
+    from .models import audio_lm
+
+    return AudioLMEncoder(audio_lm.load_params(reader),
+                          audio_lm.AudioLMConfig.from_gguf(reader.kv))
+
+
 def load_image_encoder(reader):
     """mmproj GGUF -> encoder, dispatched on clip.projector_type
     (the reference's clip_init projector registry)."""
@@ -183,6 +254,12 @@ def load_image_encoder(reader):
 
         return Qwen2VLImageEncoder(vis.load_params(reader),
                                    vis.Qwen2VLVisionConfig.from_gguf(reader.kv))
+    if pt == "pixtral":
+        from .models import pixtral
+
+        return PixtralImageEncoder(
+            pixtral.load_params(reader),
+            pixtral.PixtralVisionConfig.from_gguf(reader.kv))
     from .models import clip_vit
 
     mean = tuple(reader.kv.get("clip.vision.image_mean", (0.5, 0.5, 0.5)))

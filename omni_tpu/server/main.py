@@ -47,7 +47,8 @@ class ServerState:
                  slot_save_path: str | None = None,
                  chat_template: str | None = None,
                  encoder: tuple | None = None,
-                 mtmd_enc=None, rsession=None, api_key: str | None = None):
+                 mtmd_enc=None, mtmd_audio=None, rsession=None,
+                 api_key: str | None = None):
         self.ctx = ctx
         # --api-key bearer auth (reference server --api-key; /health and
         # /models stay public, test_security.py contract)
@@ -56,10 +57,11 @@ class ServerState:
         # completion routes through a RecurrentSession (state-carrying
         # caches don't fit the unified-KV slot scheduler)
         self.rsession = rsession
-        # generic-VLM image encoder (mtmd.Qwen2VLImageEncoder): enables
-        # image_url parts on /v1/chat/completions (reference
+        # generic multimodal encoders (mtmd registry): enable image_url /
+        # input_audio parts on /v1/chat/completions (reference
         # tools/server multimodal via libmtmd)
         self.mtmd_enc = mtmd_enc
+        self.mtmd_audio = mtmd_audio
         self.tok = tokenizer
         self.model_name = model_name
         self._vocab_trie = None
@@ -761,15 +763,38 @@ def make_handler(state: ServerState):
                 raise ValueError("image decoding needs PIL")
             return state.mtmd_enc.preprocess(img)
 
+        def _decode_audio_part(self, part):
+            """OpenAI input_audio part (b64 WAV) -> log-mel frames via
+            the audio encoder's embedded filterbank."""
+            import base64
+            import io
+            import wave
+
+            b64 = part.get("input_audio", {}).get("data", "")
+            raw = base64.b64decode(b64)
+            with wave.open(io.BytesIO(raw)) as f:
+                n = f.getnframes()
+                width = f.getsampwidth()
+                data = f.readframes(n)
+            if width == 2:
+                samples = np.frombuffer(data, np.int16).astype(np.float32) \
+                    / 32768.0
+            else:
+                samples = np.frombuffer(data, np.uint8).astype(np.float32) \
+                    / 128.0 - 1.0
+            return state.mtmd_audio.preprocess(samples)
+
         def _handle_chat_vision(self, body, messages):
-            """Generic-VLM chat (image -> projector -> LLM decode with
-            M-RoPE positions; reference tools/server + libmtmd path).
+            """Generic multimodal chat (image/audio -> projector -> LLM
+            decode; reference tools/server + libmtmd path).
             Single-stream, non-streaming."""
             from ..mtmd import (ChunkType, MtmdChunk, MtmdContext,
                                 eval_chunks_mrope)
 
             marker = "<__image__>"
+            amarker = "<__audio__>"
             images = []
+            audios = []
             flat_msgs = []
             for m in messages:
                 c = m.get("content")
@@ -779,6 +804,9 @@ def make_handler(state: ServerState):
                         if p.get("type") == "image_url":
                             images.append(self._decode_image_part(p))
                             txt.append(marker)
+                        elif p.get("type") == "input_audio":
+                            audios.append(self._decode_audio_part(p))
+                            txt.append(amarker)
                         else:
                             txt.append(p.get("text", ""))
                     m = {**m, "content": "".join(txt)}
@@ -788,8 +816,9 @@ def make_handler(state: ServerState):
                 prompt = apply_chat_template(flat_msgs)
             mctx = MtmdContext(tokenizer=state.tok,
                                image_encoder=state.mtmd_enc,
-                               image_marker=marker)
-            chunks = mctx.tokenize(prompt, images=images)
+                               audio_encoder=state.mtmd_audio,
+                               image_marker=marker, audio_marker=amarker)
+            chunks = mctx.tokenize(prompt, images=images, audios=audios)
             seq = 0
             state.ctx.seq_rm(seq)
             state.ctx.n_past.pop(seq, None)
@@ -840,10 +869,13 @@ def make_handler(state: ServerState):
 
         def _handle_chat(self, body):
             messages = list(body.get("messages", []))
-            if state.mtmd_enc is not None and any(
-                    isinstance(m.get("content"), list) and
-                    any(p.get("type") == "image_url" for p in m["content"])
-                    for m in messages):
+            if any(isinstance(m.get("content"), list) and
+                   any((p.get("type") == "image_url"
+                        and state.mtmd_enc is not None)
+                       or (p.get("type") == "input_audio"
+                           and state.mtmd_audio is not None)
+                       for p in m["content"])
+                   for m in messages):
                 return self._handle_chat_vision(body, messages)
             tools = body.get("tools") or []
             tool_choice = body.get("tool_choice", "auto" if tools else "none")
@@ -1321,15 +1353,22 @@ def main(argv=None):
         draft_ctx = Context(dcfg, qwen3.load_params(dreader), qwen3.forward,
                             qwen3.embed, n_ctx=args.ctx_size)
     mtmd_enc = None
+    mtmd_audio = None
     if args.mmproj:
-        from ..mtmd import load_image_encoder
+        from ..mtmd import load_audio_encoder, load_image_encoder
 
-        mtmd_enc = load_image_encoder(GGUFReader(args.mmproj))
+        mreader = GGUFReader(args.mmproj)
+        if (mreader.kv.get("clip.has_audio_encoder")
+                or "clip.audio.block_count" in mreader.kv):
+            mtmd_audio = load_audio_encoder(mreader)
+        if "clip.vision.block_count" in mreader.kv:
+            mtmd_enc = load_image_encoder(mreader)
     state = ServerState(ctx, tok, n_slots=args.parallel,
                         lora_paths=args.lora, draft_ctx=draft_ctx,
                         slot_save_path=args.slot_save_path, encoder=encoder,
                         chat_template=reader.kv.get("tokenizer.chat_template"),
-                        mtmd_enc=mtmd_enc, rsession=rsession,
+                        mtmd_enc=mtmd_enc, mtmd_audio=mtmd_audio,
+                        rsession=rsession,
                         api_key=args.api_key)
     if args.warmup and ctx is not None:
         from ..cli.warmup import warm_llm_session

@@ -1,0 +1,233 @@
+"""Generic audio-LM path (the reference's mtmd ALM half:
+clip.cpp build_whisper_enc + mtmd-audio.cpp): Whisper tower + qwen2a /
+ultravox projectors, decoupled from the omni pipeline's APM."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from omni_tpu.core import GGUFReader
+from omni_tpu.models import audio_lm
+
+D, FF, L, NH, MEL = 32, 64, 2, 2, 16
+
+
+def _tiny_qwen2audio():
+    from transformers import Qwen2AudioConfig, Qwen2AudioForConditionalGeneration
+
+    torch.manual_seed(5)
+    hcfg = Qwen2AudioConfig(
+        audio_config=dict(d_model=D, encoder_layers=L,
+                          encoder_attention_heads=NH, encoder_ffn_dim=FF,
+                          num_mel_bins=MEL, max_source_positions=64),
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=1))
+    return Qwen2AudioForConditionalGeneration(hcfg).eval(), hcfg
+
+
+def test_qwen2a_parity(tmp_path):
+    """Tower + avg-pool + post-LN + linear projector vs the HF oracle
+    through a real audio mmproj GGUF."""
+    from omni_tpu.convert.hf_to_gguf import convert_qwen2audio_encoder
+
+    model, hcfg = _tiny_qwen2audio()
+    cfg_d = dict(hcfg.audio_config.to_dict(), out_hidden=48)
+    path = tmp_path / "ammproj.gguf"
+    filters = np.random.default_rng(0).random((MEL, 201), np.float32)
+    convert_qwen2audio_encoder(dict(model.state_dict()), cfg_d, str(path),
+                               mel_filters=filters)
+
+    reader = GGUFReader(str(path))
+    cfg = audio_lm.AudioLMConfig.from_gguf(reader.kv)
+    assert cfg.proj_type == "qwen2a" and cfg.n_mel == MEL
+    params = audio_lm.load_params(reader)
+    assert params["mel_filters"].shape == (MEL, 201)
+
+    rng = np.random.default_rng(5)
+    # HF requires exactly max_source_positions*2 mel frames (128)
+    mel = rng.standard_normal((128, MEL)).astype(np.float32)
+    got = np.asarray(audio_lm.forward(params, cfg, mel))
+    with torch.no_grad():
+        h = model.audio_tower(
+            torch.tensor(mel.T[None])).last_hidden_state[0]
+        want = model.multi_modal_projector(h).numpy()
+    assert got.shape == want.shape == (32, 48)  # conv s2 + pool2: 128->32
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ultravox_projector_law(tmp_path):
+    """Ultravox stack-frames + swapped-SwiGLU projector
+    (clip.cpp:1560-1592; fixie-ai ultravox_model.py UltravoxProjector):
+    checked against an independent torch reimplementation of the spec."""
+    from omni_tpu.core.dtypes import GGMLType
+    from omni_tpu.convert.hf_to_gguf import GGUFWriter, _add
+
+    rng = np.random.default_rng(6)
+    sf = 2
+    w = GGUFWriter(str(tmp_path / "uv.gguf"))
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "ultravox")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.audio.block_count", L)
+    w.add_kv("clip.audio.embedding_length", D)
+    w.add_kv("clip.audio.projection_dim", 48)
+    w.add_kv("clip.audio.attention.head_count", NH)
+    w.add_kv("clip.audio.num_mel_bins", MEL)
+    w.add_kv("clip.audio.feed_forward_length", FF)
+    w.add_kv("clip.audio.projector.stack_factor", sf)
+
+    def t(name, shape):
+        a = rng.standard_normal(shape).astype(np.float32) * 0.1
+        _add(w, name, a, None)
+        return a
+
+    t("a.conv1d.1.weight", (D, MEL, 3))
+    t("a.conv1d.1.bias", (D,))
+    t("a.conv1d.2.weight", (D, D, 3))
+    t("a.conv1d.2.bias", (D,))
+    t("a.position_embd.weight", (64, D))
+    t("a.post_ln.weight", (D,))
+    t("a.post_ln.bias", (D,))
+    mm1 = t("mm.a.mlp.1.weight", (4 * D, sf * D))
+    mm2 = t("mm.a.mlp.2.weight", (48, 2 * D))
+    npre = t("mm.a.norm_pre.weight", (sf * D,))
+    nmid = t("mm.a.norm_mid.weight", (2 * D,))
+    for i in range(L):
+        p = f"a.blk.{i}."
+        t(p + "attn_q.weight", (D, D)); t(p + "attn_q.bias", (D,))
+        t(p + "attn_k.weight", (D, D))
+        t(p + "attn_v.weight", (D, D)); t(p + "attn_v.bias", (D,))
+        t(p + "attn_out.weight", (D, D)); t(p + "attn_out.bias", (D,))
+        t(p + "ln1.weight", (D,)); t(p + "ln1.bias", (D,))
+        t(p + "ln2.weight", (D,)); t(p + "ln2.bias", (D,))
+        t(p + "ffn_up.weight", (FF, D)); t(p + "ffn_up.bias", (FF,))
+        t(p + "ffn_down.weight", (D, FF)); t(p + "ffn_down.bias", (D,))
+    w.write()
+
+    reader = GGUFReader(str(tmp_path / "uv.gguf"))
+    cfg = audio_lm.AudioLMConfig.from_gguf(reader.kv)
+    assert cfg.proj_type == "ultravox" and cfg.stack_factor == sf
+    params = audio_lm.load_params(reader)
+    mel = rng.standard_normal((24, MEL)).astype(np.float32)
+    got = np.asarray(audio_lm.forward(params, cfg, mel))
+    # 24 frames -> conv s2 -> 12 -> stacked by 2 -> 6 tokens
+    assert got.shape == (6, 48)
+
+    # independent torch reimplementation of the projector law on the same
+    # post-LN tower output (spec: ultravox_model.py)
+    import jax.numpy as jnp
+    from omni_tpu.kernels.norms import layer_norm
+
+    qcfg = audio_lm.AudioLMConfig(depth=L, embed_dim=D, out_hidden=48,
+                                  n_heads=NH, n_mel=MEL,
+                                  proj_type="qwen2a", mlp_dim=FF)
+    # reuse the tower via the qwen2a config minus its pool/proj: rerun
+    # manually up to post-LN
+    h = audio_lm._gelu(audio_lm._conv1d(jnp.asarray(mel), params["conv1_w"],
+                                        params["conv1_b"], 1))
+    h = audio_lm._gelu(audio_lm._conv1d(h, params["conv2_w"],
+                                        params["conv2_b"], 2))
+    h = h + params["pos"][: h.shape[0]]
+    import jax
+
+    n, hd = h.shape[0], D // NH
+    for lp in params["layers"]:
+        hn = layer_norm(h, lp["ln1"], lp["ln1_b"], cfg.eps)
+        q = (hn @ lp["wq"].T + lp["bq"]).reshape(n, NH, hd)
+        k = (hn @ lp["wk"].T).reshape(n, NH, hd)
+        v = (hn @ lp["wv"].T + lp["bv"]).reshape(n, NH, hd)
+        s = jnp.einsum("thd,shd->hts", q, k) / np.sqrt(hd)
+        a = jnp.einsum("hts,shd->thd", jax.nn.softmax(s, -1), v)
+        h = h + (a.reshape(n, -1) @ lp["wo"].T + lp["bo"])
+        hn2 = layer_norm(h, lp["ln2"], lp["ln2_b"], cfg.eps)
+        h = h + (audio_lm._gelu(hn2 @ lp["fc1"].T + lp["fc1_b"])
+                 @ lp["fc2"].T + lp["fc2_b"])
+    tower = np.asarray(layer_norm(h, params["post_ln"],
+                                  params["post_ln_b"], cfg.eps))
+
+    x = torch.tensor(tower.reshape(-1, sf * D))
+    x = x * torch.rsqrt((x.float() ** 2).mean(-1, keepdim=True) + 1e-6) \
+        * torch.tensor(npre)
+    x = x @ torch.tensor(mm1).T
+    half = x.shape[-1] // 2
+    x = x[:, :half] * torch.nn.functional.silu(x[:, half:])
+    x = x * torch.rsqrt((x.float() ** 2).mean(-1, keepdim=True) + 1e-6) \
+        * torch.tensor(nmid)
+    want = (x @ torch.tensor(mm2).T).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_audio_chat_served_e2e(tmp_path):
+    """One audio-LM chat request green: input_audio WAV part ->
+    AudioLMEncoder.preprocess (embedded mel filterbank) -> tower ->
+    projector -> embedding injection -> /v1/chat/completions."""
+    import base64
+    import io
+    import json
+    import struct
+    import threading
+    import urllib.request
+    import wave
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from omni_tpu.convert.hf_to_gguf import convert_qwen2audio_encoder
+    from omni_tpu.core import GGMLType
+    from omni_tpu.models import qwen3
+    from omni_tpu.mtmd import load_audio_encoder
+    from omni_tpu.runtime import Context
+    from omni_tpu.server.main import ServerState, serve
+    from omni_tpu.testing import write_tiny_qwen3
+    from omni_tpu.tokenizer import build_tokenizer
+
+    model, hcfg = _tiny_qwen2audio()
+    filters = (np.random.default_rng(0).random((MEL, 201), np.float32)
+               * 1e-3)
+    path = tmp_path / "ammproj.gguf"
+    convert_qwen2audio_encoder(dict(model.state_dict()),
+                               dict(hcfg.audio_config.to_dict(),
+                                    out_hidden=48), str(path),
+                               mel_filters=filters)
+    enc = load_audio_encoder(GGUFReader(str(path)))
+
+    llm_path = tmp_path / "llm.gguf"
+    write_tiny_qwen3(llm_path, n_layers=1, d_model=48, n_heads=4,
+                     n_kv_heads=2, head_dim=12, d_ff=64, n_vocab=300,
+                     qtype=GGMLType.F32, byte_tokenizer=True)
+    reader = GGUFReader(str(llm_path))
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                  qwen3.embed, n_ctx=128)
+    state = ServerState(ctx, build_tokenizer(reader.kv), n_slots=1,
+                        mtmd_audio=enc)
+    httpd = serve(state, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        # 0.2 s of 16 kHz sine as a WAV blob
+        ts = np.arange(3200) / 16000.0
+        pcm = (np.sin(2 * np.pi * 440 * ts) * 16000).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}"
+            "/v1/chat/completions",
+            json.dumps({"messages": [{"role": "user", "content": [
+                {"type": "text", "text": "transcribe "},
+                {"type": "input_audio",
+                 "input_audio": {"data": b64, "format": "wav"}},
+            ]}], "max_tokens": 5}).encode(),
+            {"Content-Type": "application/json"})
+        out = json.load(urllib.request.urlopen(req, timeout=300))
+        assert out["choices"][0]["message"]["role"] == "assistant"
+        # 0.2 s -> 20 mel frames -> 10 conv frames -> 5 audio tokens
+        assert out["usage"]["prompt_tokens"] > 5
+    finally:
+        httpd.shutdown()

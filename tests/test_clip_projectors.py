@@ -172,6 +172,60 @@ def test_generic_vlm_served_e2e(tmp_path):
         httpd.shutdown()
 
 
+def test_pixtral_mistral3_projector_parity(tmp_path):
+    """Pixtral rope-2d trunk + Mistral-Small 3.1 patch merger + projector
+    (clip.cpp build_pixtral) vs Mistral3ForConditionalGeneration
+    .get_image_features, plus the [IMG_BREAK] row-separator arrangement."""
+    from transformers import (Mistral3Config,
+                              Mistral3ForConditionalGeneration)
+
+    from omni_tpu.convert.hf_to_gguf import convert_pixtral_vision
+    from omni_tpu.models import pixtral
+
+    torch.manual_seed(4)
+    hcfg = Mistral3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=1),
+        vision_config=dict(hidden_size=E, intermediate_size=FF,
+                           num_hidden_layers=L, num_attention_heads=NH,
+                           image_size=64, patch_size=8, head_dim=16),
+        spatial_merge_size=2, multimodal_projector_bias=False,
+        vision_feature_layer=-1)
+    model = Mistral3ForConditionalGeneration(hcfg).eval()
+    brk = np.zeros(48, np.float32) + 0.25
+    cfg_d = dict(hcfg.vision_config.to_dict(), out_hidden=48,
+                 spatial_merge_size=2)
+    path = tmp_path / "mm.gguf"
+    convert_pixtral_vision(dict(model.state_dict()), cfg_d, str(path),
+                           img_break_embed=brk)
+
+    reader = GGUFReader(str(path))
+    cfg = pixtral.PixtralVisionConfig.from_gguf(reader.kv)
+    assert cfg.spatial_merge == 2 and cfg.head_dim == 16
+    params = pixtral.load_params(reader)
+    rng = np.random.default_rng(4)
+    pix = rng.standard_normal((3, 32, 64)).astype(np.float32)  # 4x8 grid
+    got = np.asarray(pixtral.forward(params, cfg, pix))
+    with torch.no_grad():
+        want = model.get_image_features(
+            torch.tensor(pix[None]),
+            image_sizes=torch.tensor([[32, 64]]))
+        if isinstance(want, (tuple, list)):
+            want = want[0]
+    want = want.numpy().reshape(-1, 48)
+    assert got.shape == want.shape == (8, 48)  # 2x4 merged grid
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+    # img_break arrangement: one separator row per merged row except last
+    withbrk = np.asarray(pixtral.forward(params, cfg, pix,
+                                         with_img_break=True))
+    assert withbrk.shape == (9, 48)
+    np.testing.assert_allclose(withbrk[4], brk, atol=1e-6)
+    np.testing.assert_allclose(withbrk[[0, 1, 2, 3]], want[:4], atol=1e-6)
+    np.testing.assert_allclose(withbrk[5:], want[4:], atol=1e-6)
+
+
 def test_internvl_projector_parity(tmp_path):
     from transformers import (InternVLConfig,
                               InternVLForConditionalGeneration)

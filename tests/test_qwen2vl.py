@@ -153,6 +153,53 @@ def test_qwen2vl_vision_tower_parity(tmp_path):
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+def test_qwen25vl_vision_tower_parity(tmp_path):
+    """Qwen2.5-VL vision variant (clip.cpp PROJECTOR_TYPE_QWEN25VL):
+    RMSNorm, gated-SiLU MLP, WINDOW attention with periodic full-attn
+    layers and the window-order permutation — vs the HF oracle through
+    a real mmproj GGUF."""
+    from transformers import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VisionTransformerPretrainedModel)
+
+    from omni_tpu.convert.hf_to_gguf import convert_qwen2vl_vision
+    from omni_tpu.models import qwen2vl_vision as vis
+
+    torch.manual_seed(0)
+    vc = Qwen2_5_VLConfig(vision_config=dict(
+        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+        in_channels=3, patch_size=4, spatial_merge_size=2,
+        temporal_patch_size=2, window_size=16, out_hidden_size=48,
+        fullatt_block_indexes=[1])).vision_config
+    model = Qwen2_5_VisionTransformerPretrainedModel._from_config(vc).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg_d = dict(depth=2, hidden_size=32, intermediate_size=64,
+                 out_hidden=48, num_heads=4, patch_size=4,
+                 spatial_merge_size=2, temporal_patch_size=2,
+                 window_size=16, fullatt_block_indexes=[1])
+    path = tmp_path / "mmproj.gguf"
+    convert_qwen2vl_vision(sd, cfg_d, path)
+
+    reader = GGUFReader(path)
+    assert reader.kv["clip.projector_type"] == "qwen2.5vl_merger"
+    vcfg = vis.Qwen2VLVisionConfig.from_gguf(reader.kv)
+    assert vcfg.rms and vcfg.gated and vcfg.window_size == 16
+    assert vcfg.fullatt_blocks == (1,)
+    params = vis.load_params(reader)
+
+    rng = np.random.default_rng(0)
+    # 8x8 patch grid: llm grid 4x4 -> 2x2 windows of 2x2 merge units,
+    # plus a 2x6 image that needs window padding
+    for grids in ([(1, 8, 8)], [(1, 8, 8), (1, 2, 6)]):
+        n = sum(t * h * w for t, h, w in grids)
+        pix = rng.standard_normal((n, 3 * 2 * 4 * 4)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.tensor(pix),
+                        grid_thw=torch.tensor(grids)).numpy()
+        ours = np.asarray(vis.forward(params, vcfg, pix, grids))
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
 def test_qwen2vl_full_vlm_e2e(tmp_path):
     """Image -> vision tower -> merger -> LLM with M-RoPE positions,
     end-to-end vs the full HF Qwen2VLForConditionalGeneration on a tiny
