@@ -159,6 +159,82 @@ def test_ultravox_projector_law(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_voxtral_projector_law(tmp_path):
+    """Voxtral head (clip.cpp:1600-1605): avg-pool(2) like qwen2a, THEN
+    stack-frames like ultravox, then a 2-layer erf-GELU MLP."""
+    from omni_tpu.convert.hf_to_gguf import GGUFWriter, _add
+
+    rng = np.random.default_rng(7)
+    sf = 2
+    w = GGUFWriter(str(tmp_path / "vx.gguf"))
+    w.add_kv("general.architecture", "clip")
+    w.add_kv("clip.projector_type", "voxtral")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.audio.block_count", 0)
+    w.add_kv("clip.audio.embedding_length", D)
+    w.add_kv("clip.audio.projection_dim", 48)
+    w.add_kv("clip.audio.attention.head_count", NH)
+    w.add_kv("clip.audio.num_mel_bins", MEL)
+    w.add_kv("clip.audio.feed_forward_length", FF)
+    w.add_kv("clip.audio.projector.stack_factor", sf)
+
+    def t(name, shape):
+        a = rng.standard_normal(shape).astype(np.float32) * 0.1
+        _add(w, name, a, None)
+        return a
+
+    c1 = t("a.conv1d.1.weight", (D, MEL, 3))
+    c1b = t("a.conv1d.1.bias", (D,))
+    c2 = t("a.conv1d.2.weight", (D, D, 3))
+    c2b = t("a.conv1d.2.bias", (D,))
+    t("a.position_embd.weight", (64, D))
+    pw = t("a.post_ln.weight", (D,))
+    pb = t("a.post_ln.bias", (D,))
+    mm1 = t("mm.a.mlp.1.weight", (4 * D, sf * D))
+    mm2 = t("mm.a.mlp.2.weight", (48, 4 * D))
+    w.write()
+
+    reader = GGUFReader(str(tmp_path / "vx.gguf"))
+    cfg = audio_lm.AudioLMConfig.from_gguf(reader.kv)
+    assert cfg.proj_type == "voxtral" and cfg.depth == 0
+    params = audio_lm.load_params(reader)
+    mel = rng.standard_normal((32, MEL)).astype(np.float32)
+    got = np.asarray(audio_lm.forward(params, cfg, mel))
+    # 32 mel -> conv s2 -> 16 -> pool2 -> 8 -> stack2 -> 4 tokens
+    assert got.shape == (4, 48)
+
+    # independent reimplementation (no tower layers; depth 0)
+    import scipy.signal  # noqa: F401  (not used; numpy conv below)
+
+    def conv1d(x, wgt, b, stride):
+        T, Cin = x.shape
+        xp = np.pad(x, ((1, 1), (0, 0)))
+        out_t = (T + 2 - 3) // stride + 1
+        y = np.zeros((out_t, wgt.shape[0]), np.float32)
+        for o in range(out_t):
+            seg = xp[o * stride: o * stride + 3]  # [3, Cin]
+            y[o] = np.einsum("kc,ock->o", seg, wgt) + b
+        return y
+
+    def gelu(x):
+        from scipy.special import erf
+
+        return 0.5 * x * (1 + erf(x / np.sqrt(2)))
+
+    h = gelu(conv1d(mel, c1, c1b, 1))
+    h = gelu(conv1d(h, c2, c2b, 2))
+    h = h + 0  # pos table rows are added in forward; depth-0 tower
+    # match forward: pos embed applies before layers
+    pos = np.asarray(params["pos"])[: h.shape[0]]
+    h = h + pos
+    h = h[: (h.shape[0] // 2) * 2].reshape(-1, 2, D).mean(1)
+    mu, var = h.mean(-1, keepdims=True), h.var(-1, keepdims=True)
+    h = (h - mu) / np.sqrt(var + 1e-5) * pw + pb
+    h = h.reshape(-1, sf * D)
+    want = gelu(h @ mm1.T) @ mm2.T
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_audio_chat_served_e2e(tmp_path):
     """One audio-LM chat request green: input_audio WAV part ->
     AudioLMEncoder.preprocess (embedded mel filterbank) -> tower ->
