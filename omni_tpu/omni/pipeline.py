@@ -164,6 +164,10 @@ class OmniPipeline:
         self.break_event = threading.Event()
         self.session_stop = threading.Event()
         self.prefill_done = threading.Event()
+        # set when the turn's first Token2Wav window is being dispatched
+        # (TTFT ordering gate for the LLM's speculative scans)
+        self._first_window_dispatched = threading.Event()
+        self._first_window_dispatched.set()
         # outstanding-prefill counter closes the enqueue/`queue.Empty` race:
         # prefill_done only sets when every enqueued chunk has been fully
         # evaluated (the reference's cv-guarded prefill_done,
@@ -429,6 +433,14 @@ class OmniPipeline:
         limit = max_new_tokens or self.cfg.max_new_tokens
         self.prefill_done.wait(timeout=30.0)
         self.break_event.clear()
+        # TTFT ordering: the tunnel executes dispatches IN ORDER, so the
+        # turn's first Token2Wav window must reach the queue before the
+        # LLM's speculative scan 2 (round-4 measurement: the spec scan
+        # ahead of the first window cost ~100 ms of the p50-min gap)
+        self._first_window_dispatched.clear()
+        if not (self.cfg.use_tts and self.tts_ctx is not None
+                and self.t2w is not None):
+            self._first_window_dispatched.set()
         if round_idx >= 0:
             self.current_round = round_idx
         self._wav_index = 0
@@ -581,6 +593,13 @@ class OmniPipeline:
             return packed, hiddens
 
         pending = None  # (packed, hiddens) device handles awaiting fetch
+        # TTFT ordering gate: while the turn's first Token2Wav window has
+        # not been dispatched, run scans SEQUENTIALLY so the TTS scan +
+        # first window enter the in-order device queue ahead of LLM scan 2
+        # (the round-4 p50-min gap). Bounded to the first few scans so a
+        # text-only turn (no valid TTS tokens) regains pipelining.
+        gate_iters = [0 if not self._first_window_dispatched.is_set()
+                      else 99]
 
         def drain(handle):
             """Account an in-flight scan's committed tokens without
@@ -611,7 +630,9 @@ class OmniPipeline:
             b_spec = feed_budget(n_new + STEP_SIZE,
                                  segment_tokens + STEP_SIZE)
             spec = None
-            if (b_now >= STEP_SIZE and b_spec >= STEP_SIZE
+            gated = (gate_iters[0] < 3
+                     and not self._first_window_dispatched.is_set())
+            if (not gated and b_now >= STEP_SIZE and b_spec >= STEP_SIZE
                     and llm.cache.size - llm.cells_used - inflight[0]
                     >= STEP_SIZE):
                 spec = issue(b_spec)
@@ -628,6 +649,7 @@ class OmniPipeline:
             llm.kv_high = max(llm.kv_high, llm.cells_used)
             n_new += n_fed
             segment_tokens += n_fed
+            emitted = False
             for j in range(n_fed):
                 t = int(toks_np[j])
                 if self.is_valid_tts_token(t):
@@ -638,6 +660,16 @@ class OmniPipeline:
                 if len(chunk_tokens) >= STEP_SIZE:
                     self._emit_chunk(chunk_tokens, chunk_hiddens, False)
                     del chunk_tokens[:], chunk_hiddens[:]
+                    emitted = True
+            if gated:
+                gate_iters[0] += 1
+                if emitted:
+                    # the first text chunk is in flight to TTS: hold the
+                    # next LLM dispatch until the first Token2Wav window
+                    # has entered the device queue (bounded wait — a
+                    # short/filtered chunk may never reach 28 codes)
+                    self._first_window_dispatched.wait(timeout=0.5)
+                    gate_iters[0] = 99
             if n_fed < STEP_SIZE:  # the scan froze: classify the stopper
                 # a speculative successor (if any) fed nothing: done_in
                 # chained True through it — its cache/pos are no-ops
@@ -834,6 +866,10 @@ class OmniPipeline:
                 window = self._t2w_buffer[: T2W_MAIN + T2W_LOOKAHEAD]
                 last = final and len(self._t2w_buffer) <= T2W_MAIN + T2W_LOOKAHEAD
                 if self.t2w is not None:
+                    # unblock the LLM's speculative scans: this window's
+                    # device work is about to be enqueued, so anything
+                    # dispatched after this point queues BEHIND it
+                    self._first_window_dispatched.set()
                     wave = self.t2w.feed_window(np.asarray(window, np.int32),
                                                 is_final=last)
                     self.wav_out.put(wave)

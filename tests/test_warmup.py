@@ -51,8 +51,11 @@ def test_warmup_cli_smoke(tmp_path):
     from omni_tpu.testing import write_tiny_qwen3
 
     path = tmp_path / "m.gguf"
+    # deliberately unusual vocab/width: in a shared pytest process the
+    # common tiny shapes are often already jitted, and an in-process hit
+    # writes no persistent-cache entry
     write_tiny_qwen3(path, n_layers=1, d_model=64, n_heads=4, n_kv_heads=2,
-                     head_dim=16, d_ff=64, n_vocab=300, qtype=GGMLType.F32,
+                     head_dim=16, d_ff=72, n_vocab=307, qtype=GGMLType.F32,
                      byte_tokenizer=True)
     cache = tmp_path / "cache"
     rc = main(["-m", str(path), "-c", "256", "--n-prefill", "16",
