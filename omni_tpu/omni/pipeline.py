@@ -840,6 +840,12 @@ class OmniPipeline:
                 # the continuation now if budget remains
                 nxt2 = min(T2W_MAIN, int(cap) - issued_total)
                 if nxt2 > 0:
+                    if first_chunk:
+                        # the first 25 codes are already streaming to
+                        # Token2Wav (3-silence primer + 25 = one full
+                        # window): hold this dispatch until that window
+                        # completes so it can't queue ahead of it
+                        self._first_window_dispatched.wait(timeout=0.4)
                     pending = issue(nxt2)
                     inflight += nxt2
                     issued_total += nxt2
@@ -866,12 +872,15 @@ class OmniPipeline:
                 window = self._t2w_buffer[: T2W_MAIN + T2W_LOOKAHEAD]
                 last = final and len(self._t2w_buffer) <= T2W_MAIN + T2W_LOOKAHEAD
                 if self.t2w is not None:
-                    # unblock the LLM's speculative scans: this window's
-                    # device work is about to be enqueued, so anything
-                    # dispatched after this point queues BEHIND it
-                    self._first_window_dispatched.set()
                     wave = self.t2w.feed_window(np.asarray(window, np.int32),
                                                 is_final=last)
+                    # unblock the LLM/TTS scans only now: feed_window
+                    # makes SEVERAL host-gapped dispatches (conformer,
+                    # 5 CFM steps, vocoder) and a ~100 ms LLM scan
+                    # slipping into any gap lands ahead of the next one
+                    # on the in-order tunnel (round-5 measurement: the
+                    # 402-vs-554 ms TTFT bimodality)
+                    self._first_window_dispatched.set()
                     self.wav_out.put(wave)
                     self._write_wav_file(wave, final=last)
                 consume = min(T2W_MAIN, len(self._t2w_buffer))
