@@ -577,6 +577,8 @@ def qmatmul_splith_pallas(
     m, k = x.shape
     n, k2 = qt.shape
     assert k == k2 and qt.ggml_type in _SH_QTYPES, (x.shape, qt.shape)
+    if block_n is None and os.environ.get("OMNI_SH_BN"):
+        block_n = int(os.environ["OMNI_SH_BN"])  # tile-sweep override
     if block_n is None or block_k is None:
         auto_n, auto_k = _auto_tiles(m, n, k)
         block_n = block_n or auto_n

@@ -47,7 +47,8 @@ class _Tok:
         return "".join(chr(97 + int(i) % 26) for i in ids)
 
 
-def run_config(params, cfg, n_ctx: int, kv: str, n_decode: int = 64):
+def run_config(params, cfg, n_ctx: int, kv: str, n_decode: int = 64,
+               fill: int | None = None):
     from omni_tpu.models import qwen3
     from omni_tpu.omni.pipeline import OmniPipeline, SessionConfig
     from omni_tpu.runtime import Context, SamplerParams
@@ -56,7 +57,7 @@ def run_config(params, cfg, n_ctx: int, kv: str, n_decode: int = 64):
                 "q4_0": "q4_0"}[kv]
     llm = Context(cfg, params, qwen3.forward, qwen3.embed, n_ctx=n_ctx,
                   kv_dtype=kv_dtype, sampler=SamplerParams(greedy=True))
-    n_fill = n_ctx - 512
+    n_fill = (n_ctx - 512) if fill is None else fill
     # stamp the pool as occupied by seq 0 at positions 0..n_fill-1
     # (content zeros: decode timing depends only on the bucket size)
     pos = np.full(n_ctx, -1, np.int32)
@@ -102,6 +103,8 @@ def main():
     ap.add_argument("--ctx", default="2048,16384,32768")
     ap.add_argument("--kv", default="bf16,q8_0,q4_0")
     ap.add_argument("--n-decode", type=int, default=64)
+    ap.add_argument("--fill", type=int, default=None,
+                    help="occupied cells before the turn (default ctx-512)")
     args = ap.parse_args()
 
     from omni_tpu.testing_synth import QWEN3_8B, synth_qwen3_params
@@ -116,7 +119,7 @@ def main():
         for kv in args.kv.split(","):
             log(f"ctx={n_ctx} kv={kv} ...")
             ms = run_config(params, cfg, n_ctx, kv,
-                            n_decode=args.n_decode)
+                            n_decode=args.n_decode, fill=args.fill)
             results[(n_ctx, kv)] = ms
             log(f"ctx={n_ctx} kv={kv}: {ms:.2f} ms/token")
             print(json.dumps({
