@@ -120,7 +120,16 @@ def pool_attention(q: jax.Array, cache, layer: int, mask: jax.Array,
     XLA's fused attention (faster on v5e — docs/PERF.md). Soft-capped
     scores (Gemma-2) always take the XLA path — the flash kernel has no
     tanh stage."""
-    if (cache.quantized and logit_softcap == 0.0 and sinks is None
+    import os
+
+    # bf16 KV: XLA's fused attention is the measured default; set
+    # OMNI_FLASH_BF16_MIN=<cells> to route pools at least that large
+    # through the Pallas flash kernel instead (long-context experiments;
+    # 0 = always XLA for bf16)
+    bf16_flash_min = int(os.environ.get("OMNI_FLASH_BF16_MIN", "0"))
+    want_flash = cache.quantized or (
+        bf16_flash_min > 0 and (kv_limit or cache.size) >= bf16_flash_min)
+    if (want_flash and logit_softcap == 0.0 and sinks is None
             and alibi is None and jax.default_backend() == "tpu"):
         from .flash_attention import flash_decode
 
