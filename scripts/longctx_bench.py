@@ -99,6 +99,13 @@ def run_config(params, cfg, n_ctx: int, kv: str, n_decode: int = 64,
 
 
 def main():
+    import os
+
+    if os.path.exists("/tmp/lc_abort"):
+        # graceful chain drain (killing a tunnel-attached client wedges
+        # the remote side for ~15 min; exiting cleanly does not)
+        log("lc_abort sentinel present - skipping")
+        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--ctx", default="2048,16384,32768")
     ap.add_argument("--kv", default="bf16,q8_0,q4_0")
