@@ -14,9 +14,16 @@ Run: python scripts/longctx_bench.py [--ctx 2048,16384,32768]
 import argparse
 import dataclasses
 import json
+import os
 import queue
 import sys
 import time
+
+if os.path.exists("/tmp/lc_abort"):
+    # graceful chain drain BEFORE `import jax`: even importing jax attaches
+    # the tunnel plugin, and abandoned/killed clients wedge the remote side
+    print("[longctx] lc_abort sentinel present - skipping", file=sys.stderr)
+    sys.exit(0)
 
 import numpy as np
 
@@ -99,13 +106,6 @@ def run_config(params, cfg, n_ctx: int, kv: str, n_decode: int = 64,
 
 
 def main():
-    import os
-
-    if os.path.exists("/tmp/lc_abort"):
-        # graceful chain drain (killing a tunnel-attached client wedges
-        # the remote side for ~15 min; exiting cleanly does not)
-        log("lc_abort sentinel present - skipping")
-        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--ctx", default="2048,16384,32768")
     ap.add_argument("--kv", default="bf16,q8_0,q4_0")
