@@ -119,7 +119,19 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        # an explicit dir means "persist this warmup": no time threshold
+        # (tiny-model compiles on CPU land under the default 0.1 s)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        try:
+            # the cache object initializes ONCE per process; in a process
+            # that already compiled something the dir update is otherwise
+            # silently ignored
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # noqa: BLE001 — jax-internal API
+            pass
 
     import jax
 
