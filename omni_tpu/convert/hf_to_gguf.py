@@ -4053,6 +4053,44 @@ def convert_pixtral_vision(state: Mapping[str, Any],
     return written
 
 
+def convert_lfm2_vision(state: Mapping[str, Any],
+                        config: Mapping[str, Any], out_path: str,
+                        qtype: GGMLType = GGMLType.F16) -> list[str]:
+    """HF LFM2-VL vision tower (SigLip2 NaFlex: linear patch embed,
+    resizable position grid) + Lfm2VlMultiModalProjector -> mmproj GGUF
+    (clip.cpp:538-552 PROJECTOR_TYPE_LFM2 names: mm.input_norm +
+    mm.1/mm.2). `config` = HF vision_config dict + out_hidden +
+    downsample_factor."""
+    state = _strip(state, "model.")
+    state = _strip(state, "vision_tower.vision_model.")
+    w = _vision_writer(out_path, "lfm2", config, "gelu_tanh",
+                       config.get("layer_norm_eps", 1e-6),
+                       scale_factor=int(config.get("downsample_factor", 2)))
+    written = []
+
+    def put(name, arr, q=None):
+        _add(w, name, arr, q)
+        written.append(name)
+
+    put("v.patch_embd.weight", state["embeddings.patch_embedding.weight"])
+    put("v.patch_embd.bias", state["embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight",
+        state["embeddings.position_embedding.weight"])
+    put("v.post_ln.weight", state["post_layernorm.weight"])
+    put("v.post_ln.bias", state["post_layernorm.bias"])
+    mp = "multi_modal_projector."
+    put("mm.input_norm.weight", state[mp + "layer_norm.weight"])
+    put("mm.input_norm.bias", state[mp + "layer_norm.bias"])
+    put("mm.1.weight", state[mp + "linear_1.weight"])
+    if mp + "linear_1.bias" in state:
+        put("mm.1.bias", state[mp + "linear_1.bias"])
+        put("mm.2.bias", state[mp + "linear_2.bias"])
+    put("mm.2.weight", state[mp + "linear_2.weight"])
+    _put_vit_layers(put, state, int(config["num_hidden_layers"]))
+    w.write()
+    return written
+
+
 def convert_qwen2audio_encoder(state: Mapping[str, Any],
                                config: Mapping[str, Any], out_path: str,
                                qtype: GGMLType = GGMLType.F16,

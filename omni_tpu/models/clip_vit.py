@@ -15,6 +15,9 @@ layer-scale) and a projector-head registry keyed by the GGUF
                (clip.cpp:531-537; HF Idefics3Connector)
 - "internvl" — CLS ViT with layer-scale, pixel shuffle, LN + 2-layer
                GELU MLP (clip.cpp:916-982)
+- "lfm2"     — SigLip2-NaFlex trunk (LINEAR patch embed over
+               pre-patchified rows, bilinearly resized position grid),
+               pixel unshuffle + LN + 2-layer GELU MLP (clip.cpp:538-552)
 
 Parity oracle: HF transformers {Llava,Gemma3,Idefics3,InternVL}
 ForConditionalGeneration.get_image_features. All matmuls run batched over
@@ -112,6 +115,10 @@ def load_params(reader: GGUFReader) -> dict:
         "mm2": get("mm.2.weight", required=False),
         "mm2_b": get("mm.2.bias", required=False),
         "mm_input_proj": get("mm.input_projection.weight", required=False),
+        "input_norm": get("mm.input_norm.weight", required=False),
+        "input_norm_b": get("mm.input_norm.bias", required=False),
+        "mm1": get("mm.1.weight", required=False),
+        "mm1_b": get("mm.1.bias", required=False),
         "mm_soft_emb_norm": get("mm.soft_emb_norm.weight", required=False),
         "mm_fc": get("mm.model.fc.weight", required=False),
         "mvlm_0": get("mm.model.mlp.0.weight", required=False),
@@ -188,9 +195,39 @@ def idefics3_pos_ids(nb_h: int, nb_w: int, nps: int) -> np.ndarray:
     return (bh[:, None] * nps + bw[None, :]).reshape(-1)
 
 
+def resize_pos_grid(pos: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """NaFlex positional-embedding resize (HF Siglip2VisionEmbeddings /
+    reference clip.cpp resize_position_embeddings): the [N0, E] learned
+    table viewed as a sqrt(N0) grid, bilinearly resampled (align_corners
+    False) to the image's (gh, gw) patch grid -> [gh*gw, E]."""
+    n0, e = pos.shape
+    side = int(round(np.sqrt(n0)))
+    grid = pos.reshape(side, side, e).astype(np.float32)
+    if (gh, gw) == (side, side):
+        return grid.reshape(-1, e)
+
+    def axis_coords(n_out, n_in):
+        c = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        return np.clip(c, 0, n_in - 1)
+
+    ys, xs = axis_coords(gh, side), axis_coords(gw, side)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, side - 1)
+    x1 = np.minimum(x0 + 1, side - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    out = (grid[y0][:, x0] * (1 - fy) * (1 - fx)
+           + grid[y1][:, x0] * fy * (1 - fx)
+           + grid[y0][:, x1] * (1 - fy) * fx
+           + grid[y1][:, x1] * fy * fx)
+    return out.reshape(gh * gw, e).astype(np.float32)
+
+
 def vit_trunk(params: dict, cfg: ClipVitConfig, pixels: jax.Array,
               n_run: int | None = None,
-              pos_ids: np.ndarray | None = None) -> jax.Array:
+              pos_ids: np.ndarray | None = None,
+              pos_override: np.ndarray | None = None) -> jax.Array:
     """Shared encoder: patch embed (+CLS)(+learned pos)(+pre-LN), n_run
     transformer blocks, optional post-LN. -> [n_pos, E]."""
     pix = patchify(cfg, pixels)
@@ -200,7 +237,9 @@ def vit_trunk(params: dict, cfg: ClipVitConfig, pixels: jax.Array,
         h = h + params["patch_b"]
     if params["cls"] is not None:
         h = jnp.concatenate([params["cls"].reshape(1, -1), h], axis=0)
-    if params["pos"] is not None:
+    if pos_override is not None:  # NaFlex: per-image resized pos grid
+        h = h + jnp.asarray(pos_override)
+    elif params["pos"] is not None:
         if pos_ids is not None:
             h = h + params["pos"][np.asarray(pos_ids)]
         else:
@@ -282,6 +321,22 @@ def forward(params: dict, cfg: ClipVitConfig,
                       pos_ids=idefics3_pos_ids(g, g, nps))  # [g*g, E]
         z = _pixel_shuffle(h, g, cfg.scale_factor)
         return z @ params["mm_fc"].T                 # Idefics3SimpleMLP
+
+    if cfg.proj_type == "lfm2":
+        g = pixels.shape[-1] // cfg.patch_size
+        pos = resize_pos_grid(np.asarray(params["pos"]), g, g)
+        h = vit_trunk(params, cfg, pixels, pos_override=pos)  # [g*g, E]
+        z = _pixel_shuffle(h, g, cfg.scale_factor)
+        z = layer_norm(z, params["input_norm"], params["input_norm_b"],
+                       1e-5)
+        z = z @ params["mm1"].T
+        if params["mm1_b"] is not None:
+            z = z + params["mm1_b"]
+        z = jax.nn.gelu(z, approximate=False)
+        z = z @ params["mm2"].T
+        if params["mm2_b"] is not None:
+            z = z + params["mm2_b"]
+        return z
 
     if cfg.proj_type == "internvl":
         h = vit_trunk(params, cfg, pixels)          # CLS + patches

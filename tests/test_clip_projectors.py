@@ -93,6 +93,60 @@ def test_idefics3_projector_parity(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_lfm2_projector_parity(tmp_path):
+    """LFM2-VL (clip.cpp PROJECTOR_TYPE_LFM2): SigLip2-NaFlex trunk
+    (linear patch embed over pre-patchified rows, bilinearly resized
+    position grid) + pixel unshuffle + LN + 2-layer GELU MLP — vs
+    Lfm2VlForConditionalGeneration.get_image_features, at the native
+    grid and at a resized (non-native) grid."""
+    from transformers import Lfm2VlConfig, Lfm2VlForConditionalGeneration
+
+    from omni_tpu.convert.hf_to_gguf import convert_lfm2_vision
+    from omni_tpu.models import clip_vit
+
+    torch.manual_seed(8)
+    hcfg = Lfm2VlConfig(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=1, block_dim=48,
+                         block_ff_dim=64, block_multiple_of=16,
+                         conv_dim=48),
+        vision_config=dict(hidden_size=E, intermediate_size=FF,
+                           num_hidden_layers=L, num_attention_heads=NH,
+                           num_patches=16, patch_size=P),  # native grid 4x4
+        downsample_factor=2)
+    model = Lfm2VlForConditionalGeneration(hcfg).eval()
+    cfg_d = dict(hcfg.vision_config.to_dict(), out_hidden=48,
+                 downsample_factor=2)
+    path = tmp_path / "mm.gguf"
+    convert_lfm2_vision(dict(model.state_dict()), cfg_d, str(path))
+
+    reader = GGUFReader(str(path))
+    cfg = clip_vit.ClipVitConfig.from_gguf(reader.kv)
+    assert cfg.proj_type == "lfm2" and cfg.scale_factor == 2
+    params = clip_vit.load_params(reader)
+
+    rng = np.random.default_rng(8)
+    for g in (4, 6):  # native grid, then a resized-pos-embedding grid
+        pix = rng.standard_normal((3, g * P, g * P)).astype(np.float32)
+        got = np.asarray(clip_vit.forward(params, cfg, pix))
+        # feed HF the SAME patch rows our patchify produces (the
+        # processor's layout choice cancels out of the parity check)
+        rows = np.asarray(clip_vit.patchify(cfg, pix))
+        with torch.no_grad():
+            want = model.get_image_features(
+                torch.tensor(rows[None]),
+                spatial_shapes=torch.tensor([[g, g]]),
+                pixel_attention_mask=torch.ones(1, rows.shape[0],
+                                                dtype=torch.bool))
+            if isinstance(want, (tuple, list)):
+                want = torch.cat(list(want), dim=0)
+        want = want.reshape(-1, 48).numpy()
+        assert got.shape == want.shape == ((g // 2) ** 2, 48)
+        np.testing.assert_allclose(got, want, atol=3e-4,
+                                   err_msg=f"grid {g}")
+
+
 def test_generic_vlm_served_e2e(tmp_path):
     """A non-M-RoPE projector family (gemma3) served end-to-end: image_url
     -> ClipImageEncoder.preprocess -> projector -> embedding injection ->
