@@ -235,6 +235,106 @@ def test_voxtral_projector_law(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_image_plus_audio_one_request(tmp_path):
+    """One chat request carrying BOTH an image_url and an input_audio part
+    (the reference's mtmd serves mixed-media prompts through one chunk
+    stream): both encoders inject embeddings into the same sequence."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+    import wave
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    pytest.importorskip("PIL")
+    from PIL import Image
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    from omni_tpu.convert.hf_to_gguf import (convert_gemma3_vision,
+                                             convert_qwen2audio_encoder)
+    from omni_tpu.core import GGMLType
+    from omni_tpu.models import qwen3
+    from omni_tpu.mtmd import load_audio_encoder, load_image_encoder
+    from omni_tpu.runtime import Context
+    from omni_tpu.server.main import ServerState, serve
+    from omni_tpu.testing import write_tiny_qwen3
+    from omni_tpu.tokenizer import build_tokenizer
+
+    amodel, ahcfg = _tiny_qwen2audio()
+    a_path = tmp_path / "a.gguf"
+    convert_qwen2audio_encoder(
+        dict(amodel.state_dict()),
+        dict(ahcfg.audio_config.to_dict(), out_hidden=48), str(a_path),
+        mel_filters=np.random.default_rng(0).random((MEL, 201), np.float32)
+        * 1e-3)
+    aenc = load_audio_encoder(GGUFReader(str(a_path)))
+
+    torch.manual_seed(9)
+    vcfg = Gemma3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=1, head_dim=16),
+        vision_config=dict(hidden_size=D, intermediate_size=FF,
+                           num_hidden_layers=1, num_attention_heads=NH,
+                           image_size=28, patch_size=14),
+        mm_tokens_per_image=1)
+    vmodel = Gemma3ForConditionalGeneration(vcfg).eval()
+    v_path = tmp_path / "v.gguf"
+    convert_gemma3_vision(dict(vmodel.state_dict()),
+                          dict(vcfg.vision_config.to_dict(), out_hidden=48,
+                               mm_tokens_per_image=1), str(v_path))
+    venc = load_image_encoder(GGUFReader(str(v_path)))
+
+    llm_path = tmp_path / "llm.gguf"
+    write_tiny_qwen3(llm_path, n_layers=1, d_model=48, n_heads=4,
+                     n_kv_heads=2, head_dim=12, d_ff=64, n_vocab=300,
+                     qtype=GGMLType.F32, byte_tokenizer=True)
+    reader = GGUFReader(str(llm_path))
+    cfg = qwen3.Qwen3Config.from_gguf(reader.kv)
+    ctx = Context(cfg, qwen3.load_params(reader), qwen3.forward,
+                  qwen3.embed, n_ctx=128)
+    state = ServerState(ctx, build_tokenizer(reader.kv), n_slots=1,
+                        mtmd_enc=venc, mtmd_audio=aenc)
+    httpd = serve(state, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(9)
+        img = Image.fromarray((rng.random((28, 28, 3)) * 255)
+                              .astype(np.uint8))
+        ibuf = io.BytesIO()
+        img.save(ibuf, format="PNG")
+        pcm = (np.sin(np.arange(3200) / 8.0) * 16000).astype(np.int16)
+        abuf = io.BytesIO()
+        with wave.open(abuf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}"
+            "/v1/chat/completions",
+            json.dumps({"messages": [{"role": "user", "content": [
+                {"type": "text", "text": "look "},
+                {"type": "image_url", "image_url": {"url":
+                 "data:image/png;base64,"
+                 + base64.b64encode(ibuf.getvalue()).decode()}},
+                {"type": "text", "text": " and listen "},
+                {"type": "input_audio", "input_audio": {
+                    "data": base64.b64encode(abuf.getvalue()).decode(),
+                    "format": "wav"}},
+            ]}], "max_tokens": 4}).encode(),
+            {"Content-Type": "application/json"})
+        out = json.load(urllib.request.urlopen(req, timeout=300))
+        assert out["choices"][0]["message"]["role"] == "assistant"
+        # 1 image token + 5 audio tokens + text all in one prompt
+        assert out["usage"]["prompt_tokens"] > 6
+    finally:
+        httpd.shutdown()
+
+
 def test_audio_chat_served_e2e(tmp_path):
     """One audio-LM chat request green: input_audio WAV part ->
     AudioLMEncoder.preprocess (embedded mel filterbank) -> tower ->
