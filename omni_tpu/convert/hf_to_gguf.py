@@ -3771,12 +3771,20 @@ def convert_llava_vision(state: Mapping[str, Any],
              float(config.get("layer_norm_eps", 1e-5)))
     w.add_kv("clip.vision.feature_layer",
              int(config.get("feature_layer", -2)))
+    if config.get("image_grid_pinpoints"):
+        # llava-next anyres (reference mm_patch_merge_type spatial_unpad)
+        w.add_kv("clip.vision.mm_patch_merge_type", "spatial_unpad")
+        w.add_kv("clip.vision.image_grid_pinpoints",
+                 [int(x) for pt in config["image_grid_pinpoints"]
+                  for x in pt])
     written = []
 
     def put(name, arr, q=qtype):
         _add(w, name, arr, q)
         written.append(name)
 
+    if "image_newline" in state:
+        put("model.image_newline", state["image_newline"], None)
     put("v.class_embd", state["embeddings.class_embedding"], None)
     put("v.patch_embd.weight",
         state["embeddings.patch_embedding.weight"], None)

@@ -52,6 +52,9 @@ class ClipVitConfig:
     norm: str = "ln"          # "ln" | "rms"
     act: str = "quick_gelu"   # "quick_gelu" | "gelu" | "gelu_tanh"
     scale_factor: int = 1     # gemma3 pool kernel / pixel-shuffle factor
+    # llava-next anyres (mm_patch_merge_type == "spatial_unpad"):
+    # candidate canvas resolutions, flattened (h0, w0, h1, w1, ...)
+    pinpoints: tuple = ()
 
     @property
     def head_dim(self) -> int:
@@ -85,6 +88,9 @@ class ClipVitConfig:
             act=act,
             scale_factor=int(g("projector.scale_factor",
                                g("scale_factor", 1))),
+            pinpoints=tuple(
+                int(x) for x in np.asarray(
+                    g("image_grid_pinpoints", ())).reshape(-1)),
         )
 
 
@@ -119,6 +125,7 @@ def load_params(reader: GGUFReader) -> dict:
         "input_norm_b": get("mm.input_norm.bias", required=False),
         "mm1": get("mm.1.weight", required=False),
         "mm1_b": get("mm.1.bias", required=False),
+        "image_newline": get("model.image_newline", required=False),
         "mm_soft_emb_norm": get("mm.soft_emb_norm.weight", required=False),
         "mm_fc": get("mm.model.fc.weight", required=False),
         "mvlm_0": get("mm.model.mlp.0.weight", required=False),

@@ -174,6 +174,118 @@ class ClipImageEncoder:
         return ((img - mean) / std).transpose(2, 0, 1)
 
 
+def select_best_resolution(orig_hw, pinpoints) -> tuple[int, int]:
+    """HF select_best_resolution: maximize effective (non-wasted)
+    resolution, tie-break by minimal wasted area. pinpoints =
+    [(h, w), ...]."""
+    oh, ow = orig_hw
+    best, best_fit, min_waste = None, 0, float("inf")
+    for h, w in pinpoints:
+        scale = min(w / ow, h / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        fit = min(dw * dh, ow * oh)
+        waste = h * w - fit
+        if fit > best_fit or (fit == best_fit and waste < min_waste):
+            best, best_fit, min_waste = (h, w), fit, waste
+    return best
+
+
+@dataclasses.dataclass
+class LlavaNextImageEncoder:
+    """LLaVA-NeXT anyres encoder (the reference's
+    mm_patch_merge_type == "spatial_unpad", clip.cpp PATCH_MERGE_
+    SPATIAL_UNPAD + llava-1.6 tiling): base view + best-resolution tile
+    grid through the CLIP "mlp" projector, grid features re-assembled
+    spatially, UNPADDED to the original aspect ratio, one image_newline
+    embedding appended per row, base features prepended.
+
+    media payload: (tiles [n, C, S, S], orig (h, w))."""
+
+    params: dict
+    cfg: Any  # models.clip_vit.ClipVitConfig ("mlp" + pinpoints)
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    uses_mrope = False
+
+    def _pins(self):
+        p = self.cfg.pinpoints
+        return [(p[i], p[i + 1]) for i in range(0, len(p), 2)]
+
+    def __call__(self, media):
+        from .models import clip_vit
+
+        tiles, orig_hw = media
+        feats = [np.asarray(clip_vit.forward(self.params, self.cfg,
+                                             np.asarray(t)), np.float32)
+                 for t in tiles]  # each [g*g, d_llm]
+        base = feats[0]
+        nl = self.params.get("image_newline")
+        nl = None if nl is None else np.asarray(nl, np.float32)
+        if len(feats) == 1:
+            out = base
+            return np.concatenate([out, nl[None]]) if nl is not None \
+                else out
+        g = self.cfg.image_size // self.cfg.patch_size
+        bh, bw = select_best_resolution(orig_hw, self._pins())
+        nph, npw = bh // self.cfg.image_size, bw // self.cfg.image_size
+        d = base.shape[-1]
+        grid = np.stack(feats[1:]).reshape(nph, npw, g, g, d)
+        # [d, nph*g, npw*g] spatial re-assembly (HF pack_image_features)
+        sp = grid.transpose(4, 0, 2, 1, 3).reshape(d, nph * g, npw * g)
+        ch, cw = sp.shape[1:]
+        oh, ow = orig_hw
+        if ow / oh > cw / ch:  # unpad_image
+            nh = int(round(oh * (cw / ow), 7))
+            pad = (ch - nh) // 2
+            sp = sp[:, pad: ch - pad, :]
+        else:
+            nw = int(round(ow * (ch / oh), 7))
+            pad = (cw - nw) // 2
+            sp = sp[:, :, pad: cw - pad]
+        if nl is not None:
+            col = np.broadcast_to(nl[:, None, None],
+                                  (d, sp.shape[1], 1))
+            sp = np.concatenate([sp, col], axis=2)
+        flat = sp.reshape(d, -1).T  # row-major (h, w) token order
+        return np.concatenate([base, flat], axis=0)
+
+    def preprocess(self, img: np.ndarray):
+        """[H, W, 3] uint8 -> (tiles, orig (h, w)): base view at the
+        square input size + the best-resolution canvas (aspect-preserving
+        resize, center pad) split into input-size tiles row-major (HF
+        LlavaNextImageProcessor.get_image_patches)."""
+        a = np.asarray(img, np.float32)
+        if a.max() > 1.5:
+            a = a / 255.0
+        oh, ow = a.shape[:2]
+        mean = np.asarray(self.image_mean, np.float32)
+        std = np.asarray(self.image_std, np.float32)
+
+        def resize(x, h, w):
+            yi = np.clip((np.arange(h) + 0.5) * x.shape[0] / h - 0.5,
+                         0, x.shape[0] - 1).round().astype(int)
+            xi = np.clip((np.arange(w) + 0.5) * x.shape[1] / w - 0.5,
+                         0, x.shape[1] - 1).round().astype(int)
+            return x[yi][:, xi]
+
+        def norm_chw(x):
+            return ((x - mean) / std).transpose(2, 0, 1)
+
+        s = self.cfg.image_size
+        tiles = [norm_chw(resize(a, s, s))]  # base view
+        bh, bw = select_best_resolution((oh, ow), self._pins())
+        scale = min(bw / ow, bh / oh)
+        rh, rw = int(oh * scale), int(ow * scale)
+        canvas = np.zeros((bh, bw, 3), np.float32)
+        py, px = (bh - rh) // 2, (bw - rw) // 2
+        canvas[py: py + rh, px: px + rw] = resize(a, rh, rw)
+        for r in range(bh // s):
+            for c in range(bw // s):
+                tiles.append(norm_chw(
+                    canvas[r * s:(r + 1) * s, c * s:(c + 1) * s]))
+        return np.stack(tiles), (oh, ow)
+
+
 @dataclasses.dataclass
 class PixtralImageEncoder:
     """Pixtral / Mistral-Small rope-2d encoder (PROJECTOR_TYPE_PIXTRAL).
@@ -260,6 +372,12 @@ def load_image_encoder(reader):
         return PixtralImageEncoder(
             pixtral.load_params(reader),
             pixtral.PixtralVisionConfig.from_gguf(reader.kv))
+    if (pt == "mlp" and reader.kv.get("clip.vision.mm_patch_merge_type")
+            == "spatial_unpad"):
+        from .models import clip_vit as _cv
+
+        return LlavaNextImageEncoder(
+            _cv.load_params(reader), _cv.ClipVitConfig.from_gguf(reader.kv))
     from .models import clip_vit
 
     mean = tuple(reader.kv.get("clip.vision.image_mean", (0.5, 0.5, 0.5)))

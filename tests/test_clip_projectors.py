@@ -147,6 +147,58 @@ def test_lfm2_projector_parity(tmp_path):
                                    err_msg=f"grid {g}")
 
 
+def test_llava_next_spatial_unpad_parity(tmp_path):
+    """LLaVA-NeXT anyres (the reference's mm_patch_merge_type
+    "spatial_unpad" + llava-1.6 tiling): base view + tile grid through
+    the mlp projector, spatial re-assembly, unpad to the original aspect,
+    image_newline per row — vs LlavaNextForConditionalGeneration
+    get_image_features + pack_image_features on identical tiles."""
+    from transformers import (LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+
+    from omni_tpu.convert.hf_to_gguf import convert_llava_vision
+    from omni_tpu.mtmd import LlavaNextImageEncoder, load_image_encoder
+
+    torch.manual_seed(11)
+    pins = [[28, 56], [56, 28], [56, 56]]
+    hcfg = LlavaNextConfig(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=1),
+        vision_config=dict(hidden_size=E, intermediate_size=FF,
+                           num_hidden_layers=L, num_attention_heads=NH,
+                           image_size=28, patch_size=14),
+        image_grid_pinpoints=pins, vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    model = LlavaNextForConditionalGeneration(hcfg).eval()
+    cfg_d = dict(hcfg.vision_config.to_dict(), out_hidden=48,
+                 feature_layer=-2, image_grid_pinpoints=pins)
+    path = tmp_path / "mm.gguf"
+    convert_llava_vision(dict(model.state_dict()), cfg_d, str(path))
+
+    enc = load_image_encoder(GGUFReader(str(path)))
+    assert isinstance(enc, LlavaNextImageEncoder)
+    assert enc.cfg.pinpoints == (28, 56, 56, 28, 56, 56)
+
+    rng = np.random.default_rng(11)
+    img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+    media = enc.preprocess(img)
+    tiles, orig = media
+    assert orig == (40, 50) and tiles.shape[1:] == (3, 28, 28)
+    got = enc(media)
+
+    with torch.no_grad():
+        # this transformers version's get_image_features already packs
+        # (spatial re-assembly + unpad + newline)
+        feats = model.model.get_image_features(
+            torch.tensor(tiles[None]), torch.tensor([[40, 50]]),
+            vision_feature_layer=-2,
+            vision_feature_select_strategy="default")
+    want = feats[0].numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 def test_generic_vlm_served_e2e(tmp_path):
     """A non-M-RoPE projector family (gemma3) served end-to-end: image_url
     -> ClipImageEncoder.preprocess -> projector -> embedding injection ->
